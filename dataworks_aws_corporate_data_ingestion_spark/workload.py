@@ -1,0 +1,226 @@
+"""Workload registry: every implemented query/operator gets a named entry
+pairing a PySpark implementation with a DuckDB-runnable ANSI-SQL oracle.
+
+Conventions (critical for the value-hash correctness gate):
+
+* **Exact-decimal-then-double**: float aggregates are computed over values
+  cast to exact DECIMAL types, then the final result is cast to DOUBLE.
+  Double summation order differs between engines; decimal summation is
+  exact in both, and the final decimal->double conversion is deterministic,
+  so results are bit-identical.  Money columns fit DECIMAL(12,2); rates
+  (discount/tax) fit DECIMAL(4,2).
+* **Deterministic tiebreakers**: every window ordering ends with a unique
+  key so row_number() == 1 picks the same row in both engines.
+* **Matching aliases**: every computed column is aliased identically in the
+  Spark code and the oracle SQL (driver hashes columns by sorted name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One workload entry: Spark impl + optional DuckDB oracle SQL."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    bench: bool = False  # include in bench.py headline timings
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    bench: bool = False,
+    tags: tuple[str, ...] = (),
+):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, bench=bench, tags=tags)
+        return fn
+
+    return deco
+
+
+def money(c) -> F.Column:
+    """Exact money representation (see module docstring)."""
+    return F.col(c).cast("decimal(12,2)") if isinstance(c, str) else c.cast("decimal(12,2)")
+
+
+def rate(c) -> F.Column:
+    return F.col(c).cast("decimal(4,2)") if isinstance(c, str) else c.cast("decimal(4,2)")
+
+
+def one() -> F.Column:
+    return F.lit(1).cast("decimal(4,2)")
+
+
+# ---------------------------------------------------------------------------
+# Relational surface: aggregation (beyond-parity; reference has no aggs,
+# SURVEY.md section 2.4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    bench=True,
+    tags=("aggregation", "scan-filter"),
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                AS sum_disc_price,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                     * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+                AS sum_charge,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+            CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+            COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: filtered scan + hash aggregate.
+
+    Scale notes: the filter and 7-column projection push into the parquet
+    scan; partial aggregation happens map-side so the shuffle carries only
+    (flag, status) groups -- cardinality 6 -- regardless of input size.
+    """
+    l = load_table(spark, "lineitem", sf_dir)
+    disc_price = money("l_extendedprice") * (one() - rate("l_discount"))
+    charge = disc_price * (one() + rate("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(money("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(money("l_quantity")).cast("double") / n).alias("avg_qty"),
+            (F.sum(money("l_extendedprice")).cast("double") / n).alias("avg_price"),
+            (F.sum(rate("l_discount")).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window dedup: the reference's core "latest record per key" operator
+# (SURVEY.md A2/W1, reference steps/ingesters.py:448-455)
+# ---------------------------------------------------------------------------
+
+@register(
+    "latest_event_per_user",
+    bench=True,
+    tags=("window", "dedup"),
+    oracle="""
+        SELECT event_id, ts, user_id, event_type, value
+        FROM (
+            SELECT event_id, ts, user_id, event_type, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-1 via ranking window -- the reference's only window op
+    (reference steps/ingesters.py:448-455 keeps one record per (id_part,id)
+    ordered by db_type; here: one event per user ordered by recency, with
+    event_id as the deterministic tiebreaker).
+
+    Scale notes: single hash-partition shuffle on the group key, then a
+    partition-local sort; AQE splits skewed users.  No driver collection.
+    """
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way join + aggregate (beyond-parity: reference disabled joins,
+# SURVEY.md section 2.3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q5_revenue_by_nation",
+    bench=True,
+    tags=("join", "aggregation"),
+    oracle="""
+        SELECT
+            n_name,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                AS revenue
+        FROM customer, orders, lineitem, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND c_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style multi-way join: fact-fact shuffle join plus broadcast
+    dimension joins.
+
+    Scale notes: nation/region/customer are broadcast (dimension tables stay
+    small relative to facts at any SF); lineitem-orders is the one genuine
+    shuffle, on the join key, and the o_orderdate filter lands in the orders
+    scan before it.
+    """
+    customer = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    lineitem = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, "region", sf_dir).select("r_regionkey")
+    revenue = money("l_extendedprice") * (one() - rate("l_discount"))
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )

@@ -1,0 +1,28 @@
+from __future__ import annotations
+
+import pytest
+
+from dataworks_aws_corporate_data_ingestion_spark.session import get_session
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    session = get_session(
+        app_name="cdi-engine-tests",
+        master="local[4]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": "4",
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "8g",
+        },
+    )
+    yield session
+    session.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_SMALL

@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Simulate the round driver's verify pass against __spark_entry__.py:
+
+1. smoke: entry(spark) on a PLAIN SparkSession (no engine-tuned confs)
+2. correctness: each queries()[name] at sf0.01 vs oracle_sql()[name] in
+   DuckDB -- row count, sorted column names, order-insensitive value hash.
+
+Exit 0 iff everything matches.  Usage: python tools/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    cols = []
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = s.astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            s = s.map(lambda v: repr(float(v)) if pd.notna(v) else "NaN")
+        else:
+            s = s.astype(str)
+        cols.append(s)
+    rows = sorted("\x1f".join(vals) for vals in zip(*[c.tolist() for c in cols])) if cols else []
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = SparkSession.builder.master("local[8]").getOrCreate()  # plain, like the driver
+    spark.sparkContext.setLogLevel("ERROR")
+
+    res = entrymod.entry(spark)
+    rows = res.collect()
+    print(f"entry(): {len(rows)} rows, schema={res.schema.simpleString()}")
+    assert len(rows) >= 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in sorted(queries.items()):
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark raised {exc}")
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows")
+            continue
+        odf = con.execute(oracles[name]).df()
+        sh, oh = value_hash(sdf), value_hash(odf)
+        status = "OK  " if (sh == oh and len(sdf) == len(odf)) else "FAIL"
+        if status == "FAIL":
+            failures.append(name)
+        print(f"{status} {name}: spark={len(sdf)} oracle={len(odf)} hash {sh} vs {oh}")
+
+    spark.stop()
+    print(f"{len(queries)} queries, {len(failures)} failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
