@@ -1,0 +1,240 @@
+"""Pure-Python per-record transform core (no Spark imports).
+
+Re-implements the reference's message semantics -- parse / transform /
+validate / sanitise / canonical-serialise -- as side-effect-free functions
+over parsed JSON values.  These are the bodies of the engine's Arrow-batched
+pandas UDFs (see udfs.py); keeping them Spark-free makes them unit-testable
+at Python speed and reusable from both batch and streaming paths.
+
+Semantics parity (behavior, not code) with the reference:
+  - envelope parse:            reference steps/data.py:63-89
+  - canonical JSON:            reference steps/data.py:163-165
+  - audit transform:           reference steps/data.py:98-121
+  - validate (dates, id, ...): reference steps/data.py:123-148,178-304
+  - sanitise:                  reference steps/data.py:150-176
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import re
+from dataclasses import dataclass
+
+# JSON primitive types, as the reference defines them (steps/data.py:7).
+JSON_PRIMITIVES = (int, float, complex, bool, str)
+
+EPOCH_FALLBACK = "1980-01-01T00:00:00.000Z"
+
+# Exactly-3-millisecond-digit timestamps, either Z or +HHMM offset
+# (reference steps/data.py:279-281).
+DATE_PATTERN = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}((Z)|(\+\d{4}))$")
+_INCOMING_FORMAT = "%Y-%m-%dT%H:%M:%S.%f%z"
+
+
+def canonical_json(value) -> str:
+    """Byte-stable canonical form: compact separators, sorted keys, raw
+    UTF-8 (reference steps/data.py:163-165).  This is the golden-output
+    format the reference inherited from HTME for byte-identical parity."""
+    return json.dumps(value, ensure_ascii=False, separators=(",", ":"), sort_keys=True)
+
+
+def is_date_string(value: str) -> bool:
+    return bool(DATE_PATTERN.match(value))
+
+
+def to_utc_wrapped_format(raw: str) -> str:
+    """Parse an incoming kafka timestamp and re-emit as UTC with exactly
+    3 millisecond digits and a literal Z (reference steps/data.py:291-301).
+    Raises ValueError on malformed input, as the reference does."""
+    parsed = dt.datetime.strptime(raw, _INCOMING_FORMAT).astimezone(dt.timezone.utc)
+    return parsed.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+
+
+def _is_wrapped_date(value) -> bool:
+    """A mongo-style date object: exactly {"$date": <truthy primitive>}
+    (reference steps/data.py:266-273)."""
+    return (
+        isinstance(value, dict)
+        and len(value) == 1
+        and bool(value.get("$date"))
+        and isinstance(value.get("$date"), JSON_PRIMITIVES)
+    )
+
+
+def normalise_dates(value):
+    """Recursively rewrite a parsed JSON value so every date string at any
+    depth is wrapped as {"$date": <UTC-normalised>} and every existing
+    wrapped date is re-normalised (reference steps/data.py:214-273).
+
+    Returns a new value; inputs are not mutated.  Notable edge semantics
+    kept from the reference:
+      * bare strings are wrapped only when they match DATE_PATTERN exactly
+        (dates inside free text stay untouched)
+      * a wrapped date whose inner string is malformed raises ValueError
+      * dict *keys* are never rewritten
+    """
+    if _is_wrapped_date(value):
+        return {"$date": to_utc_wrapped_format(str(value["$date"]))}
+    if isinstance(value, dict):
+        return {k: normalise_dates(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [normalise_dates(v) for v in value]
+    if isinstance(value, str) and is_date_string(value):
+        return {"$date": to_utc_wrapped_format(value)}
+    return value
+
+
+def _unwrap_date_element(obj: dict, key: str) -> str:
+    """Fetch a datetime field that may be wrapped ({"$date": s}) or bare;
+    '' when absent/empty (reference steps/data.py:200-211)."""
+    element = obj.get(key)
+    if element:
+        if isinstance(element, dict):
+            inner = element.get("$date")
+            return str(inner) if inner else ""
+        return str(element)
+    return ""
+
+
+def prioritised_last_modified(obj: dict) -> str:
+    """_lastModifiedDateTime > _removedDateTime > createdDateTime > epoch
+    (reference steps/data.py:178-198)."""
+    return (
+        _unwrap_date_element(obj, "_lastModifiedDateTime")
+        or _unwrap_date_element(obj, "_removedDateTime")
+        or _unwrap_date_element(obj, "createdDateTime")
+        or EPOCH_FALLBACK
+    )
+
+
+def validate_record(record: str) -> tuple[str, bool]:
+    """The reference's validate step (steps/data.py:123-148): returns the
+    re-serialised record plus the is_delete flag.
+
+    Order of operations is observable and preserved:
+      1. is_delete <- "_removedDateTime" key present
+      2. coalesce + wrap _lastModifiedDateTime
+      3. recursive date normalisation over the whole record
+      4. drop _archivedDateTime when _removedDateTime also present
+      5. wrap primitive _id as {"$oid": str(_id)}
+    The output is serialised with json.dumps defaults (ASCII-escaped) --
+    sanitise_text operates on that representation, exactly as the
+    reference pipes validate into sanitise.
+    """
+    obj = json.loads(record)
+    is_delete = "_removedDateTime" in obj
+
+    last_modified = prioritised_last_modified(obj)
+    if last_modified:
+        obj["_lastModifiedDateTime"] = {"$date": to_utc_wrapped_format(last_modified)}
+
+    obj = normalise_dates(obj)
+
+    if "_archivedDateTime" in obj and "_removedDateTime" in obj:
+        obj.pop("_archivedDateTime")
+
+    _id = obj.get("_id")
+    if isinstance(_id, JSON_PRIMITIVES):
+        obj["_id"] = {"$oid": str(_id)}
+
+    return json.dumps(obj), is_delete
+
+
+# Collections whose sanitisation rules were never implemented upstream;
+# records from them must hard-fail (reference steps/data.py:167-176).
+UNSUPPORTED_SANITISE_COLLECTIONS = frozenset(
+    {
+        ("penalties-and-deductions", "sanction"),
+        ("core", "healthAndDisabilityDeclaration"),
+        ("accepted-data", "healthAndDisabilityCircumstances"),
+    }
+)
+
+
+def sanitise_text(serialised: str, db: str = "", collection: str = "") -> str:
+    """Blunt whole-string sanitisation over the ASCII-serialised record
+    (reference steps/data.py:150-161).  Runs AFTER serialisation, so the
+    '$'->'d_' rewrite also renames the just-created $date/$oid keys to
+    d_date/d_oid -- an observable, deliberate quirk we preserve."""
+    if (db, collection) in UNSUPPORTED_SANITISE_COLLECTIONS:
+        raise NotImplementedError(
+            f"collection {db}:{collection} requires bespoke sanitising"
+        )
+    return (
+        serialised.replace("$", "d_")
+        .replace("\\u0000", "")
+        .replace("_archivedDateTime", "_removedDateTime")
+        .replace("_archived", "_removed")
+    )
+
+
+def audit_transform(record: str, envelope_last_modified) -> str:
+    """businessAudit-only context unwrap (reference steps/data.py:98-121):
+    the payload's `context` element becomes the whole record, stamped with
+    AUDIT_EVENT (from auditType) and TIME_STAMP/TIME_STAMP_ORIG (from the
+    envelope's _lastModifiedDateTime; '' when non-primitive)."""
+    if isinstance(envelope_last_modified, JSON_PRIMITIVES):
+        stamp = str(envelope_last_modified)
+    else:
+        stamp = ""
+    obj = json.loads(record)
+    context = obj.get("context")
+    audit_type = obj.get("auditType")
+    if not audit_type or not context:
+        raise ValueError("audit record missing `context` or `auditType`")
+    context["AUDIT_EVENT"] = audit_type
+    context["TIME_STAMP"] = stamp
+    context["TIME_STAMP_ORIG"] = stamp
+    return json.dumps(context)
+
+
+def finalise_record(record: str) -> str:
+    """Re-parse and emit the canonical form (reference steps/data.py:163-165
+    `utf8_decrypted_record`)."""
+    return canonical_json(json.loads(record))
+
+
+@dataclass(frozen=True)
+class ParsedEnvelope:
+    """Envelope fields the pipeline needs downstream."""
+
+    id: str  # canonical JSON when _id is an object, else the raw primitive
+    db: str
+    collection: str
+    last_modified: object  # raw envelope _lastModifiedDateTime (any JSON)
+    db_object: str | None  # base64 ciphertext (None must be quarantined)
+    encryption_key_id: str | None
+    encrypted_encryption_key: str | None
+    initialisation_vector: str | None
+    key_encryption_key_id: str | None
+
+
+def parse_envelope(line: str, configured_collection: str | None = None) -> ParsedEnvelope:
+    """Parse one kafka envelope line (reference steps/data.py:63-89).
+
+    db/collection fall back to the configured "db:collection" when either
+    is missing; _id objects are canonicalised (sorted keys, compact) so the
+    id is byte-stable (reference steps/data.py:72-77)."""
+    message = json.loads(line)["message"]
+    db = message.get("db")
+    collection = message.get("collection")
+    if (not db or not collection) and configured_collection:
+        db, collection = configured_collection.split(":")
+    _id = message["_id"]
+    if isinstance(_id, dict):
+        _id = canonical_json(_id)
+    else:
+        _id = str(_id)
+    enc = message.get("encryption") or {}
+    return ParsedEnvelope(
+        id=_id,
+        db=db,
+        collection=collection,
+        last_modified=message.get("_lastModifiedDateTime", ""),
+        db_object=message.get("dbObject"),
+        encryption_key_id=enc.get("encryptionKeyId"),
+        encrypted_encryption_key=enc.get("encryptedEncryptionKey"),
+        initialisation_vector=enc.get("initialisationVector"),
+        key_encryption_key_id=enc.get("keyEncryptionKeyId"),
+    )

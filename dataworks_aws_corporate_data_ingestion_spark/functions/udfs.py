@@ -1,0 +1,159 @@
+"""Arrow-batched pandas UDFs wrapping the pure-Python record core.
+
+The reference ran the whole per-record chain as five row-at-a-time RDD
+``.map`` lambdas (reference steps/ingesters.py:108-115) -- every row paid a
+JVM->pickle->Python->pickle->JVM round trip per map.  Here the chain is two
+Arrow-batched crossings:
+
+  1. ``envelope_udf``  -- parse envelope, canonicalise _id
+  2. ``payload_udf``   -- decrypt + (audit transform) + validate + sanitise
+                          + canonical serialise, fused into one batch pass
+
+Everything around them (db_type, id_part, partitioning columns, writes)
+stays JVM-side as native column expressions.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import record
+from .crypto import CachingKeyClient, KeyService, aes_ctr_decrypt
+
+ENVELOPE_STRUCT = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("db", StringType()),
+        StructField("collection", StringType()),
+        StructField("last_modified", StringType()),
+        StructField("db_object", StringType()),
+        StructField("encrypted_encryption_key", StringType()),
+        StructField("initialisation_vector", StringType()),
+        StructField("key_encryption_key_id", StringType()),
+    ]
+)
+
+PAYLOAD_STRUCT = StructType(
+    [
+        StructField("val", StringType()),
+        StructField("is_delete", BooleanType()),
+    ]
+)
+
+
+def envelope_udf(configured_collection: str | None = None):
+    """Envelope parse as a scalar pandas UDF returning a struct column.
+
+    The envelope's _lastModifiedDateTime is pre-coerced to the audit stamp
+    convention here (str(primitive) else "") because the struct column is
+    typed (reference steps/data.py:104-109)."""
+
+    @pandas_udf(ENVELOPE_STRUCT)
+    def _parse(lines: pd.Series) -> pd.DataFrame:
+        rows = []
+        for line in lines:
+            env = record.parse_envelope(line, configured_collection)
+            lm = env.last_modified
+            stamp = str(lm) if isinstance(lm, record.JSON_PRIMITIVES) else ""
+            rows.append(
+                (
+                    env.id,
+                    env.db,
+                    env.collection,
+                    stamp,
+                    env.db_object,
+                    env.encrypted_encryption_key,
+                    env.initialisation_vector,
+                    env.key_encryption_key_id,
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=[f.name for f in ENVELOPE_STRUCT.fields]
+        )
+
+    return _parse
+
+
+def decrypt_udf(key_service: KeyService, hit_acc=None, miss_acc=None):
+    """AES-CTR decrypt as a scalar pandas UDF.
+
+    The key cache is a module-level per-worker dict (closure state is not
+    guaranteed to survive across Arrow batches), so cached keys span every
+    batch and task a worker processes -- the reference's per-container dict
+    cache with accumulator observability (steps/ingesters.py:103-104,
+    steps/dks.py:96-116).
+    A null ciphertext raises, as the reference does
+    (steps/dks.py:142-143); use quarantine_missing_db_object() upstream to
+    divert such rows instead."""
+    client = CachingKeyClient(key_service, hit_acc=hit_acc, miss_acc=miss_acc)
+
+    @pandas_udf(StringType())
+    def _decrypt(
+        ciphertext: pd.Series, encrypted_key: pd.Series, iv: pd.Series, kek_id: pd.Series
+    ) -> pd.Series:
+        out = []
+        for ct, ek, vec, kek in zip(ciphertext, encrypted_key, iv, kek_id):
+            if ct is None:
+                raise ValueError("dbObject is missing (None)")
+            data_key = client.data_key(ek, kek)
+            out.append(aes_ctr_decrypt(ct, data_key, vec))
+        return pd.Series(out, dtype="object")
+
+    return _decrypt
+
+
+def payload_udf(audit: bool = False):
+    """Fused transform/validate/sanitise/canonicalise pass
+    (reference steps/ingesters.py:112-115 ran these as four separate maps).
+
+    Args are columns: (decrypted, db, collection, envelope_stamp)."""
+
+    @pandas_udf(PAYLOAD_STRUCT)
+    def _process(
+        decrypted: pd.Series,
+        db: pd.Series,
+        collection: pd.Series,
+        stamp: pd.Series,
+    ) -> pd.DataFrame:
+        vals, deletes = [], []
+        for rec, d, c, s in zip(decrypted, db, collection, stamp):
+            if audit and d == "data" and c == "businessAudit":
+                rec = record.audit_transform(rec, s)
+            rec, is_delete = record.validate_record(rec)
+            rec = record.sanitise_text(rec, d or "", c or "")
+            vals.append(record.finalise_record(rec))
+            deletes.append(is_delete)
+        return pd.DataFrame({"val": vals, "is_delete": deletes})
+
+    return _process
+
+
+def canonical_json_udf():
+    """Standalone canonical-JSON re-serialiser (reference steps/data.py:163-165).
+    Spark's to_json cannot sort keys, so this stays a pandas UDF."""
+
+    @pandas_udf(StringType())
+    def _canon(values: pd.Series) -> pd.Series:
+        return values.map(record.finalise_record)
+
+    return _canon
+
+
+def sanitise_column(col):
+    """JVM-side equivalent of record.sanitise_text for already-serialised
+    JSON string columns: stays inside WholeStageCodegen, no Python crossing
+    (reference steps/data.py:150-161).  Collection gating is the caller's
+    job (it is per-pipeline config, not per-row)."""
+    out = F.replace(col, F.lit("$"), F.lit("d_"))
+    out = F.replace(out, F.lit("\\u0000"), F.lit(""))
+    out = F.replace(out, F.lit("_archivedDateTime"), F.lit("_removedDateTime"))
+    out = F.replace(out, F.lit("_archived"), F.lit("_removed"))
+    return out

@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators.merge import latest_by_key, merge_snapshot
 from .sources.tables import load_table
 
 
@@ -223,4 +224,103 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot merge: the reference's headline operation, mapped onto the
+# events table as a CDC stream (SURVEY.md A2/U1/W1,
+# reference steps/ingesters.py:429-457)
+# ---------------------------------------------------------------------------
+
+@register(
+    "snapshot_merge_latest",
+    bench=True,
+    tags=("merge", "union", "window", "dedup"),
+    oracle="""
+        WITH snapshot AS (
+            SELECT CAST(user_id AS VARCHAR) AS id,
+                   'INSERT' AS db_type,
+                   LPAD(CAST(event_id AS VARCHAR), 12, '0') AS val,
+                   LPAD(CAST(user_id % 16 AS VARCHAR), 2, '0') AS id_part
+            FROM events WHERE ts < TIMESTAMP '2024-01-11'
+        ), dailies AS (
+            SELECT CAST(user_id AS VARCHAR) AS id,
+                   CASE WHEN event_type = 'purchase' THEN 'DELETE' ELSE 'INSERT' END AS db_type,
+                   LPAD(CAST(event_id AS VARCHAR), 12, '0') AS val,
+                   LPAD(CAST(user_id % 16 AS VARCHAR), 2, '0') AS id_part
+            FROM events WHERE ts >= TIMESTAMP '2024-01-11'
+        ), unioned AS (
+            SELECT * FROM snapshot UNION ALL SELECT * FROM dailies
+        )
+        SELECT id, db_type, val, id_part FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY id_part, id ORDER BY db_type ASC, val DESC
+            ) AS rn
+            FROM unioned
+        ) WHERE rn = 1
+    """,
+)
+def snapshot_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union + window-dedup merge of a 'previous snapshot' and 'daily
+    deltas' derived from events; DELETE beats INSERT per key, `val` desc as
+    the deterministic tiebreaker (the reference's merge,
+    steps/ingesters.py:448-457, tolerated ties).
+
+    Scale notes: this is the one-shuffle merge -- both sides union before a
+    single range exchange on (id_part, id); no join.  At 10 TB the inputs
+    arrive range-clustered from the write layout, making the exchange
+    near-sorted (see sinks.writers docstring).
+    """
+    e = load_table(spark, "events", sf_dir)
+    as_row = lambda df: df.select(  # noqa: E731
+        F.col("user_id").cast("string").alias("id"),
+        F.col("db_type"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("val"),
+        F.lpad((F.col("user_id") % 16).cast("string"), 2, "0").alias("id_part"),
+    )
+    cutoff = F.lit("2024-01-11").cast("timestamp_ntz")
+    snapshot = as_row(e.filter(F.col("ts") < cutoff).withColumn("db_type", F.lit("INSERT")))
+    dailies = as_row(
+        e.filter(F.col("ts") >= cutoff).withColumn(
+            "db_type",
+            F.when(F.col("event_type") == "purchase", F.lit("DELETE")).otherwise(
+                F.lit("INSERT")
+            ),
+        )
+    )
+    return merge_snapshot(
+        snapshot,
+        dailies,
+        order_by=[F.col("db_type").asc(), F.col("val").desc()],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (beyond-parity training-data op)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_documents",
+    bench=True,
+    tags=("dedup",),
+    oracle="""
+        SELECT doc_id, text, lang, source, n_chars FROM (
+            SELECT doc_id, text, lang, source, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup keeping the lowest doc_id per distinct text.
+
+    Scale notes: at 100 TB, shuffling full document text as the group key
+    is wasteful -- the production variant groups by xxhash64(text) and
+    falls back to text comparison only within colliding buckets; here the
+    window-by-text form is kept because it is the oracle-checkable
+    semantic (hash ordering differs between engines)."""
+    d = load_table(spark, "documents", sf_dir)
+    return latest_by_key(d, ["text"], [F.col("doc_id").asc()]).select(
+        "doc_id", "text", "lang", "source", "n_chars"
     )

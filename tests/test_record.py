@@ -1,0 +1,231 @@
+"""Unit tests for the pure-Python record core, mirroring the reference's
+test categories (steps/tests.py) re-derived from documented behavior."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from dataworks_aws_corporate_data_ingestion_spark.functions import record
+
+
+class TestCanonicalJson:
+    def test_sorted_compact_non_ascii(self):
+        assert (
+            record.canonical_json({"b": 1, "a": {"z": None, "y": "é"}})
+            == '{"a":{"y":"é","z":null},"b":1}'
+        )
+
+
+class TestDateNormalisation:
+    def test_bare_date_wrapped_and_utc_normalised(self):
+        out = record.normalise_dates({"created": "2019-07-04T07:27:35.104+0100"})
+        assert out == {"created": {"$date": "2019-07-04T06:27:35.104Z"}}
+
+    def test_z_suffix_passthrough(self):
+        out = record.normalise_dates({"d": "2019-07-04T07:27:35.104Z"})
+        assert out == {"d": {"$date": "2019-07-04T07:27:35.104Z"}}
+
+    def test_nested_dicts_and_lists(self):
+        obj = {
+            "a": {"b": [{"c": "2019-07-04T07:27:35.104+0000"}]},
+            "lst": [["2020-01-01T00:00:00.000Z"], "no-date"],
+        }
+        out = record.normalise_dates(obj)
+        assert out["a"]["b"][0]["c"] == {"$date": "2019-07-04T07:27:35.104Z"}
+        assert out["lst"][0][0] == {"$date": "2020-01-01T00:00:00.000Z"}
+        assert out["lst"][1] == "no-date"
+
+    def test_existing_wrapped_date_renormalised(self):
+        out = record.normalise_dates({"d": {"$date": "2019-07-04T07:27:35.104+0200"}})
+        assert out == {"d": {"$date": "2019-07-04T05:27:35.104Z"}}
+
+    def test_date_inside_free_text_not_wrapped(self):
+        text = "event at 2019-07-04T07:27:35.104Z happened"
+        assert record.normalise_dates({"t": text}) == {"t": text}
+
+    def test_two_digit_millis_not_a_date(self):
+        s = "2019-07-04T07:27:35.10Z"
+        assert record.normalise_dates({"d": s}) == {"d": s}
+
+    def test_empty_containers_and_nulls(self):
+        obj = {"a": {}, "b": [], "c": None, "d": ""}
+        assert record.normalise_dates(obj) == obj
+
+    def test_multi_key_dict_with_date_key_not_a_wrapper(self):
+        obj = {"d": {"$date": "2019-07-04T07:27:35.104Z", "other": 1}}
+        out = record.normalise_dates(obj)
+        # not a single-key wrapper: recurse instead, inner string still wraps
+        assert out["d"]["$date"] == {"$date": "2019-07-04T07:27:35.104Z"}
+        assert out["d"]["other"] == 1
+
+    def test_malformed_wrapped_date_raises(self):
+        with pytest.raises(ValueError):
+            record.normalise_dates({"d": {"$date": "2019-07-04"}})
+
+
+class TestValidate:
+    def test_last_modified_priority_existing(self):
+        rec = json.dumps(
+            {
+                "_lastModifiedDateTime": "2019-07-04T07:27:35.104+0100",
+                "createdDateTime": "2010-01-01T00:00:00.000Z",
+            }
+        )
+        out, is_delete = record.validate_record(rec)
+        obj = json.loads(out)
+        assert obj["_lastModifiedDateTime"] == {"$date": "2019-07-04T06:27:35.104Z"}
+        assert is_delete is False
+
+    def test_last_modified_falls_back_to_removed_then_created(self):
+        rec = json.dumps({"_removedDateTime": "2019-07-04T07:27:35.104Z"})
+        out, is_delete = record.validate_record(rec)
+        obj = json.loads(out)
+        assert obj["_lastModifiedDateTime"] == {"$date": "2019-07-04T07:27:35.104Z"}
+        assert is_delete is True
+
+        rec = json.dumps({"createdDateTime": {"$date": "2019-07-04T07:27:35.104Z"}})
+        out, is_delete = record.validate_record(rec)
+        assert json.loads(out)["_lastModifiedDateTime"] == {
+            "$date": "2019-07-04T07:27:35.104Z"
+        }
+        assert is_delete is False
+
+    def test_epoch_default_when_no_dates(self):
+        out, _ = record.validate_record(json.dumps({"x": 1}))
+        assert json.loads(out)["_lastModifiedDateTime"] == {
+            "$date": "1980-01-01T00:00:00.000Z"
+        }
+
+    def test_archived_dropped_only_when_removed_present(self):
+        rec = json.dumps(
+            {
+                "_archivedDateTime": "2019-07-04T07:27:35.104Z",
+                "_removedDateTime": "2019-07-05T07:27:35.104Z",
+            }
+        )
+        out, _ = record.validate_record(rec)
+        assert "_archivedDateTime" not in json.loads(out)
+
+        rec = json.dumps({"_archivedDateTime": "2019-07-04T07:27:35.104Z"})
+        out, _ = record.validate_record(rec)
+        assert "_archivedDateTime" in json.loads(out)
+
+    @pytest.mark.parametrize("raw,expected", [(123, "123"), ("abc", "abc"), (True, "True")])
+    def test_primitive_id_wrapped(self, raw, expected):
+        out, _ = record.validate_record(json.dumps({"_id": raw}))
+        assert json.loads(out)["_id"] == {"$oid": expected}
+
+    def test_object_id_untouched(self):
+        out, _ = record.validate_record(json.dumps({"_id": {"k": "v"}}))
+        assert json.loads(out)["_id"] == {"k": "v"}
+
+    def test_invalid_json_raises(self):
+        with pytest.raises(json.JSONDecodeError):
+            record.validate_record("{not json")
+
+
+class TestSanitise:
+    def test_dollar_rewrite_hits_wrapped_keys(self):
+        out, _ = record.validate_record(json.dumps({"_id": 1}))
+        sanitised = record.sanitise_text(out)
+        assert '"d_oid"' in sanitised and "$" not in sanitised
+
+    def test_nul_escape_removed(self):
+        # json.dumps escapes an embedded NUL as a 6-char backslash-u escape;
+        # sanitise removes that sequence from the serialised text
+        serialised = json.dumps({"a": "x" + chr(0) + "y"})
+        assert "\\u0000" in serialised
+        assert record.sanitise_text(serialised) == '{"a": "xy"}'
+
+    def test_archived_renames(self):
+        s = '{"_archivedDateTime": 1, "_archived": 2}'
+        out = record.sanitise_text(s)
+        assert out == '{"_removedDateTime": 1, "_removed": 2}'
+
+    def test_unsupported_collection_raises(self):
+        with pytest.raises(NotImplementedError):
+            record.sanitise_text("{}", "penalties-and-deductions", "sanction")
+
+
+class TestAuditTransform:
+    def test_context_unwrap_and_stamps(self):
+        rec = json.dumps({"auditType": "LOGIN", "context": {"who": "u1"}})
+        out = json.loads(record.audit_transform(rec, "2019-07-04T07:27:35.104+0000"))
+        assert out == {
+            "who": "u1",
+            "AUDIT_EVENT": "LOGIN",
+            "TIME_STAMP": "2019-07-04T07:27:35.104+0000",
+            "TIME_STAMP_ORIG": "2019-07-04T07:27:35.104+0000",
+        }
+
+    def test_non_primitive_stamp_becomes_empty(self):
+        rec = json.dumps({"auditType": "A", "context": {"k": 1}})
+        out = json.loads(record.audit_transform(rec, {"$date": "x"}))
+        assert out["TIME_STAMP"] == ""
+
+    @pytest.mark.parametrize(
+        "payload",
+        [{"context": {"k": 1}}, {"auditType": "A"}, {"auditType": "", "context": {}}],
+    )
+    def test_missing_elements_raise(self, payload):
+        with pytest.raises(ValueError):
+            record.audit_transform(json.dumps(payload), "ts")
+
+
+class TestEnvelope:
+    LINE = json.dumps(
+        {
+            "message": {
+                "_id": {"b": 2, "a": 1},
+                "db": "calculator",
+                "collection": "calculationParts",
+                "_lastModifiedDateTime": "2019-07-04T07:27:35.104+0000",
+                "encryption": {
+                    "encryptionKeyId": "k1",
+                    "encryptedEncryptionKey": "eek",
+                    "initialisationVector": "iv",
+                    "keyEncryptionKeyId": "kek",
+                },
+                "dbObject": "ciphertext",
+            }
+        }
+    )
+
+    def test_object_id_canonicalised(self):
+        env = record.parse_envelope(self.LINE)
+        assert env.id == '{"a":1,"b":2}'
+        assert env.db == "calculator"
+        assert env.db_object == "ciphertext"
+        assert env.encrypted_encryption_key == "eek"
+
+    def test_collection_fallback(self):
+        line = json.dumps({"message": {"_id": "x", "dbObject": "c"}})
+        env = record.parse_envelope(line, "mydb:mycoll")
+        assert (env.db, env.collection) == ("mydb", "mycoll")
+
+    def test_primitive_id_stringified(self):
+        line = json.dumps({"message": {"_id": 42, "dbObject": "c"}})
+        assert record.parse_envelope(line).id == "42"
+
+
+class TestFullChainParity:
+    """End-to-end text fixture: the canonical output form documented in
+    reference docs/message-transformation.md:29-37 ($ keys become d_ keys)."""
+
+    def test_insert_record(self):
+        payload = {
+            "_id": "id1",
+            "createdDateTime": "2019-07-04T07:27:35.104+0100",
+            "nested": {"when": "2020-02-02T02:02:02.222Z"},
+        }
+        validated, is_delete = record.validate_record(json.dumps(payload))
+        final = record.finalise_record(record.sanitise_text(validated))
+        assert json.loads(final) == {
+            "_id": {"d_oid": "id1"},
+            "_lastModifiedDateTime": {"d_date": "2019-07-04T06:27:35.104Z"},
+            "createdDateTime": {"d_date": "2019-07-04T06:27:35.104Z"},
+            "nested": {"when": {"d_date": "2020-02-02T02:02:02.222Z"}},
+        }
+        assert is_delete is False
