@@ -1,0 +1,107 @@
+"""Text-analysis column builders (beyond-parity training-data operators).
+
+Everything here is a pure JVM column expression -- no Python crossing --
+so the whole text pipeline stays inside WholeStageCodegen.  Formulas are
+deliberately SQL-replicable so each operator carries a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_MOD = 1_000_000_007
+
+# marker words per language for the n-gram/stopword language heuristic;
+# priority order breaks score ties deterministically
+LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("a", "the", "and", "of", "to")),
+    ("es", ("el", "la", "los", "de", "que")),
+    ("fr", ("le", "la", "les", "des", "et")),
+    ("de", ("der", "die", "das", "und", "nicht")),
+    ("zh", ("de5", "shi4", "le5", "zai4", "you3")),
+)
+
+STOPWORDS = ("a", "the", "and", "of", "to")
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.lower(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    wordset = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wordset, t)))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    return _count_in(toks, STOPWORDS).cast("double") / F.size(toks)
+
+
+def distinct_token_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    return F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: lexical diversity + length
+    saturation + stopword plausibility.  The exact double-op order is part
+    of the contract (mirrored in oracle SQL)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n
+    length_sat = F.least(F.lit(1.0), n.cast("double") / F.lit(100.0))
+    stop = _count_in(toks, STOPWORDS).cast("double") / n
+    return diversity * F.lit(0.5) + length_sat * F.lit(0.3) + (F.lit(1.0) - stop) * F.lit(0.2)
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language heuristic: most marker hits wins; ties resolve
+    by LANG_MARKERS priority order; zero hits everywhere -> 'und'."""
+    toks = tokens(text)
+    scores = [(code, _count_in(toks, words)) for code, words in LANG_MARKERS]
+    best = scores[0][1]
+    for _, s in scores[1:]:
+        best = F.greatest(best, s)
+    expr = F.lit("und")
+    # build the when-chain in reverse so earlier languages win ties
+    for code, s in reversed(scores):
+        expr = F.when((s == best) & (best > 0), F.lit(code)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    per-token codes (len*256 + first-char codepoint) mod 1e9+7.  Pure
+    integer math -> identical in any engine."""
+    toks = tokens(text)
+    codes = F.transform(
+        toks, lambda t: (F.length(t) * F.lit(256) + F.ascii(t)).cast("bigint")
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * F.lit(31) + c) % F.lit(HASH_MOD),
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (the unit set for jaccard/minhash dedup)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(k))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.get(toks, i + F.lit(j)) for j in range(k)]
+    )
+    return F.array_distinct(F.transform(idx, shingle))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact jaccard similarity of two (distinct-element) arrays."""
+    return F.size(F.array_intersect(a, b)).cast("double") / F.size(
+        F.array_union(a, b)
+    )

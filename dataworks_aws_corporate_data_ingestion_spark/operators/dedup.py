@@ -1,0 +1,283 @@
+"""Deduplication operators for large-scale text corpora.
+
+Four families, each with a different scale/precision trade-off:
+
+  exact        hash-groupBy on content (or content hash at scale)
+  ngram        exact jaccard over k-word shingles -- O(n^2), ground truth
+  minhash+LSH  signature + banding: near-dup candidates in O(n), verified
+  simhash      64-bit fingerprints, hamming-banded candidates in O(n)
+
+The LSH family is the 100 TB path: only same-bucket pairs are compared, so
+the all-pairs blow-up never materialises.  Parameters (b bands x r rows)
+set the similarity threshold s ~= (1/b)^(1/r); defaults (32x2, s~=0.18)
+are tuned for high recall at j>=0.9 so verified output equals the exact
+operator's (P[miss at j=0.9] ~= 0.19^32 ~= 5e-24).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from ..functions.text import jaccard, word_shingles
+
+# fixed 61-bit Mersenne prime universe for the affine permutations
+_MERSENNE = (1 << 61) - 1
+_N_HASHES = 64
+_SEED = 0x5EED_CAFE
+
+
+def _permutation_params(n_hashes: int = _N_HASHES, seed: int = _SEED):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hash64(shingle: str) -> int:
+    """Stable 64-bit content hash (blake2b truncation; python hash() is
+    process-seeded and unusable across executors)."""
+    return struct.unpack(
+        "<Q", hashlib.blake2b(shingle.encode("utf-8"), digest_size=8).digest()
+    )[0]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    shingles_col: str = "shingles",
+    out_col: str = "signature",
+    n_hashes: int = _N_HASHES,
+    seed: int = _SEED,
+) -> DataFrame:
+    """Attach a minhash signature (array<bigint> of length n_hashes) per row.
+
+    Vectorised per Arrow batch: the (n_hashes x n_shingles) permutation
+    matrix is reduced with a single numpy min -- no per-shingle Python.
+    """
+    a, b = _permutation_params(n_hashes, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sign(shingle_lists: pd.Series) -> pd.Series:
+        out = []
+        for shingles in shingle_lists:
+            if shingles is None or len(shingles) == 0:
+                out.append([0] * n_hashes)
+                continue
+            x = np.fromiter(
+                (_shingle_hash64(s) for s in shingles),
+                dtype=np.uint64,
+                count=len(shingles),
+            )
+            # affine permutations in the 61-bit Mersenne field; uint64
+            # overflow-safe because operands are reduced mod 2^61-1 first
+            vals = (a[:, None] * (x[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
+            out.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _sign(F.col(shingles_col)))
+
+
+def lsh_band_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    signature_col: str = "signature",
+    bands: int = 32,
+    rows: int = 2,
+) -> DataFrame:
+    """Explode each signature into (band_id, band_hash) bucket keys.
+    JVM-side: slice + xxhash64, one output row per band."""
+    band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
+    df = df.select(id_col, signature_col).withColumn("band_id", F.explode(band_ids))
+    band_slice = F.slice(
+        F.col(signature_col), F.col("band_id") * rows + 1, rows
+    )
+    return df.select(
+        id_col,
+        "band_id",
+        F.xxhash64(F.concat_ws(",", band_slice.cast("array<string>"))).alias(
+            "band_hash"
+        ),
+    )
+
+
+def lsh_candidate_pairs(
+    buckets: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct same-bucket id pairs (a < b).
+
+    Scale notes: the self-join shuffles on (band_id, band_hash), so only
+    genuinely colliding rows meet; hot buckets (boilerplate shingles) are
+    split by AQE skew handling."""
+    left = buckets.select(
+        F.col(id_col).alias("a"), "band_id", "band_hash"
+    )
+    right = buckets.select(
+        F.col(id_col).alias("b"), "band_id", "band_hash"
+    )
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def verify_pairs_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    shingles_col: str = "shingles",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Join candidate pairs back to shingle sets and keep exact jaccard >=
+    threshold.  Output: (a, b, jaccard_sim)."""
+    sh = docs.select(F.col(id_col), F.col(shingles_col))
+    a = sh.select(F.col(id_col).alias("a"), F.col(shingles_col).alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("b"), F.col(shingles_col).alias("sh_b"))
+    return (
+        pairs.join(a, "a")
+        .join(b, "b")
+        .select("a", "b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def near_dup_pairs_minhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    k: int = 3,
+    bands: int = 32,
+    rows: int = 2,
+) -> DataFrame:
+    """Full minhash+LSH near-duplicate pipeline: shingle -> sign -> band ->
+    bucket-join -> verify.  Returns (a, b, jaccard_sim) pairs."""
+    with_shingles = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles")
+    )
+    signed = minhash_signatures(with_shingles)
+    buckets = lsh_band_buckets(signed, id_col=id_col, bands=bands, rows=rows)
+    candidates = lsh_candidate_pairs(buckets, id_col=id_col)
+    return verify_pairs_jaccard(
+        candidates, with_shingles, id_col=id_col, threshold=threshold
+    )
+
+
+def near_dup_pairs_exact(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    k: int = 3,
+) -> DataFrame:
+    """Ground-truth all-pairs shingle jaccard (O(n^2); correctness oracle
+    and small-corpus path)."""
+    sh = docs.select(F.col(id_col), word_shingles(F.col(text_col), k).alias("sh"))
+    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "simhash",
+) -> DataFrame:
+    """64-bit simhash over tokens: sum +/-1 per bit across token hashes,
+    take signs.  Returned as signed bigint."""
+
+    @pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            toks = (text or "").lower().split(" ")
+            acc = np.zeros(64, dtype=np.int64)
+            for t in toks:
+                h = _shingle_hash64(t)
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits.astype(bool), 1, -1)
+            sig = np.uint64(0)
+            for i in range(64):
+                if acc[i] > 0:
+                    sig |= np.uint64(1) << np.uint64(i)
+            out.append(int(sig.astype(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    return docs.select(F.col(id_col), F.col(text_col)).withColumn(
+        out_col, _simhash(F.col(text_col))
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Hamming-banded simhash dedup: split the 64-bit signature into
+    `chunks` pieces; by pigeonhole, any pair within max_hamming <= chunks-1
+    shares at least one exact chunk, so candidates come from an equi-join
+    on (chunk_id, chunk_value) -- never an all-pairs scan.  Candidates are
+    verified with an exact popcount."""
+    width = 64 // chunks
+    signed = simhash_signatures(docs, id_col=id_col, text_col=text_col)
+    mask = (1 << width) - 1
+    chunk_values = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+            for i in range(chunks)
+        ]
+    )
+    exploded = signed.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(chunk_values).alias("chunk_id", "chunk_value"),
+    )
+    left = exploded.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("sim_a"), "chunk_id", "chunk_value"
+    )
+    right = exploded.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("sim_b"), "chunk_id", "chunk_value"
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        left.join(right, ["chunk_id", "chunk_value"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def exact_dedup_by_hash(
+    df: DataFrame, content_col: str, id_col: str, hash_col: str = "__h"
+) -> DataFrame:
+    """Exact dedup at scale: group by xxhash64(content) so the shuffle key
+    is 8 bytes instead of the full document; min_by keeps the lowest id.
+    (Hash collisions at 64 bits are ~n^2/2^65 -- acceptable for dedup; the
+    window-by-content form in the workload is the oracle-checkable one.)"""
+    return (
+        df.withColumn(hash_col, F.xxhash64(F.col(content_col)))
+        .groupBy(hash_col)
+        .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__row"))
+        .select("__row.*")
+    )

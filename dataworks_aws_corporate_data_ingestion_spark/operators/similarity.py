@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * brute-force top-k -- exact; broadcast the query set, fold-based dot
+    products JVM-side, per-query top-k via window.  Linear scan of the
+    corpus: right when the query set is small and the corpus is the big
+    side (the 100 TB shape).
+  * LSH (random hyperplane / signed random projection) -- each vector maps
+    to a B-bit signature; same-bucket join gives candidates, exact cosine
+    re-ranks.  Sub-linear candidate generation for corpus-vs-corpus jobs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from ..functions.vectors import cosine
+
+_SEED = 0xA11CE
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbours per query vector.
+
+    Output: (query_id, neighbor_id, cosine_sim), k rows per query.
+    Self-matches (same id) are excluded.
+
+    Scale notes: `queries` is broadcast, so the corpus scan is
+    shuffle-free; the window's partition key is query_id (small
+    cardinality * k rows survive the rank filter).  Ties break on
+    neighbor_id for determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )
+
+
+def random_hyperplane_signatures(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "lsh_sig",
+    seed: int = _SEED,
+) -> DataFrame:
+    """Signed-random-projection signature: bit i = sign(v . h_i) packed
+    into a bigint.  Cosine-similar vectors collide with probability
+    (1 - theta/pi)^n_bits."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_bits, dim))
+
+    @pandas_udf(LongType())
+    def _sig(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        bits = (mat @ planes.T) > 0  # (n, n_bits)
+        weights = (1 << np.arange(n_bits, dtype=np.uint64)).astype(np.uint64)
+        packed = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+        return pd.Series(packed)
+
+    return df.withColumn(out_col, _sig(F.col(vec_col)))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_bits: int = 4,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing any of n_tables
+    hyperplane-LSH buckets with the query; exact cosine re-rank on the
+    candidate set.  Recall grows with n_tables; cost ~ bucket occupancy
+    instead of corpus size.
+
+    Parameter choice is data-dependent: collision probability per bit is
+    1 - theta/pi.  The defaults (4 bits x 16 tables, ~0.95 recall) suit
+    weakly-clustered corpora like the synthetic one (top-1 cosine ~0.35,
+    so ~0.63/bit); for real embedding corpora where near-duplicates sit at
+    cosine >= 0.8 (~0.8/bit), raise n_bits to 12-16 for far smaller
+    candidate sets at the same recall."""
+    frames = []
+    for t in range(n_tables):
+        sig_c = random_hyperplane_signatures(
+            corpus, dim, n_bits, id_col, vec_col, "sig", seed=_SEED + t
+        ).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "sig")
+        sig_q = random_hyperplane_signatures(
+            queries, dim, n_bits, id_col, vec_col, "sig", seed=_SEED + t
+        ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "sig")
+        frames.append(sig_c.join(F.broadcast(sig_q), "sig").drop("sig"))
+    candidates = frames[0]
+    for f in frames[1:]:
+        candidates = candidates.unionByName(f)
+    candidates = candidates.filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )

@@ -324,3 +324,8 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_by_key(d, ["text"], [F.col("doc_id").asc()]).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+
+
+# Extension modules register additional queries on import; this must stay at
+# the bottom so `register` and the helpers above exist when they import us.
+from . import workloads  # noqa: E402,F401  (intentional circular-safe import)

@@ -1,0 +1,70 @@
+"""Dedup workload: exact all-pairs jaccard, minhash+LSH, simhash.
+
+The minhash+LSH query shares its oracle with the exact query: LSH
+parameters are tuned so verified candidates equal the exact >=0.9 pair set
+(see operators.dedup docstring for the recall math)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import (
+    near_dup_pairs_exact,
+    near_dup_pairs_minhash,
+    simhash_near_dup_pairs,
+)
+from ..sources.tables import load_table
+from ..workload import register
+
+_PAIRS_JACCARD_ORACLE = """
+    WITH s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks)-1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+    )
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard_sim
+    FROM s x, s y
+    WHERE x.doc_id < y.doc_id
+      AND CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.9
+"""
+
+
+@register(
+    "near_dup_pairs_exact",
+    tags=("dedup", "jaccard"),
+    oracle=_PAIRS_JACCARD_ORACLE,
+)
+def near_dup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth 3-word-shingle jaccard pairs at >=0.9 (O(n^2) path)."""
+    return near_dup_pairs_exact(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "near_dup_pairs_minhash",
+    bench=True,
+    tags=("dedup", "minhash", "lsh"),
+    oracle=_PAIRS_JACCARD_ORACLE,
+)
+def near_dup_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline; same verified output as the exact
+    operator, found without the all-pairs scan.
+
+    Scale notes: cost is O(n) signatures + bucket joins; this is the
+    operator that survives a 100x corpus, where near_dup_pairs_exact's
+    cross join cannot."""
+    return near_dup_pairs_minhash(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "simhash_near_dups",
+    tags=("dedup", "simhash", "non-sql"),
+)
+def simhash_near_dups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-distance dedup (<=3 bits over 64).  No SQL oracle:
+    the signature depends on blake2b token hashing; verified in pytest
+    against a pure-Python reference implementation."""
+    return simhash_near_dup_pairs(load_table(spark, "documents", sf_dir))

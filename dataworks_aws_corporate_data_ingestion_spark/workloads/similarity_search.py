@@ -1,0 +1,85 @@
+"""Similarity-search workload over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+from ..operators.similarity import brute_force_topk, lsh_topk
+from ..sources.tables import load_table
+from ..workload import register
+
+_COS_SQL = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+
+@register(
+    "ann_cosine_topk",
+    bench=True,
+    tags=("similarity", "topk", "vectors"),
+    oracle=f"""
+        SELECT query_id, neighbor_id, cosine_sim FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_COS_SQL.format(a="q.embedding", b="c.embedding")} AS cosine_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_COS_SQL.format(a="q.embedding", b="c.embedding")} DESC,
+                                c.vec_id ASC
+                   ) AS rn
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+        ) WHERE rn <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbours for the first 10 vectors: the
+    brute-force ANN baseline.
+
+    Scale notes: broadcast queries + corpus linear scan; dot products are
+    sequential folds (bit-identical to the oracle), ranked per query with
+    neighbor_id tiebreaks."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "ann_lsh_topk",
+    tags=("similarity", "lsh", "approximate", "non-sql"),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5 for the first 10 vectors.  No SQL
+    oracle (approximate by construction); pytest asserts recall >= 0.8
+    against the brute-force baseline."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
+
+
+@register(
+    "embedding_cosine_near_dups",
+    tags=("dedup", "vectors"),
+    oracle=f"""
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cosine_sim
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.4
+    """,
+)
+def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate pairs (cosine >= 0.4).
+
+    Scale notes: the exact form for oracle checking; the 100 TB path swaps
+    the cross join for operators.similarity.lsh_topk-style bucketing."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cosine(F.col("ea"), F.col("eb")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.4)
+    )

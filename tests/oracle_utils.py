@@ -23,14 +23,20 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def _normalise(df: pd.DataFrame) -> pd.DataFrame:
+    """Stringify every column the way a value-hashing driver would, so
+    dtype drift (e.g. DuckDB HUGEINT -> pandas float) fails loudly instead
+    of slipping past a dtype-insensitive numeric compare."""
     df = df.reindex(sorted(df.columns), axis=1)
+    out = pd.DataFrame(index=df.index)
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = s.astype("datetime64[us]").astype(str)
-        elif pd.api.types.is_object_dtype(s):
-            df[c] = s.astype(str)
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+            out[c] = s.astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            out[c] = s.map(lambda v: repr(float(v)) if pd.notna(v) else "NaN")
+        else:
+            out[c] = s.astype(str)
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(
         drop=True
     )
 

@@ -1,0 +1,82 @@
+"""Operator-level checks for the dedup/similarity families that have no
+SQL oracle: simhash vs a pure-Python reference, LSH recall vs brute force,
+minhash-LSH vs the exact jaccard pair set."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import functions as F
+
+from dataworks_aws_corporate_data_ingestion_spark.operators.dedup import (
+    exact_dedup_by_hash,
+    near_dup_pairs_exact,
+    near_dup_pairs_minhash,
+    simhash_signatures,
+)
+from dataworks_aws_corporate_data_ingestion_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from dataworks_aws_corporate_data_ingestion_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def py_simhash(text: str) -> int:
+    acc = [0] * 64
+    for t in (text or "").lower().split(" "):
+        h = struct.unpack(
+            "<Q", hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest()
+        )[0]
+        for i in range(64):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    sig = 0
+    for i in range(64):
+        if acc[i] > 0:
+            sig |= 1 << i
+    # interpret as signed 64-bit (matches LongType)
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+class TestSimhash:
+    def test_matches_pure_python_reference(self, spark):
+        docs = load_table(spark, "documents", SF).limit(20)
+        got = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+        want = {r["doc_id"]: py_simhash(r["text"]) for r in docs.collect()}
+        assert got == want
+
+
+class TestMinhashLsh:
+    def test_equals_exact_pairs(self, spark):
+        docs = load_table(spark, "documents", SF)
+        exact = {
+            (r["a"], r["b"]) for r in near_dup_pairs_exact(docs).collect()
+        }
+        lsh = {(r["a"], r["b"]) for r in near_dup_pairs_minhash(docs).collect()}
+        assert lsh == exact
+        assert len(exact) > 0  # the corpus plants near-duplicates
+
+
+class TestAnnLsh:
+    def test_recall_against_brute_force(self, spark):
+        emb = load_table(spark, "embeddings", SF)
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = brute_force_topk(emb, queries, k=5)
+        approx = lsh_topk(emb, queries, dim=64, k=5)
+        exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        recall = len(exact_set & approx_set) / len(exact_set)
+        assert recall >= 0.85, f"LSH recall too low: {recall}"
+
+
+class TestExactDedupByHash:
+    def test_keeps_lowest_id_per_content(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "x"), (3, "y"), (4, "y"), (5, "z")],
+            ["doc_id", "text"],
+        )
+        out = exact_dedup_by_hash(df, "text", "doc_id")
+        got = sorted((r["doc_id"], r["text"]) for r in out.collect())
+        assert got == [(1, "x"), (3, "y"), (5, "z")]
