@@ -1,0 +1,174 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque `binary` columns plus a typed metadata struct; all
+per-asset compute runs through `mapInPandas` so each Arrow batch is one
+Python crossing and assets never round-trip through JVM row objects.
+
+Codec-dependent steps (JPEG decode, resampling, frame extraction) are
+STUBS in this container -- the image/audio libraries are not installed --
+gated behind import-tries that raise NotImplementedError with the library
+named.  Everything around them (schemas, batching, partitioning, the
+byte-level feature extractor) is real and tested.
+
+Scale notes: assets are large values; `rebalance_by_size` targets a bytes-
+per-partition budget so one task never holds hundreds of 4K frames, and
+metadata-only predicates (width/media_type) are plain columns that push
+into the parquet scan without touching the blobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_METADATA = StructType(
+    [
+        StructField("media_type", StringType()),  # image/jpeg, audio/wav, ...
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("codec", StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("data", BinaryType()),
+        StructField("meta", MEDIA_METADATA),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_entropy", DoubleType()),
+        StructField("byte_histogram", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _require(module: str, step: str):
+    try:
+        return __import__(module)
+    except ImportError as exc:  # pragma: no cover - codec libs absent here
+        raise NotImplementedError(
+            f"{step} requires the '{module}' library, which is not installed "
+            f"in this environment; the surrounding Spark plumbing (schema, "
+            f"batching, partitioning) is functional"
+        ) from exc
+
+
+def rebalance_by_size(
+    df: DataFrame, bytes_col: str = "data", target_partition_bytes: int = 512 << 20
+) -> DataFrame:
+    """Repartition so each task holds ~target bytes of media, not a fixed
+    row count -- rows are wildly non-uniform in size."""
+    total = df.select(F.sum(F.length(F.col(bytes_col)))).first()[0] or 0
+    parts = max(1, int(total / target_partition_bytes) + 1)
+    return df.repartition(parts)
+
+
+def extract_byte_features(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Codec-free feature extraction: size, shannon entropy, and a
+    normalised 16-bin byte histogram per asset.  Fully real (no stub) --
+    the pattern for any decode-and-featurise stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, blob in zip(pdf[id_col], pdf["data"]):
+                arr = np.frombuffer(blob or b"", dtype=np.uint8)
+                n = int(arr.size)
+                if n:
+                    counts = np.bincount(arr >> 4, minlength=16).astype(np.float64)
+                    probs = counts / n
+                    nz = probs[probs > 0]
+                    entropy = float(-(nz * np.log2(nz)).sum())
+                    hist = (counts / n).tolist()
+                else:
+                    entropy, hist = 0.0, [0.0] * 16
+                rows.append((int(aid), n, entropy, hist))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "n_bytes", "byte_entropy", "byte_histogram"]
+            )
+
+    return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+DECODED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixels", BinaryType()),  # row-major RGB
+    ]
+)
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """JPEG/PNG decode via PIL -- STUB here (PIL not installed): the
+    mapInPandas harness and output schema are real; the inner decode call
+    raises NotImplementedError naming the missing library."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil = _require("PIL", "image decode")  # raises in this container
+        import io
+
+        for pdf in it:
+            rows = []
+            for aid, blob in zip(pdf["asset_id"], pdf["data"]):
+                img = pil.Image.open(io.BytesIO(blob)).convert("RGB")
+                rows.append((int(aid), img.width, img.height, img.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "width", "height", "pixels"]
+            )
+
+    return df.mapInPandas(batches, DECODED_IMAGE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_data", BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Deterministic frame sampling.  Real video decode needs ffmpeg/
+    pyav (absent); this samples n equal-offset byte windows per asset --
+    a deterministic fake with the exact schema, fan-out shape (one input
+    row -> n output rows), and batch behavior of the real operator."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, blob in zip(pdf["asset_id"], pdf["data"]):
+                blob = blob or b""
+                window = max(1, len(blob) // max(n_frames, 1))
+                for i in range(n_frames):
+                    start = i * window
+                    rows.append((int(aid), i, blob[start : start + window]))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_index", "frame_data"]
+            )
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)

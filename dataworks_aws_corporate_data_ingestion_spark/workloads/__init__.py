@@ -1,4 +1,10 @@
 """Workload extension modules; importing this package registers every
 query into dataworks_aws_corporate_data_ingestion_spark.workload.QUERIES."""
 
-from . import dedup_suite, relational, similarity_search, text_analysis  # noqa: F401
+from . import (  # noqa: F401
+    dedup_suite,
+    relational,
+    similarity_search,
+    streaming_ops,
+    text_analysis,
+)

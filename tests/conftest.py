@@ -9,7 +9,8 @@ SF_MED = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("spark-warehouse")
     session = get_session(
         app_name="cdi-engine-tests",
         master="local[4]",
@@ -17,6 +18,9 @@ def spark():
             "spark.sql.shuffle.partitions": "4",
             "spark.ui.enabled": "false",
             "spark.driver.memory": "8g",
+            # isolated per-run warehouse: saveAsTable state must not leak
+            # between pytest sessions
+            "spark.sql.warehouse.dir": str(warehouse),
         },
     )
     yield session
