@@ -196,10 +196,11 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style multi-way join: fact-fact shuffle join plus broadcast
     dimension joins.
 
-    Scale notes: nation/region/customer are broadcast (dimension tables stay
-    small relative to facts at any SF); lineitem-orders is the one genuine
-    shuffle, on the join key, and the o_orderdate filter lands in the orders
-    scan before it.
+    Scale notes: nation/region are broadcast-hinted (fixed 25/5 rows at any
+    SF); customer grows with SF, so its join is left to AQE -- broadcast
+    when runtime stats say it fits, sort-merge otherwise.  lineitem-orders
+    is the one genuine shuffle, on the join key, and the o_orderdate filter
+    lands in the orders scan before it.
     """
     customer = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
     orders = load_table(spark, "orders", sf_dir).select(
@@ -219,7 +220,7 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
         )
         .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")

@@ -56,7 +56,9 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.filter(F.col("o_orderdate") < cutoff)
         .join(
-            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            # customer scales with SF: no broadcast hint, AQE picks the
+            # strategy from runtime size of the segment-filtered side
+            customer.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
@@ -194,7 +196,7 @@ def revenue_rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
     nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
     joined = orders.join(
-        F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        customer, F.col("o_custkey") == F.col("c_custkey")
     ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     return (
         joined.withColumn("order_year", F.year("o_orderdate").cast("bigint"))
