@@ -2,6 +2,8 @@
 query into dataworks_aws_corporate_data_ingestion_spark.workload.QUERIES."""
 
 from . import (  # noqa: F401
+    analytic,
+    cdi_pipeline,
     dedup_suite,
     relational,
     similarity_search,

@@ -1,0 +1,255 @@
+"""Analytic-shape coverage: rollup/grouping sets, exact percentiles,
+having-on-aggregate joins, as-of join, sessionization.
+
+These are beyond-parity OLAP shapes (the reference has no aggregates at
+all, SURVEY.md section 2.4); each is expressed so Catalyst picks the
+physical plan and each carries an independent DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..operators.sessions import sessionize
+from ..sources.tables import load_table
+from ..workload import money, one, rate, register
+
+
+@register(
+    "revenue_rollup_cube",
+    tags=("aggregation", "rollup", "grouping-sets"),
+    oracle="""
+        SELECT
+            COALESCE(n_name, 'ALL') AS nation,
+            COALESCE(CAST(order_year AS VARCHAR), 'ALL') AS order_year,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+            COUNT(*) AS n_orders
+        FROM (
+            SELECT n_name, YEAR(o_orderdate) AS order_year, o_totalprice
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        )
+        GROUP BY ROLLUP (n_name, order_year)
+    """,
+)
+def revenue_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (nation, year): per-year, per-nation subtotal, and grand
+    total in one pass.
+
+    Scale notes: Spark plans rollup as Expand (one duplicated row per
+    grouping set) feeding a single hash aggregate -- partial aggregation
+    still applies map-side, so the shuffle carries group rows, not input
+    rows.  The string-COALESCE labels avoid NULL-vs-'ALL' ambiguity in the
+    comparison (n_name itself is never null)."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    customer = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    joined = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name"),
+            F.year("o_orderdate").cast("string").alias("order_year_s"),
+            F.col("o_totalprice"),
+        )
+    )
+    return (
+        joined.rollup("n_name", "order_year_s")
+        .agg(
+            F.sum(money("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("order_year_s"), F.lit("ALL")).alias("order_year"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "price_percentiles_by_flag",
+    tags=("aggregation", "percentile"),
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS p50,
+               quantile_cont(l_extendedprice, 0.9) AS p90,
+               quantile_cont(l_extendedprice, 0.99) AS p99,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def price_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (verified bit-identical to
+    DuckDB's quantile_cont: both use index = p*(n-1) linear interpolation).
+
+    Scale notes: exact percentile sorts each group; at 100 TB prefer
+    approx_percentile (t-digest sketch, mergeable map-side, no full sort)
+    -- registered separately as a rows-only entry since sketches are not
+    oracle-matchable."""
+    l = load_table(spark, "lineitem", sf_dir).select("l_returnflag", "l_extendedprice")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.9).alias("p90"),
+        F.percentile("l_extendedprice", 0.99).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "approx_percentiles_by_flag",
+    tags=("aggregation", "percentile", "sketch"),
+    oracle=None,  # sketch output is engine-specific by construction
+)
+def approx_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: approx_percentile's mergeable sketch --
+    map-side partial aggregation, no per-group sort, error bounded by the
+    accuracy parameter (10000 -> ~0.01%)."""
+    l = load_table(spark, "lineitem", sf_dir).select("l_returnflag", "l_extendedprice")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)).alias("approx_pcts"),
+        F.approx_count_distinct("l_extendedprice").alias("approx_distinct_prices"),
+    )
+
+
+@register(
+    "q18_large_orders",
+    tags=("join", "aggregation", "having", "top-k"),
+    oracle="""
+        SELECT c_name, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
+               sum_qty
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 180
+        ) big ON o_orderkey = l_orderkey
+        ORDER BY total_price DESC, o_orderkey
+        LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-filter (HAVING) feeding a join, with
+    a global top-k.
+
+    Scale notes: the lineitem aggregate shrinks the fact side before any
+    join (aggregate pushdown by construction); the orders join then runs on
+    orders-per-qualifying-key cardinality.  The final ORDER BY + LIMIT
+    plans as TakeOrderedAndProject -- per-partition top-k then a k-row
+    merge on the driver, never a global sort."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    big = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_orderkey")
+        .agg(F.sum(money("l_quantity")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 180)
+        .select("l_orderkey", F.col("sum_qty_dec").cast("double").alias("sum_qty"))
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            money("o_totalprice").cast("double").alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "asof_last_view_before_purchase",
+    tags=("asof-join", "window"),
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts,
+               (SELECT v.event_id FROM events v
+                WHERE v.user_id = p.user_id
+                  AND v.event_type = 'view'
+                  AND v.ts <= p.ts
+                ORDER BY v.ts DESC, v.event_id DESC
+                LIMIT 1) AS view_event_id_asof
+        FROM events p
+        WHERE p.event_type = 'purchase'
+    """,
+)
+def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase matched to the user's most recent
+    view at or before it.  The oracle is a deliberately different
+    algorithm (correlated top-1 subquery) so a hash match validates the
+    union-trick implementation independently.
+
+    Scale notes: one shuffle on user_id, zero joins -- see
+    operators/asof.py for why the naive range-join formulation is
+    quadratic on hot keys."""
+    e = load_table(spark, "events", sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    return asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["event_id"],
+        tiebreak="event_id",
+    ).withColumnRenamed("event_id_asof", "view_event_id_asof")
+
+
+@register(
+    "sessionization_30min",
+    tags=("sessionization", "window"),
+    oracle="""
+        WITH numbered AS (
+            SELECT user_id, ts,
+                   CAST(SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS session_no
+            FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+        )
+        SELECT user_id, session_no,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end
+        FROM numbered
+        GROUP BY user_id, session_no
+    """,
+)
+def sessionization_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) + per-session rollup.
+
+    Scale notes: sessionize is lag + running sum in ONE window partition
+    per user -- the session aggregate then groups on (user, session_no)
+    which is partition-local after the window shuffle, so AQE coalesces
+    it without a second exchange."""
+    e = load_table(spark, "events", sf_dir).select("user_id", "ts", "event_id")
+    s = sessionize(e, "user_id", "ts", gap_minutes=30, tiebreak="event_id")
+    return s.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

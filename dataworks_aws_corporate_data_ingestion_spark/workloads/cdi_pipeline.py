@@ -1,0 +1,198 @@
+"""The flagship CDI parity operator as an oracle-checked query.
+
+Runs the reference's whole daily-ingest chain (reference
+steps/ingesters.py:108-120,505-539) end-to-end on synthetic data:
+
+  events -> envelope JSONL (AES-CTR-encrypted fixture, built in-flight)
+         -> envelope parse -> cached-key decrypt -> validate -> sanitise
+         -> canonical serialise -> daily row shaping
+
+The fixture payloads are constructed so the byte-exact canonical output is
+reproducible by pure string concatenation in ANSI SQL, making the full
+pipeline -- crypto included -- value-hash checkable against DuckDB.
+Integer amounts (no float formatting), millisecond timestamps (both
+engines truncate), and pre-sorted JSON keys keep the two byte streams
+identical.
+
+Scale notes: fixture encryption and the decrypt+validate pass are the only
+Python crossings (Arrow-batched pandas UDFs); envelope assembly, id/bucket
+derivation, and row shaping are JVM column expressions.  32 distinct data
+keys across the corpus exercise the per-worker key cache exactly as the
+reference's DKS cache is exercised (hit rate ~= 1 - 32/N).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..functions.crypto import IdentityKeyService, aes_ctr_encrypt
+from ..operators.ingest import (
+    decrypt_records,
+    process_payloads,
+    quarantine_missing_db_object,
+    to_daily_rows,
+)
+from ..functions.udfs import envelope_udf
+from ..sources.tables import load_table
+from ..workload import register
+
+N_DATA_KEYS = 32
+EXPORT_DATE = "2024-01-15"
+
+_MATERIALS_STRUCT = StructType(
+    [
+        StructField("db_object", StringType()),
+        StructField("encrypted_encryption_key", StringType()),
+        StructField("initialisation_vector", StringType()),
+        StructField("key_encryption_key_id", StringType()),
+    ]
+)
+
+
+def _data_key_b64(selector: int) -> str:
+    """Deterministic 128-bit data key for fixture generation (the identity
+    key service treats the 'encrypted' key as the plaintext key, mirroring
+    the reference's mocked DKS, steps/tests.py:49-73)."""
+    raw = hashlib.blake2b(f"cdi-key-{selector}".encode(), digest_size=16).digest()
+    return base64.b64encode(raw).decode("ascii")
+
+
+def _iv_b64(event_id: int) -> str:
+    raw = hashlib.blake2b(f"cdi-iv-{event_id}".encode(), digest_size=16).digest()
+    return base64.b64encode(raw).decode("ascii")
+
+
+def _encrypt_fixture_udf():
+    """Encrypt each payload under one of N_DATA_KEYS deterministic keys,
+    emitting the envelope's EncryptionMaterials struct (the engine-side
+    analogue of the reference's test-vector generator,
+    steps/tests.py:23-46)."""
+
+    @pandas_udf(_MATERIALS_STRUCT)
+    def _encrypt(payloads: pd.Series, event_ids: pd.Series) -> pd.DataFrame:
+        keys = [_data_key_b64(i) for i in range(N_DATA_KEYS)]
+        rows = []
+        for payload, event_id in zip(payloads, event_ids):
+            sel = int(event_id) % N_DATA_KEYS
+            iv = _iv_b64(int(event_id))
+            rows.append(
+                (
+                    aes_ctr_encrypt(payload, keys[sel], iv),
+                    keys[sel],
+                    iv,
+                    f"kek-{sel}",
+                )
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in _MATERIALS_STRUCT.fields])
+
+    return _encrypt
+
+
+def envelope_lines_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the encrypted kafka-envelope JSONL corpus from `events`.
+
+    Payload key order is irrelevant (canonicalisation sorts), but every
+    value is chosen for cross-engine byte-stability: hex ids, integer
+    amounts, millisecond timestamps."""
+    e = load_table(spark, "events", sf_dir)
+    id_str = F.lpad(F.hex(F.col("event_id")), 12, "0")
+    lm = F.concat(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS"), F.lit("+0000")
+    )
+    is_del = F.col("event_type") == "purchase"
+    payload = F.to_json(
+        F.struct(
+            F.struct(id_str.alias("id")).alias("_id"),
+            lm.alias("_lastModifiedDateTime"),
+            # null for non-deletes -> to_json omits the field entirely
+            F.when(is_del, lm).alias("_removedDateTime"),
+            F.floor(F.col("value") * 100).alias("amount"),
+            F.col("event_type").alias("event_type"),
+        )
+    )
+    enc = (
+        e.select(
+            F.col("event_id"),
+            id_str.alias("id_str"),
+            lm.alias("lm"),
+            payload.alias("payload"),
+        )
+        .withColumn("mat", _encrypt_fixture_udf()(F.col("payload"), F.col("event_id")))
+    )
+    line = F.to_json(
+        F.struct(
+            F.struct(
+                F.struct(F.col("id_str").alias("id")).alias("_id"),
+                F.lit("calculator").alias("db"),
+                F.lit("calculationParts").alias("collection"),
+                F.struct(
+                    F.lit("").alias("encryptionKeyId"),
+                    F.col("mat.encrypted_encryption_key").alias(
+                        "encryptedEncryptionKey"
+                    ),
+                    F.col("mat.initialisation_vector").alias("initialisationVector"),
+                    F.col("mat.key_encryption_key_id").alias("keyEncryptionKeyId"),
+                ).alias("encryption"),
+                F.col("mat.db_object").alias("dbObject"),
+                F.col("lm").alias("_lastModifiedDateTime"),
+            ).alias("message")
+        )
+    )
+    return enc.select(line.alias("value"))
+
+
+@register(
+    "cdi_ingest_pipeline",
+    bench=True,
+    tags=("cdi", "ingest", "crypto", "udf"),
+    oracle="""
+        WITH base AS (
+            SELECT
+                lpad(to_hex(event_id), 12, '0') AS id_str,
+                strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') AS lm,
+                event_type = 'purchase' AS is_del,
+                CAST(FLOOR(value * 100) AS BIGINT) AS amount,
+                event_type
+            FROM events
+        )
+        SELECT
+            '{"id":"' || id_str || '"}' AS id,
+            substr(id_str, 1, 2) AS id_part,
+            2024 AS export_year,
+            1 AS export_month,
+            15 AS export_day,
+            CASE WHEN is_del THEN 'DELETE' ELSE 'INSERT' END AS db_type,
+            '{"_id":{"id":"' || id_str || '"},"_lastModifiedDateTime":{"d_date":"'
+              || lm || 'Z"}'
+              || CASE WHEN is_del
+                      THEN ',"_removedDateTime":{"d_date":"' || lm || 'Z"}'
+                      ELSE '' END
+              || ',"amount":' || amount
+              || ',"event_type":"' || event_type || '"}' AS val
+        FROM base
+    """,
+)
+def cdi_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDI daily-ingest chain over in-flight-encrypted envelopes.
+
+    The oracle reproduces the expected canonical JSON per record by string
+    concatenation -- so a hash match proves envelope parsing, AES-CTR
+    decryption, date wrapping/UTC normalisation, the sanitise '$'->'d_'
+    quirk, delete-flag derivation, canonical key-sorted serialisation, and
+    id_part bucketing all at once (reference steps/data.py + steps/dks.py +
+    steps/ingesters.py:505-522)."""
+    lines = envelope_lines_from_events(spark, sf_dir)
+    env = lines.withColumn(
+        "env", envelope_udf("calculator:calculationParts")(F.col("value"))
+    ).select("value", "env.*")
+    good, _quarantined = quarantine_missing_db_object(env)
+    decrypted = decrypt_records(good, IdentityKeyService())
+    processed = process_payloads(decrypted)
+    return to_daily_rows(processed, EXPORT_DATE)

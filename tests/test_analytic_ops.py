@@ -1,0 +1,74 @@
+"""Edge-case unit tests for the as-of join and sessionization operators
+(the workload-level oracle tests cover them end-to-end; these pin the
+boundary semantics: inclusivity, ties, empty matches, gap boundaries)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from dataworks_aws_corporate_data_ingestion_spark.operators.asof import asof_join
+from dataworks_aws_corporate_data_ingestion_spark.operators.sessions import sessionize
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 12, minute, second)
+
+
+class TestAsofJoin:
+    def _run(self, spark, left_rows, right_rows):
+        left = spark.createDataFrame(left_rows, "k string, lts timestamp_ntz, lid bigint")
+        right = spark.createDataFrame(right_rows, "k string, rts timestamp_ntz, rid bigint")
+        out = asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            value_cols=["rid"], tiebreak="rid",
+        )
+        return {r["lid"]: r["rid_asof"] for r in out.collect()}
+
+    def test_backward_inclusive_and_null(self, spark):
+        got = self._run(
+            spark,
+            [("a", _ts(10), 1), ("a", _ts(5), 2), ("a", _ts(0), 3)],
+            [("a", _ts(2), 100), ("a", _ts(5), 200), ("a", _ts(20), 300)],
+        )
+        # lid=1 @12:10 -> rid 200 (@12:05 latest <=); lid=2 @12:05 -> 200
+        # (inclusive match at equal ts); lid=3 @12:00 -> no preceding -> None
+        assert got == {1: 200, 2: 200, 3: None}
+
+    def test_tie_on_right_ts_takes_largest_tiebreak(self, spark):
+        got = self._run(
+            spark,
+            [("a", _ts(10), 1)],
+            [("a", _ts(5), 7), ("a", _ts(5), 9), ("a", _ts(5), 8)],
+        )
+        assert got == {1: 9}
+
+    def test_keys_do_not_leak(self, spark):
+        got = self._run(
+            spark,
+            [("a", _ts(10), 1), ("b", _ts(10), 2)],
+            [("a", _ts(1), 11)],
+        )
+        assert got == {1: 11, 2: None}
+
+
+class TestSessionize:
+    def test_gap_boundary_is_exclusive(self, spark):
+        # events at +0, +30min (== gap: same session), +61min (> gap: new)
+        df = spark.createDataFrame(
+            [(1, _ts(0), 10), (1, _ts(30), 11), (1, dt.datetime(2024, 1, 1, 13, 1), 12)],
+            "user_id bigint, ts timestamp_ntz, event_id bigint",
+        )
+        out = sessionize(df, "user_id", "ts", gap_minutes=30, tiebreak="event_id")
+        got = {r["event_id"]: r["session_no"] for r in out.collect()}
+        assert got == {10: 1, 11: 1, 12: 2}
+
+    def test_sessions_per_key_independent(self, spark):
+        df = spark.createDataFrame(
+            [(1, _ts(0), 10), (2, _ts(0), 20), (2, _ts(59), 21)],
+            "user_id bigint, ts timestamp_ntz, event_id bigint",
+        )
+        out = sessionize(df, "user_id", "ts", gap_minutes=30, tiebreak="event_id")
+        got = {r["event_id"]: r["session_no"] for r in out.collect()}
+        assert got == {10: 1, 20: 1, 21: 2}

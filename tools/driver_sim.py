@@ -42,7 +42,9 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    sf_dir = args.pop(0) if args and args[0].startswith("/") else "/root/testdata/sf0.01"
+    only = set(args)  # optional query names to restrict the run to
     spark = SparkSession.builder.master("local[8]").getOrCreate()  # plain, like the driver
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -59,6 +61,8 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in sorted(queries.items()):
+        if only and name not in only:
+            continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
