@@ -24,10 +24,13 @@ def main() -> None:
     bench_queries = {n: s for n, s in QUERIES.items() if s.bench}
     timings: dict[str, float] = {}
 
-    # warm the JVM/codegen once on the smallest SF so per-query timings
-    # measure the plan, not session startup
-    warm = next(iter(bench_queries.values()))
-    warm.fn(spark, "/root/testdata/sf0.001").count()
+    # warm every benched plan once at the smallest SF: first execution pays
+    # JVM codegen + Python-UDF worker spin-up, which would otherwise be
+    # charged to whichever query happens to hit it first
+    for spec in bench_queries.values():
+        spec.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     total_start = time.perf_counter()
     for name, spec in bench_queries.items():

@@ -136,6 +136,48 @@ def payload_udf(audit: bool = False):
     return _process
 
 
+def decrypt_process_udf(
+    key_service: KeyService, audit: bool = False, hit_acc=None, miss_acc=None
+):
+    """Decrypt + (audit transform) + validate + sanitise + canonicalise in
+    ONE Arrow crossing -- the SURVEY.md section-7 target shape (envelope
+    parse, then a single fused per-record pass).  Chaining decrypt_udf and
+    payload_udf instead costs an extra JVM<->Python serialisation of every
+    decrypted payload.
+
+    Args are columns: (ciphertext, encrypted_key, iv, kek_id, db,
+    collection, envelope_stamp)."""
+    client = CachingKeyClient(key_service, hit_acc=hit_acc, miss_acc=miss_acc)
+
+    @pandas_udf(PAYLOAD_STRUCT)
+    def _process(
+        ciphertext: pd.Series,
+        encrypted_key: pd.Series,
+        iv: pd.Series,
+        kek_id: pd.Series,
+        db: pd.Series,
+        collection: pd.Series,
+        stamp: pd.Series,
+    ) -> pd.DataFrame:
+        vals, deletes = [], []
+        for ct, ek, vec, kek, d, c, s in zip(
+            ciphertext, encrypted_key, iv, kek_id, db, collection, stamp
+        ):
+            if ct is None:
+                raise ValueError("dbObject is missing (None)")
+            data_key = client.data_key(ek, kek)
+            rec = aes_ctr_decrypt(ct, data_key, vec)
+            if audit and d == "data" and c == "businessAudit":
+                rec = record.audit_transform(rec, s)
+            rec, is_delete = record.validate_record(rec)
+            rec = record.sanitise_text(rec, d or "", c or "")
+            vals.append(record.finalise_record(rec))
+            deletes.append(is_delete)
+        return pd.DataFrame({"val": vals, "is_delete": deletes})
+
+    return _process
+
+
 def canonical_json_udf():
     """Standalone canonical-JSON re-serialiser (reference steps/data.py:163-165).
     Spark's to_json cannot sort keys, so this stays a pandas UDF."""

@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.udfs import decrypt_udf, envelope_udf, payload_udf
+from ..functions.udfs import (
+    decrypt_process_udf,
+    decrypt_udf,
+    envelope_udf,
+    payload_udf,
+)
 from ..functions.crypto import KeyService
 
 
@@ -72,6 +77,36 @@ def process_payloads(df: DataFrame, audit: bool = False) -> DataFrame:
     )
 
 
+def decrypt_and_process(
+    df: DataFrame,
+    key_service: KeyService,
+    audit: bool = False,
+    hit_acc=None,
+    miss_acc=None,
+) -> DataFrame:
+    """Fused decrypt + transform + validate + sanitise + canonicalise:
+    one Arrow crossing instead of decrypt_records |> process_payloads'
+    two.  Same output columns as process_payloads."""
+    proc = decrypt_process_udf(key_service, audit=audit, hit_acc=hit_acc, miss_acc=miss_acc)
+    out = df.withColumn(
+        "payload",
+        proc(
+            F.col("db_object"),
+            F.col("encrypted_encryption_key"),
+            F.col("initialisation_vector"),
+            F.col("key_encryption_key_id"),
+            F.col("db"),
+            F.col("collection"),
+            F.col("last_modified"),
+        ),
+    )
+    return out.select(
+        *[c for c in df.columns if c != "value"],
+        F.col("payload.val").alias("val"),
+        F.col("payload.is_delete").alias("is_delete"),
+    )
+
+
 def to_daily_rows(df: DataFrame, export_date: str) -> DataFrame:
     """Shape the calcParts daily-delta rows as pure column expressions
     (reference steps/ingesters.py:505-522 built these tuples in Python):
@@ -118,6 +153,5 @@ def ingest_daily(
     steps/ingesters.py:526-539)."""
     env = read_envelopes(spark, source_path, collection)
     good, quarantined = quarantine_missing_db_object(env)
-    decrypted = decrypt_records(good, key_service, hit_acc, miss_acc)
-    processed = process_payloads(decrypted, audit=audit)
+    processed = decrypt_and_process(good, key_service, audit=audit, hit_acc=hit_acc, miss_acc=miss_acc)
     return to_daily_rows(processed, export_date), quarantined

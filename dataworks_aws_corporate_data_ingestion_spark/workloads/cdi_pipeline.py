@@ -32,10 +32,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType, StructField, StructType
 
-from ..functions.crypto import IdentityKeyService, aes_ctr_encrypt
+from ..functions.crypto import IdentityKeyService
 from ..operators.ingest import (
-    decrypt_records,
-    process_payloads,
+    decrypt_and_process,
     quarantine_missing_db_object,
     to_daily_rows,
 )
@@ -56,38 +55,47 @@ _MATERIALS_STRUCT = StructType(
 )
 
 
-def _data_key_b64(selector: int) -> str:
+def _data_key_raw(selector: int) -> bytes:
     """Deterministic 128-bit data key for fixture generation (the identity
     key service treats the 'encrypted' key as the plaintext key, mirroring
     the reference's mocked DKS, steps/tests.py:49-73)."""
-    raw = hashlib.blake2b(f"cdi-key-{selector}".encode(), digest_size=16).digest()
-    return base64.b64encode(raw).decode("ascii")
-
-
-def _iv_b64(event_id: int) -> str:
-    raw = hashlib.blake2b(f"cdi-iv-{event_id}".encode(), digest_size=16).digest()
-    return base64.b64encode(raw).decode("ascii")
+    return hashlib.blake2b(f"cdi-key-{selector}".encode(), digest_size=16).digest()
 
 
 def _encrypt_fixture_udf():
     """Encrypt each payload under one of N_DATA_KEYS deterministic keys,
     emitting the envelope's EncryptionMaterials struct (the engine-side
     analogue of the reference's test-vector generator,
-    steps/tests.py:23-46)."""
+    steps/tests.py:23-46).
+
+    Hot-path shape: AES objects are cached per key, the IV is the
+    event_id as a 128-bit big-endian counter (unique per record, no hash
+    needed), and base64 is applied once on the way out -- fixture
+    generation must not dominate the benchmark it feeds."""
 
     @pandas_udf(_MATERIALS_STRUCT)
     def _encrypt(payloads: pd.Series, event_ids: pd.Series) -> pd.DataFrame:
-        keys = [_data_key_b64(i) for i in range(N_DATA_KEYS)]
+        # imported inside the batch fn: module objects in the closure are
+        # not picklable
+        from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+        keys_raw = [_data_key_raw(i) for i in range(N_DATA_KEYS)]
+        keys_b64 = [base64.b64encode(k).decode("ascii") for k in keys_raw]
+        algos = [algorithms.AES(k) for k in keys_raw]
+        keks = [f"kek-{i}" for i in range(N_DATA_KEYS)]
+        b64 = base64.b64encode
         rows = []
         for payload, event_id in zip(payloads, event_ids):
             sel = int(event_id) % N_DATA_KEYS
-            iv = _iv_b64(int(event_id))
+            iv_raw = int(event_id).to_bytes(16, "big")
+            enc = Cipher(algos[sel], modes.CTR(iv_raw)).encryptor()
+            ct = enc.update(payload.encode("utf8")) + enc.finalize()
             rows.append(
                 (
-                    aes_ctr_encrypt(payload, keys[sel], iv),
-                    keys[sel],
-                    iv,
-                    f"kek-{sel}",
+                    b64(ct).decode("ascii"),
+                    keys_b64[sel],
+                    b64(iv_raw).decode("ascii"),
+                    keks[sel],
                 )
             )
         return pd.DataFrame(rows, columns=[f.name for f in _MATERIALS_STRUCT.fields])
@@ -101,7 +109,15 @@ def envelope_lines_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Payload key order is irrelevant (canonicalisation sorts), but every
     value is chosen for cross-engine byte-stability: hex ids, integer
     amounts, millisecond timestamps."""
-    e = load_table(spark, "events", sf_dir)
+    # the events file is one parquet split; without an explicit
+    # repartition the whole per-row crypto chain would run on a single
+    # core.  CPU-bound Python stages must be spread across every core --
+    # the shuffle of the small input is noise next to the per-row work
+    # (on a real cluster the same holds: partition count follows input
+    # splits, not CPU budget, so a pre-UDF repartition is load-bearing).
+    e = load_table(spark, "events", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     id_str = F.lpad(F.hex(F.col("event_id")), 12, "0")
     lm = F.concat(
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS"), F.lit("+0000")
@@ -193,6 +209,5 @@ def cdi_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "env", envelope_udf("calculator:calculationParts")(F.col("value"))
     ).select("value", "env.*")
     good, _quarantined = quarantine_missing_db_object(env)
-    decrypted = decrypt_records(good, IdentityKeyService())
-    processed = process_payloads(decrypted)
+    processed = decrypt_and_process(good, IdentityKeyService())
     return to_daily_rows(processed, EXPORT_DATE)
