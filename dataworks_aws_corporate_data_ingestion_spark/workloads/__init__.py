@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     cdi_pipeline,
     dedup_suite,
     relational,
+    relational2,
     similarity_search,
     streaming_ops,
     text_analysis,
