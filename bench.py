@@ -11,8 +11,11 @@ import os
 import sys
 import time
 
+import shutil
+import tempfile
+
 from dataworks_aws_corporate_data_ingestion_spark.session import get_session
-from dataworks_aws_corporate_data_ingestion_spark.workload import QUERIES
+from dataworks_aws_corporate_data_ingestion_spark.workload import QUERIES, WRITE_BENCHES
 
 
 def main() -> None:
@@ -32,13 +35,30 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    total_start = time.perf_counter()
-    for name, spec in bench_queries.items():
-        start = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
-    total = round(time.perf_counter() - total_start, 3)
+    # best-of-N: the harness shares a host, so single-shot timings carry
+    # external load spikes; the minimum is the cleanest estimate of what
+    # the plan itself costs
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    out_dir = tempfile.mkdtemp(prefix="cdi-bench-")
+    try:
+        for name, spec in bench_queries.items():
+            best = float("inf")
+            for _ in range(repeats):
+                start = time.perf_counter()
+                spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
+            timings[name] = round(best, 3)
+        # write-path headline ops (ordered: merge reads write_daily's output)
+        for name, fn in WRITE_BENCHES.items():
+            best = float("inf")
+            for _ in range(repeats):
+                start = time.perf_counter()
+                fn(spark, sf_dir, out_dir)
+                best = min(best, time.perf_counter() - start)
+            timings[name] = round(best, 3)
+        total = round(sum(timings.values()), 3)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
     print(
         json.dumps(

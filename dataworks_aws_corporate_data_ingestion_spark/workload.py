@@ -327,6 +327,61 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Write-path benchmarks: the reference's headline operations END in a
+# partitioned, range-clustered write (steps/ingesters.py:534-538 daily,
+# :451-457 merge) -- the write discipline IS the operator, so bench.py
+# times these alongside the read queries.  Not oracle-checkable (sinks
+# produce files, not result sets); correctness lives in
+# tests/test_ingest_pipeline.py round-trips.
+# ---------------------------------------------------------------------------
+
+WRITE_BENCHES: dict[str, Callable[[SparkSession, str, str], None]] = {}
+
+
+def _daily_rows_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape events as calcParts-style daily rows with pure column exprs
+    (the crypto-path equivalent is benched via cdi_ingest_pipeline)."""
+    e = load_table(spark, "events", sf_dir)
+    # md5-derived id: uniform across the 256 id_part buckets (see
+    # workloads/cdi_pipeline.py)
+    id_str = F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 12)
+    return e.select(
+        id_str.alias("id"),
+        F.substring(id_str, 1, 2).alias("id_part"),
+        F.lit(2024).alias("export_year"),
+        F.lit(1).alias("export_month"),
+        F.lit(15).alias("export_day"),
+        F.when(F.col("event_type") == "purchase", F.lit("DELETE"))
+        .otherwise(F.lit("INSERT"))
+        .alias("db_type"),
+        F.to_json(F.struct("ts", "user_id", "event_type", "value")).alias("val"),
+    )
+
+
+def _bench_write_daily(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    from .sinks.writers import write_daily
+
+    write_daily(_daily_rows_from_events(spark, sf_dir), f"{out_dir}/daily")
+
+
+def _bench_merge_write(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """The full merge lifecycle: read back the range-clustered daily
+    dataset written by _bench_write_daily, union with itself as a stand-in
+    snapshot, window-dedup, write the new snapshot."""
+    from .operators.merge import merge_snapshot
+    from .sinks.writers import write_snapshot
+
+    daily = spark.read.orc(f"{out_dir}/daily")
+    cols = ("id", "db_type", "val", "id_part")
+    merged = merge_snapshot(daily.select(*cols), daily.select(*cols))
+    write_snapshot(merged, f"{out_dir}/snapshot")
+
+
+WRITE_BENCHES["write_daily_clustered_orc"] = _bench_write_daily
+WRITE_BENCHES["merge_and_write_snapshot"] = _bench_merge_write
+
+
 # Extension modules register additional queries on import; this must stay at
 # the bottom so `register` and the helpers above exist when they import us.
 from . import workloads  # noqa: E402,F401  (intentional circular-safe import)

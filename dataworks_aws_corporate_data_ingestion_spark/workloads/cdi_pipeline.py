@@ -118,7 +118,11 @@ def envelope_lines_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
-    id_str = F.lpad(F.hex(F.col("event_id")), 12, "0")
+    # md5-derived hex id: uniform over the 256 id_part buckets (a
+    # zero-padded sequential hex id would put every row in bucket "00" --
+    # the reference's ids are random hex, so first-2-chars bucketing
+    # assumes uniformity, docs/data-storage.md:94-103)
+    id_str = F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 12)
     lm = F.concat(
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS"), F.lit("+0000")
     )
@@ -171,7 +175,7 @@ def envelope_lines_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH base AS (
             SELECT
-                lpad(to_hex(event_id), 12, '0') AS id_str,
+                substr(md5(CAST(event_id AS VARCHAR)), 1, 12) AS id_str,
                 strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') AS lm,
                 event_type = 'purchase' AS is_del,
                 CAST(FLOOR(value * 100) AS BIGINT) AS amount,
