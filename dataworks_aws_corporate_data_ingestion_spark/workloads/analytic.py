@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
 from ..operators.sessions import sessionize
+from ..operators.skew import distinct_count_twophase, salted_join
 from ..sources.tables import load_table
 from ..workload import money, one, rate, register
 
@@ -170,6 +171,66 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_price").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+@register(
+    "order_revenue_salted_join",
+    tags=("join", "skew", "aggregation"),
+    oracle="""
+        SELECT n_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+)
+def order_revenue_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The orders-customer join executed through the explicit salting
+    operator; the oracle is the plain unsalted join, so the hash match
+    proves salting changes the physical fan-out and nothing else.
+
+    Scale notes: use this form when one customer owns so many orders
+    that even AQE's split of the hot partition leaves single-task
+    stragglers; 8 salt buckets bound any key's share at 1/8 per task at
+    the cost of replicating the customer side 8x (see operators/skew.py)."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    joined = salted_join(
+        orders, customer, on=["o_custkey"], salt_buckets=8, big_salt_src="o_orderkey"
+    )
+    return (
+        joined.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(money("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "distinct_users_per_event_type",
+    tags=("aggregation", "skew", "distinct"),
+    oracle="""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+        FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe COUNT(DISTINCT): two-phase dedup-then-count (see
+    operators/skew.py).  With only a handful of event_type groups, the
+    naive single-shuffle plan would funnel every (type, user) pair of a
+    type through one task -- this shape is exactly the low-cardinality
+    hot-group case the two-phase form exists for."""
+    e = load_table(spark, "events", sf_dir)
+    return distinct_count_twophase(e, ["event_type"], "user_id")
 
 
 @register(
