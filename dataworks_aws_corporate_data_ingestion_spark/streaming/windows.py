@@ -60,6 +60,36 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native streaming session windows: per-user sessions close after
+    `gap` of inactivity, window state merges as events arrive and is
+    emitted/reclaimed once the watermark passes the session end.  The
+    batch twin is operators/sessions.sessionize (lag + running sum);
+    this is the streaming path where per-key sort windows don't exist.
+    """
+    src = events
+    ntz = dict(events.dtypes).get("ts") == "timestamp_ntz"
+    if events.isStreaming:
+        if ntz:
+            src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+        src = src.withWatermark("ts", watermark)
+    out_ts = (lambda c: c.cast("timestamp_ntz")) if ntz else (lambda c: c)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            out_ts(F.col("win.start")).alias("session_start"),
+            out_ts(F.col("win.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 _DEDUP_STATE = StructType([StructField("max_seen", LongType())])
 _DEDUP_OUT = StructType(
     [

@@ -109,3 +109,27 @@ class TestStatefulDedup:
         out = spark.sql("select * from dedup_out").collect()
         ids = sorted(r["event_id"] for r in out)
         assert ids == list(range(9))  # 0..8 each exactly once
+
+
+class TestSessionWindows:
+    def test_session_window_matches_batch_sessionize(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.sessions import sessionize
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.windows import (
+            session_window_counts,
+        )
+        from dataworks_aws_corporate_data_ingestion_spark.sources.tables import load_table
+
+        e = load_table(spark, "events", "/root/testdata/sf0.001").select(
+            "user_id", "ts", "event_id"
+        )
+        native = session_window_counts(e, gap="30 minutes")
+        batch = (
+            sessionize(e, "user_id", "ts", gap_minutes=30, tiebreak="event_id")
+            .groupBy("user_id", "session_no")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        # same multiset of (user, session-event-count): the two algorithms
+        # must carve identical session boundaries
+        got = sorted((r["user_id"], r["n_events"]) for r in native.collect())
+        want = sorted((r["user_id"], r["n_events"]) for r in batch.collect())
+        assert got == want and len(got) > 0
