@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis) for the pure-Python record core.
+
+The reference's correctness oracle is byte-identical canonical output
+(docs/message-transformation.md:16-21); these properties pin the
+invariants that the per-case tables in test_record.py cannot sweep:
+idempotence, key-set preservation, and round-trips under arbitrary JSON.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings, strategies as st
+
+from dataworks_aws_corporate_data_ingestion_spark.functions import record
+from dataworks_aws_corporate_data_ingestion_spark.functions.crypto import (
+    aes_ctr_decrypt,
+    aes_ctr_encrypt,
+)
+
+# JSON values: primitives + recursive dicts/lists.  Text includes
+# date-shaped strings so normalise_dates' match path gets exercised.
+_dateish = st.sampled_from(
+    [
+        "2024-03-01T10:20:30.123Z",
+        "1999-12-31T23:59:59.999+0100",
+        "2024-03-01T10:20:30.123",  # missing zone: must NOT be wrapped
+        "not a date 2024-03-01T10:20:30.123Z inside text",
+    ]
+)
+_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.text(max_size=40),
+    _dateish,
+)
+_json = st.recursive(
+    _scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(min_size=1, max_size=12), children, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_json)
+def test_canonical_json_is_a_fixpoint(value):
+    once = record.canonical_json(value)
+    twice = record.canonical_json(json.loads(once))
+    assert once == twice
+
+
+@settings(max_examples=150, deadline=None)
+@given(_json)
+def test_normalise_dates_idempotent(value):
+    once = record.normalise_dates(value)
+    assert record.normalise_dates(once) == once
+
+
+@settings(max_examples=150, deadline=None)
+@given(_json)
+def test_normalise_dates_preserves_structure(value):
+    """Wrapping only ever replaces a date string with {"$date": ...};
+    dict key sets and list lengths are untouched at every level."""
+
+    def skeleton(v):
+        if isinstance(v, dict):
+            if record._is_wrapped_date(v):
+                return "<date>"
+            return {k: skeleton(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [skeleton(x) for x in v]
+        if isinstance(v, str) and record.is_date_string(v):
+            return "<date>"
+        return v
+
+    assert skeleton(record.normalise_dates(value)) == skeleton(value)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.dictionaries(st.text(min_size=1, max_size=10), _scalars, max_size=5))
+def test_validate_record_is_delete_iff_removed(obj):
+    payload = json.dumps(obj)
+    try:
+        out, is_delete = record.validate_record(payload)
+    except ValueError:
+        return  # malformed embedded dates raise, as the reference does
+    assert is_delete == ("_removedDateTime" in obj)
+    parsed = json.loads(out)
+    lm = parsed["_lastModifiedDateTime"]
+    assert isinstance(lm, dict) and set(lm) == {"$date"}
+    assert lm["$date"].endswith("Z")
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.dictionaries(st.text(min_size=1, max_size=10), _scalars, max_size=5))
+def test_validate_record_fixpoint(obj):
+    """validate(validate(x)) == validate(x): the wrapped output must parse
+    and re-validate to itself (the engine may legitimately re-run a day)."""
+    payload = json.dumps(obj)
+    try:
+        once, d1 = record.validate_record(payload)
+    except ValueError:
+        return
+    twice, d2 = record.validate_record(once)
+    assert json.loads(twice) == json.loads(once)
+    assert d1 == d2
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=200))
+def test_sanitise_strips_dollars(s):
+    out = record.sanitise_text(json.dumps({"k": s}))
+    assert "$" not in out
+    assert "_archived" not in out
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.text(max_size=300),
+    st.binary(min_size=16, max_size=16),
+    st.binary(min_size=16, max_size=16),
+)
+def test_aes_ctr_round_trip(plaintext, key, iv):
+    import base64
+
+    k = base64.b64encode(key).decode()
+    v = base64.b64encode(iv).decode()
+    assert aes_ctr_decrypt(aes_ctr_encrypt(plaintext, k, v), k, v) == plaintext
