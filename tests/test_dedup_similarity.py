@@ -80,3 +80,30 @@ class TestExactDedupByHash:
         out = exact_dedup_by_hash(df, "text", "doc_id")
         got = sorted((r["doc_id"], r["text"]) for r in out.collect())
         assert got == [(1, "x"), (3, "y"), (5, "z")]
+
+
+class TestAnnIvf:
+    def test_recall_against_brute_force(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.similarity import ivf_topk
+
+        emb = load_table(spark, "embeddings", SF)
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = brute_force_topk(emb, queries, k=5)
+        approx = ivf_topk(emb, queries, dim=64, k=5, n_lists=16, n_probe=8)
+        exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        recall = len(exact_set & approx_set) / len(exact_set)
+        # the synthetic corpus is near-isotropic (IVF's worst case);
+        # 0.7 pins sane behavior without overfitting the fixture
+        assert recall >= 0.7, f"IVF recall too low: {recall}"
+
+    def test_centroids_deterministic(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.similarity import (
+            train_ivf_centroids,
+        )
+        import numpy as np
+
+        emb = load_table(spark, "embeddings", SF)
+        c1 = train_ivf_centroids(emb, dim=64, n_lists=8)
+        c2 = train_ivf_centroids(emb, dim=64, n_lists=8)
+        assert np.array_equal(c1, c2)
