@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     dedup_suite,
     relational,
     relational2,
+    relational3,
     similarity_search,
     streaming_ops,
     text_analysis,

@@ -1,0 +1,165 @@
+"""Third relational batch: lateral explode, pivot, decorrelated scalar
+subquery, and distribution windows (ntile)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..sources.tables import load_table
+from ..workload import register
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "top_terms_by_source",
+    tags=("text", "explode", "lateral", "top-k"),
+    oracle="""
+        SELECT source, term, n FROM (
+            SELECT source, term, n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY n DESC, term ASC
+                   ) AS rn
+            FROM (
+                SELECT source, term, COUNT(*) AS n
+                FROM (
+                    SELECT source,
+                           unnest(string_split(lower(text), ' ')) AS term
+                    FROM documents
+                )
+                GROUP BY source, term
+            )
+        ) WHERE rn <= 10
+    """,
+)
+def top_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical lateral shape: explode tokens -> count -> top-10 per
+    source.  (Word count, the distributed-computing hello-world, as a
+    grouped top-k.)
+
+    Scale notes: explode multiplies rows ~n_tokens-fold BEFORE the
+    aggregate, but map-side partial aggregation collapses (source, term)
+    pairs within each task, so the shuffle carries the distinct-term
+    cardinality, not the token stream."""
+    d = load_table(spark, "documents", sf_dir).select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    counts = d.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+@register(
+    "event_value_pivot",
+    tags=("pivot", "aggregation"),
+    oracle="""
+        SELECT user_id % 100 AS user_bucket,
+            CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS click,
+            CAST(SUM(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS error,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase,
+            CAST(SUM(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS signup,
+            CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS view
+        FROM events
+        GROUP BY user_id % 100
+    """,
+)
+def event_value_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type, summed value per user bucket.
+
+    Scale notes: the pivot values are declared explicitly -- an
+    undeclared pivot costs an extra distinct-scan job to discover them,
+    and a runaway category column becomes a runaway column count.
+    Declared pivots compile to the same single hash aggregate as the
+    CASE-WHEN form the oracle spells out."""
+    e = load_table(spark, "events", sf_dir).select(
+        (F.col("user_id") % 100).alias("user_bucket"),
+        "event_type",
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    return (
+        e.groupBy("user_bucket")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.sum("v").cast("double"))
+    )
+
+
+@register(
+    "customers_above_nation_avg",
+    tags=("correlated-subquery", "window", "aggregation"),
+    oracle="""
+        SELECT c_custkey, c_acctbal, n_name
+        FROM customer c
+        JOIN nation ON c.c_nationkey = n_nationkey
+        WHERE CAST(c_acctbal AS DECIMAL(12,2))
+              * (SELECT COUNT(*) FROM customer c2
+                 WHERE c2.c_nationkey = c.c_nationkey)
+              > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(12,2)))
+                 FROM customer c2
+                 WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (each customer above their nation's
+    average balance), decorrelated into window aggregates -- one shuffle
+    on nationkey instead of a per-row subquery or a groupBy+rejoin.
+
+    The 'above average' test is cross-multiplied into exact decimal space
+    (bal * n > sum): a double AVG is summation-order dependent, and a
+    threshold comparison is exactly where a last-ulp difference becomes a
+    row-count difference between engines."""
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    w = Window.partitionBy("c_nationkey")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    return (
+        c.withColumn("__sum", F.sum(bal).over(w))
+        .withColumn("__cnt", F.count(F.lit(1)).over(w))
+        .filter(bal * F.col("__cnt") > F.col("__sum"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_acctbal", "n_name")
+    )
+
+
+@register(
+    "customer_balance_deciles",
+    tags=("window", "ntile", "aggregation"),
+    oracle="""
+        SELECT decile,
+               COUNT(*) AS n_customers,
+               MIN(c_acctbal) AS min_bal,
+               MAX(c_acctbal) AS max_bal
+        FROM (
+            SELECT c_acctbal,
+                   NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+            FROM customer
+        )
+        GROUP BY decile
+    """,
+)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ntile deciles over account balance + per-decile extrema.
+
+    Scale notes: an un-partitioned window is a single-task sort -- fine
+    for its one legitimate use (final small-output ranking) but a
+    deliberate anti-pattern at depth; the aggregate after it is tiny.
+    At 100 TB, compute decile boundaries with approx_percentile and
+    bucket by range instead (see approx_percentiles_by_flag)."""
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_acctbal")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (
+        c.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
