@@ -75,6 +75,43 @@ def revenue_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_grouping_sets",
+    tags=("aggregation", "grouping-sets", "sql-api"),
+    oracle="""
+        SELECT
+            COALESCE(o_orderstatus, 'ALL') AS status,
+            COALESCE(o_orderpriority, 'ALL') AS priority,
+            COUNT(*) AS n_orders,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS -- by status, by priority, and the grand
+    total, in one pass -- expressed through the engine's SQL entry point
+    (spark.sql over a registered view) rather than the DataFrame API:
+    both front-ends land in the same Catalyst Expand + hash aggregate.
+
+    Scale notes: Expand duplicates each input row once per grouping set
+    (3x here) BEFORE the partial aggregate; with low-cardinality sets the
+    map-side combine absorbs the multiplication, so the shuffle still
+    carries only group rows."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT
+            COALESCE(o_orderstatus, 'ALL') AS status,
+            COALESCE(o_orderpriority, 'ALL') AS priority,
+            COUNT(*) AS n_orders,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
     "price_percentiles_by_flag",
     tags=("aggregation", "percentile"),
     oracle="""

@@ -169,6 +169,94 @@ def envelope_lines_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdi_audit_pipeline",
+    tags=("cdi", "ingest", "audit", "udf"),
+    oracle="""
+        WITH base AS (
+            SELECT
+                lpad(to_hex(event_id), 10, '0') AS id_str,
+                strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') AS lm,
+                event_type
+            FROM events
+        )
+        SELECT
+            id_str AS id,
+            '{"AUDIT_EVENT":"' || event_type
+              || '","TIME_STAMP":{"d_date":"' || lm || 'Z"}'
+              || ',"TIME_STAMP_ORIG":{"d_date":"' || lm || 'Z"}'
+              || ',"_lastModifiedDateTime":{"d_date":"1980-01-01T00:00:00.000Z"}'
+              || ',"userId":"u-' || id_str || '"}' AS val,
+            CAST(0 AS BOOLEAN) AS is_delete
+        FROM base
+    """,
+)
+def cdi_audit_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The businessAudit variant of the CDI chain: the payload's `context`
+    element becomes the whole record, stamped with AUDIT_EVENT (from
+    auditType) and TIME_STAMP/TIME_STAMP_ORIG from the envelope's
+    _lastModifiedDateTime (reference steps/data.py:98-121).
+
+    The oracle spells out three downstream quirks the chain must
+    reproduce byte-for-byte: validate adds the epoch-fallback
+    _lastModifiedDateTime to a context that has none (reference
+    steps/data.py:178-198), the date-shaped TIME_STAMP strings get
+    $date-wrapped and UTC-normalised by the recursive walk, and sanitise
+    renames every $date to d_date.  Key order is the canonical ASCII
+    sort: AUDIT_EVENT < TIME_STAMP < TIME_STAMP_ORIG <
+    _lastModifiedDateTime < userId."""
+    e = load_table(spark, "events", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    id_str = F.lpad(F.hex(F.col("event_id")), 10, "0")
+    lm = F.concat(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS"), F.lit("+0000")
+    )
+    payload = F.to_json(
+        F.struct(
+            F.col("event_type").alias("auditType"),
+            F.struct(
+                F.concat(F.lit("u-"), id_str).alias("userId"),
+            ).alias("context"),
+        )
+    )
+    enc = (
+        e.select(
+            F.col("event_id"),
+            id_str.alias("id_str"),
+            lm.alias("lm"),
+            payload.alias("payload"),
+        )
+        .withColumn("mat", _encrypt_fixture_udf()(F.col("payload"), F.col("event_id")))
+    )
+    line = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("id_str").alias("_id"),
+                F.lit("data").alias("db"),
+                F.lit("businessAudit").alias("collection"),
+                F.struct(
+                    F.lit("").alias("encryptionKeyId"),
+                    F.col("mat.encrypted_encryption_key").alias(
+                        "encryptedEncryptionKey"
+                    ),
+                    F.col("mat.initialisation_vector").alias("initialisationVector"),
+                    F.col("mat.key_encryption_key_id").alias("keyEncryptionKeyId"),
+                ).alias("encryption"),
+                F.col("mat.db_object").alias("dbObject"),
+                F.col("lm").alias("_lastModifiedDateTime"),
+            ).alias("message")
+        )
+    )
+    lines = enc.select(line.alias("value"))
+    env = lines.withColumn(
+        "env", envelope_udf("data:businessAudit")(F.col("value"))
+    ).select("value", "env.*")
+    good, _quarantined = quarantine_missing_db_object(env)
+    processed = decrypt_and_process(good, IdentityKeyService(), audit=True)
+    return processed.select("id", "val", "is_delete")
+
+
+@register(
     "cdi_ingest_pipeline",
     bench=True,
     tags=("cdi", "ingest", "crypto", "udf"),
