@@ -174,9 +174,17 @@ def near_dup_pairs_minhash(
 ) -> DataFrame:
     """Full minhash+LSH near-duplicate pipeline: shingle -> sign -> band ->
     bucket-join -> verify.  Returns (a, b, jaccard_sim) pairs."""
+    # shingling + signatures are CPU-bound per row: spread them over every
+    # core regardless of how few input splits the corpus arrived in
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # the shingled frame feeds BOTH the signature branch and the final
+    # jaccard verification join; persist it so the shingle arrays are
+    # computed (and Arrow-serialised) once, not once per consumer -- the
+    # same multi-use-intermediate discipline as the reference's
+    # persist(DISK_ONLY) snapshot (steps/ingesters.py:326)
     with_shingles = docs.select(
         F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles")
-    )
+    ).persist()
     signed = minhash_signatures(with_shingles)
     buckets = lsh_band_buckets(signed, id_col=id_col, bands=bands, rows=rows)
     candidates = lsh_candidate_pairs(buckets, id_col=id_col)
@@ -203,6 +211,7 @@ def near_dup_pairs_exact(
     shingles that appear in millions of docs create quadratic hot keys --
     at very large n, drop the top-frequency shingles (they carry no
     discriminating signal) or switch to near_dup_pairs_minhash."""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     sh = docs.select(
         F.col(id_col).alias("a"), word_shingles(F.col(text_col), k).alias("sh")
     )
