@@ -135,6 +135,21 @@ def to_daily_rows(df: DataFrame, export_date: str) -> DataFrame:
     )
 
 
+def observe_ingest(df: DataFrame, observation) -> DataFrame:
+    """Attach observable metrics to an ingest output (the DataFrame-native
+    evolution of the reference's accumulators, SURVEY.md A1): row count,
+    delete count, distinct-bucket estimate.  `observation` is a
+    pyspark.sql.Observation (read `.get` after the action) or a string
+    name for listener-based collection; unlike accumulators these are
+    computed exactly once per action (no task-retry double counting)."""
+    return df.observe(
+        observation,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("db_type") == "DELETE", 1).otherwise(0)).alias("n_deletes"),
+        F.approx_count_distinct("id_part").alias("n_buckets"),
+    )
+
+
 def ingest_daily(
     spark: SparkSession,
     source_path: str,

@@ -81,6 +81,51 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "document_chunks_udtf",
+    tags=("text", "udtf", "lateral", "chunking"),
+    oracle="""
+        SELECT doc_id,
+               CAST(start // 40 AS BIGINT) AS chunk_idx,
+               array_to_string(list_slice(toks, start + 1, start + 50), ' ')
+                   AS chunk_text,
+               CAST(len(list_slice(toks, start + 1, start + 50)) AS BIGINT)
+                   AS n_tokens
+        FROM (
+            SELECT doc_id, toks, unnest(range(0, greatest(n, 1), 40)) AS start
+            FROM (
+                SELECT doc_id,
+                       string_split(lower(text), ' ') AS toks,
+                       len(string_split(lower(text), ' ')) AS n
+                FROM documents
+            )
+        )
+    """,
+)
+def document_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (50-token windows, stride 40)
+    via a Python UDTF in a LATERAL join -- the standard pre-tokenise step
+    of a training-data pipeline, and the engine's UDTF surface
+    demonstration (the reference has none, SURVEY.md section 2.10).
+
+    Scale notes: the UDTF is Arrow-optimised and runs inside the scan
+    stage (no shuffle); output grows ~n_tokens/stride per document, which
+    is the point -- chunking before a shuffle would multiply exchange
+    volume ~25%, so keep it last in the per-row chain."""
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView(
+        "documents_chunks_v"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+        FROM documents_chunks_v d, LATERAL chunk_document(d.text, 50, 40) c
+        """
+    )
+
+
+@register(
     "quality_by_source",
     tags=("text", "aggregation"),
     oracle=f"""

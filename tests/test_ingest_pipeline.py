@@ -149,3 +149,21 @@ class TestDailyWriteAndMerge:
         }
         # with the explicit tiebreaker the winner is deterministic
         assert got["b"] == "old-b"  # 'old-b' > 'new-b' lexically
+
+
+class TestObserveIngest:
+    def test_metrics_computed_with_action(self, spark):
+        from pyspark.sql import Observation
+
+        from dataworks_aws_corporate_data_ingestion_spark.operators.ingest import observe_ingest
+
+        df = spark.createDataFrame(
+            [("a1", "00", "INSERT"), ("b2", "01", "DELETE"), ("c3", "00", "INSERT")],
+            "id string, id_part string, db_type string",
+        )
+        obs = Observation("ingest_metrics")
+        observe_ingest(df, obs).write.format("noop").mode("overwrite").save()
+        got = obs.get
+        assert got["n_rows"] == 3
+        assert got["n_deletes"] == 1
+        assert got["n_buckets"] == 2
