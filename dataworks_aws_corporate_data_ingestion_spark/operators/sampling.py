@@ -1,0 +1,64 @@
+"""Deterministic hash-based sampling and dataset splits.
+
+Training pipelines need samples and train/val/test assignments that are
+(a) stable across runs and cluster layouts, (b) derivable per row with no
+shuffle, and (c) reproducible by other engines auditing the dataset.
+Seeded `df.sample` gives none of these (it is partition-layout
+dependent); hashing row identity does: a row's fate is a pure function
+of its key.  md5 is used (not xxhash) because every engine an auditor
+might hold has it, and bucket membership compares hex PREFIX STRINGS --
+no hex-to-int conversion, which SQL dialects disagree on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash_prefix(key: Column, salt: str = "") -> Column:
+    """First 4 hex chars of md5(salt || key): 65536 uniform buckets."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), key.cast("string")).cast("binary")), 1, 4
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key: str | Column,
+    fraction_num: int,
+    fraction_den: int = 65536,
+    salt: str = "",
+) -> DataFrame:
+    """Keep rows whose hash bucket falls below fraction_num/fraction_den.
+
+    The comparison is on the 4-hex-char prefix string, so the kept set is
+    identical in any engine that can compute md5 of the same bytes."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    threshold = format(fraction_num, "04x")
+    return df.filter(_hash_prefix(key_col, salt) < F.lit(threshold))
+
+
+def assign_split(
+    df: DataFrame,
+    key: str | Column,
+    val_per_64k: int = 3277,  # ~5%
+    test_per_64k: int = 3277,  # ~5%
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Stable train/val/test assignment from row identity: the first
+    val_per_64k buckets -> 'val', the next test_per_64k -> 'test', the
+    rest 'train'.  Membership never changes as the dataset grows -- a
+    row's split is a pure function of its key, the property that keeps
+    eval sets uncontaminated across dataset versions."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    h = _hash_prefix(key_col, salt)
+    val_hi = format(val_per_64k, "04x")
+    test_hi = format(val_per_64k + test_per_64k, "04x")
+    return df.withColumn(
+        out_col,
+        F.when(h < F.lit(val_hi), F.lit("val"))
+        .when(h < F.lit(test_hi), F.lit("test"))
+        .otherwise(F.lit("train")),
+    )

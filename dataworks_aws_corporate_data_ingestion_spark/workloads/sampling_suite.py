@@ -1,0 +1,86 @@
+"""Deterministic sampling, dataset-split, and sequence-packing workload
+(training-data ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+from ..operators.packing import pack_sequences
+from ..operators.sampling import assign_split, deterministic_sample
+from ..sources.tables import load_table
+from ..workload import register
+
+# ~10%: buckets 0000..1999 hex of 65536
+_SAMPLE_NUM = 0x1A00
+
+
+@register(
+    "documents_deterministic_sample",
+    tags=("sampling", "training-data"),
+    oracle=f"""
+        SELECT doc_id, source, n_chars
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_SAMPLE_NUM:04x}'
+    """,
+)
+def documents_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% document sample by content-key hash: stable across runs,
+    partition layouts, and engines (the oracle IS another engine
+    recomputing membership).  Contrast df.sample: partition-layout
+    dependent, unauditable.
+
+    Scale notes: a pure per-row filter -- no shuffle, pushes nothing but
+    md5 work into the scan stage, trivially parallel at any size."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "source", "n_chars")
+    return deterministic_sample(d, "doc_id", _SAMPLE_NUM)
+
+
+@register(
+    "dataset_split_stats",
+    tags=("sampling", "training-data", "aggregation"),
+    oracle="""
+        SELECT
+            CASE
+                WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < '0ccd'
+                    THEN 'val'
+                WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
+                    THEN 'test'
+                ELSE 'train'
+            END AS split,
+            COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def dataset_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/val/test assignment (~90/5/5) from salted row-identity
+    hash, with per-split size stats.  A row's split never changes as the
+    corpus grows -- the anti-leak property for persistent eval sets."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    return (
+        assign_split(d, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "packed_training_sequences",
+    tags=("packing", "training-data", "applyInPandas", "non-sql"),
+)
+def packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into 512-token training sequences via bucketed
+    first-fit-decreasing (operators/packing.py).  No SQL oracle --
+    ordering-dependent greedy packing is not relational; pytest pins the
+    invariants (every doc exactly once, no pack over budget,
+    determinism)."""
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(d, budget=512)

@@ -1,0 +1,75 @@
+"""Invariants for the non-relational training-data operators: packing
+(every doc exactly once, budget respected, deterministic) and
+hash-sampling (stability under growth, split disjointness)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataworks_aws_corporate_data_ingestion_spark.operators.packing import pack_sequences
+from dataworks_aws_corporate_data_ingestion_spark.operators.sampling import (
+    assign_split,
+    deterministic_sample,
+)
+
+
+def _docs(spark, n=500, seed_mod=97):
+    return spark.createDataFrame(
+        [(i, 1 + (i * i) % seed_mod) for i in range(n)],
+        "doc_id bigint, n_tokens bigint",
+    )
+
+
+class TestPacking:
+    def test_every_doc_packed_exactly_once(self, spark):
+        d = _docs(spark)
+        packs = pack_sequences(d, budget=128).collect()
+        seen = [i for r in packs for i in r["doc_ids"]]
+        assert sorted(seen) == list(range(500))
+
+    def test_budget_respected_except_oversize_singletons(self, spark):
+        d = spark.createDataFrame(
+            [(1, 50), (2, 60), (3, 200), (4, 10)],
+            "doc_id bigint, n_tokens bigint",
+        )
+        packs = pack_sequences(d, budget=128, n_buckets=1).collect()
+        for r in packs:
+            if r["n_docs"] > 1:
+                assert r["total_tokens"] <= 128
+        # the oversize doc gets its own pack
+        solo = [r for r in packs if r["doc_ids"] == [3]]
+        assert len(solo) == 1 and solo[0]["total_tokens"] == 200
+
+    def test_deterministic(self, spark):
+        d = _docs(spark, n=300)
+        a = sorted(map(tuple, pack_sequences(d, budget=96).collect()))
+        b = sorted(map(tuple, pack_sequences(d, budget=96).collect()))
+        assert a == b
+
+    def test_fill_ratio_reasonable(self, spark):
+        d = _docs(spark)
+        packs = pack_sequences(d, budget=128, n_buckets=4).collect()
+        avg_fill = sum(r["fill_ratio"] for r in packs) / len(packs)
+        assert avg_fill > 0.8, f"FFD should pack tightly, got {avg_fill}"
+
+
+class TestSampling:
+    def test_sample_stable_under_growth(self, spark):
+        small = _docs(spark, n=200)
+        big = _docs(spark, n=400)
+        s_small = {r["doc_id"] for r in deterministic_sample(small, "doc_id", 6554).collect()}
+        s_big = {r["doc_id"] for r in deterministic_sample(big, "doc_id", 6554).collect()}
+        # membership of existing rows never changes when the corpus grows
+        assert s_small == {i for i in s_big if i < 200}
+
+    def test_split_partitions_all_rows(self, spark):
+        d = _docs(spark, n=1000)
+        rows = assign_split(d, "doc_id").collect()
+        assert len(rows) == 1000
+        by_split = {}
+        for r in rows:
+            by_split.setdefault(r["split"], set()).add(r["doc_id"])
+        assert set(by_split) == {"train", "val", "test"}
+        total = sum(len(v) for v in by_split.values())
+        assert total == 1000  # disjoint + exhaustive
+        assert len(by_split["train"]) > 800  # ~90%
