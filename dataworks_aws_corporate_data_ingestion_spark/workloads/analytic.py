@@ -8,7 +8,7 @@ physical plan and each carries an independent DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
@@ -71,6 +71,112 @@ def revenue_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
             "n_orders",
         )
+    )
+
+
+@register(
+    "user_value_moving_avg",
+    tags=("window", "frame", "moving-average"),
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE)
+               / COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+               ) AS moving_avg_5,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS DOUBLE) AS running_total
+        FROM events
+    """,
+)
+def user_value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame windows: 5-event moving average and running total per
+    user -- the explicit ROWS-frame surface (the engine's other windows
+    use the default frame).
+
+    Scale notes: both windows share one (partition, order) spec, so
+    Catalyst evaluates them in a single Window operator after one
+    shuffle+sort; mixing specs would stack exchanges.  Decimal inside the
+    frame keeps the short sums exact in both engines; the mean is spelled
+    sum/count explicitly because engines disagree on AVG-over-DECIMAL
+    result scale and rounding."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "ts", F.col("value").cast("decimal(12,2)").alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    moving = w.rowsBetween(-4, Window.currentRow)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (
+            F.sum("v").over(moving).cast("double")
+            / F.count(F.lit(1)).over(moving)
+        ).alias("moving_avg_5"),
+        F.sum("v").over(running).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "rapid_repeat_event_pairs",
+    tags=("join", "range-join", "self-join"),
+    oracle="""
+        SELECT a.event_id AS first_id, b.event_id AS second_id, a.user_id,
+               CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+        FROM events a
+        JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = b.event_type
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 60 SECOND
+    """,
+)
+def rapid_repeat_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) self-join: same user + type re-fires within 60
+    seconds -- the bounded-interval join shape (dedup of double-fires,
+    bot detection).
+
+    Scale notes: the equi keys (user, type) carry the shuffle; the time
+    band is a post-join residual, so per-key cost is quadratic only in
+    that user's events.  For time-band joins with NO equi key, bucket
+    both sides by floor(ts / band) and join adjacent buckets instead.
+    gap_s counts whole-second boundary crossings (timestamp truncation to
+    seconds, then difference) to match date_diff semantics exactly."""
+    e = load_table(spark, "events", sf_dir)
+    a = e.select(
+        F.col("event_id").alias("first_id"),
+        F.col("user_id"),
+        F.col("event_type").alias("t_a"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = e.select(
+        F.col("event_id").alias("second_id"),
+        F.col("user_id").alias("uid_b"),
+        F.col("event_type").alias("t_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    # truncate-then-diff on TIMESTAMP_NTZ: session-timezone independent
+    # (unix_timestamp on NTZ would bind to the session zone) and matches
+    # DuckDB date_diff's boundary-crossing count exactly
+    gap_s = F.expr(
+        "timestampdiff(SECOND, date_trunc('second', ts_a),"
+        " date_trunc('second', ts_b))"
+    ).cast("bigint")
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("uid_b"))
+            & (F.col("t_a") == F.col("t_b"))
+            & (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 60 SECONDS")),
+        )
+        .select("first_id", "second_id", "user_id", gap_s.alias("gap_s"))
     )
 
 

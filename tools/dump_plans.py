@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Regenerate PLANS.md: formatted physical plans for representative
+queries, as reviewable evidence of pushdown/broadcast/codegen quality.
+
+Usage: python tools/dump_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SHOWCASE = [
+    ("q1_pricing_summary", "filtered scan -> partial/final hash agg"),
+    ("q5_revenue_by_nation", "fact-fact shuffle join + broadcast dims"),
+    ("q19_disjunctive_revenue", "OR-of-ANDs pushed into both scans"),
+    ("snapshot_merge_latest", "union -> single range exchange -> window top-1"),
+    ("cdi_ingest_pipeline", "two-Arrow-crossing encrypted ingest chain"),
+    ("near_dup_pairs_minhash", "shingle -> sign -> band -> bucket join -> verify"),
+    ("ann_lsh_topk", "single-pass multi-table signatures + broadcast probe"),
+    ("sessionization_30min", "one window shuffle reused by the aggregate"),
+    ("asof_last_view_before_purchase", "union-trick as-of join, no range join"),
+    ("top_terms_by_source", "explode absorbed by map-side partial agg"),
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from dataworks_aws_corporate_data_ingestion_spark.session import get_session
+    from dataworks_aws_corporate_data_ingestion_spark.workload import QUERIES
+
+    spark = get_session(master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = [
+        "# PLANS — physical plans of representative queries",
+        "",
+        f"Regenerate with `python tools/dump_plans.py` (sf_dir={sf_dir}).",
+        "AQE is enabled, so exchanges shown here may coalesce or convert",
+        "to broadcast at runtime; `explain` shows the initial plan.",
+        "",
+    ]
+    for name, why in SHOWCASE:
+        df = QUERIES[name].fn(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        out += [f"## {name}", "", f"*{why}*", "", "```", plan.rstrip(), "```", ""]
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote PLANS.md ({len(SHOWCASE)} plans)")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
