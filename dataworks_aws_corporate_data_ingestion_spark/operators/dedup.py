@@ -199,6 +199,7 @@ def near_dup_pairs_exact(
     text_col: str = "text",
     threshold: float = 0.9,
     k: int = 3,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact shingle-jaccard pairs via an inverted index: explode shingles,
     self-join on the shingle, count co-occurrences c per pair, then
@@ -207,16 +208,34 @@ def near_dup_pairs_exact(
     join at sf0.1 (3s vs 326s) with bit-identical output (all-integer
     counts, one final double division).
 
-    Scale notes: the join shuffles on the shingle value; boilerplate
-    shingles that appear in millions of docs create quadratic hot keys --
-    at very large n, drop the top-frequency shingles (they carry no
-    discriminating signal) or switch to near_dup_pairs_minhash."""
+    Scale notes: the join shuffles on the shingle value; a boilerplate
+    shingle appearing in f docs contributes f^2 candidate pairs on one
+    shuffle key.  `max_shingle_freq` bounds that hot key at cap^2 by
+    dropping over-frequent shingles from the universe ENTIRELY --
+    similarity becomes jaccard over each document's *distinctive*
+    shingles (sizes shrink with the index), which is usually the better
+    dedup signal anyway: two distinct docs drowning in shared template
+    text stop looking similar, while true near-dups still share nearly
+    all distinctive shingles.  None = exact jaccard over all shingles;
+    very large corpora should switch to near_dup_pairs_minhash."""
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     sh = docs.select(
         F.col(id_col).alias("a"), word_shingles(F.col(text_col), k).alias("sh")
     )
-    sizes = sh.select(F.col("a"), F.size("sh").alias("n"))
     inv = sh.select("a", F.explode("sh").alias("shingle"))
+    if max_shingle_freq is not None:
+        keep = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__f"))
+            .filter(F.col("__f") <= max_shingle_freq)
+            .select("shingle")
+        )
+        inv = inv.join(keep, "shingle")
+        # sizes over the kept universe: jaccard stays internally
+        # consistent (c <= n_a, n_b always)
+        sizes = inv.groupBy("a").agg(F.count(F.lit(1)).alias("n"))
+    else:
+        sizes = sh.select(F.col("a"), F.size("sh").alias("n"))
     co = (
         inv.join(inv.select(F.col("a").alias("b"), "shingle"), "shingle")
         .filter(F.col("a") < F.col("b"))

@@ -107,3 +107,26 @@ class TestAnnIvf:
         c1 = train_ivf_centroids(emb, dim=64, n_lists=8)
         c2 = train_ivf_centroids(emb, dim=64, n_lists=8)
         assert np.array_equal(c1, c2)
+
+
+class TestShingleFrequencyCap:
+    def test_cap_preserves_near_dups_drops_hot_key(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.dedup import (
+            near_dup_pairs_exact,
+        )
+
+        boiler = "terms of service apply to all content"
+        docs = spark.createDataFrame(
+            [
+                (1, f"alpha beta gamma delta epsilon zeta eta {boiler}"),
+                (2, f"alpha beta gamma delta epsilon zeta eta {boiler}"),  # dup of 1
+            ]
+            + [(i, f"unique{i} text{i} body{i} words{i} here{i} {boiler}") for i in range(3, 40)],
+            "doc_id bigint, text string",
+        )
+        uncapped = {(r["a"], r["b"]) for r in near_dup_pairs_exact(docs, threshold=0.8).collect()}
+        capped = {
+            (r["a"], r["b"])
+            for r in near_dup_pairs_exact(docs, threshold=0.8, max_shingle_freq=10).collect()
+        }
+        assert uncapped == capped == {(1, 2)}
