@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 from ..functions.crypto import KeyService
-from ..functions.udfs import decrypt_udf, envelope_udf, payload_udf
+from ..functions.udfs import decrypt_process_udf, envelope_udf
 
 _LINE_SCHEMA = StructType([StructField("value", StringType())])
 
@@ -45,28 +45,27 @@ def streaming_ingest_query(
     audit: bool = False,
     available_now: bool = True,
 ):
-    """Build and start the incremental ingest: envelope -> decrypt ->
-    validate/sanitise -> parquet append sink.
+    """Build and start the incremental ingest: envelope -> fused
+    decrypt/validate/sanitise (one Arrow crossing, same as the batch
+    path) -> parquet append sink.
 
     Returns the StreamingQuery; callers awaitTermination() (availableNow
     drains the backlog then stops -- the streaming replacement for the
     reference's date-range driver loop)."""
     env = stream_envelopes(spark, source_dir, collection)
     good = env.filter(F.col("db_object").isNotNull())
-    dec = decrypt_udf(key_service)
-    decrypted = good.withColumn(
-        "decrypted",
-        dec(
+    proc = decrypt_process_udf(key_service, audit=audit)
+    out = good.withColumn(
+        "payload",
+        proc(
             F.col("db_object"),
             F.col("encrypted_encryption_key"),
             F.col("initialisation_vector"),
             F.col("key_encryption_key_id"),
+            F.col("db"),
+            F.col("collection"),
+            F.col("last_modified"),
         ),
-    )
-    proc = payload_udf(audit=audit)
-    out = decrypted.withColumn(
-        "payload",
-        proc(F.col("decrypted"), F.col("db"), F.col("collection"), F.col("last_modified")),
     ).select(
         "id",
         "db",
