@@ -129,6 +129,42 @@ def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_surplus_except_all",
+    tags=("set-ops", "except-all", "multiset"),
+    oracle="""
+        SELECT event_type, COUNT(*) AS surplus
+        FROM (
+            SELECT event_type FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'
+            EXCEPT ALL
+            SELECT event_type FROM events
+            WHERE ts >= TIMESTAMP '2024-01-06' AND ts < TIMESTAMP '2024-01-07'
+        )
+        GROUP BY event_type
+    """,
+)
+def event_surplus_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): per event type, how many MORE
+    firings day A had than day B -- duplicate-preserving set semantics,
+    distinct from the EXCEPT DISTINCT of lapsed_buyers_except.
+
+    Scale notes: Spark plans exceptAll as a counted anti-pattern (tag
+    sides +1/-1, sum per row value, generate surplus rows) -- one
+    shuffle on the row value; for low-cardinality rows like these the
+    map-side combine reduces it to group counts."""
+    e = load_table(spark, "events", sf_dir)
+    day = lambda d0, d1: e.filter(  # noqa: E731
+        (F.col("ts") >= F.lit(d0).cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit(d1).cast("timestamp_ntz"))
+    ).select("event_type")
+    a = day("2024-01-05", "2024-01-06")
+    b = day("2024-01-06", "2024-01-07")
+    return a.exceptAll(b).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("surplus")
+    )
+
+
+@register(
     "customer_balance_deciles",
     tags=("window", "ntile", "aggregation"),
     oracle="""
