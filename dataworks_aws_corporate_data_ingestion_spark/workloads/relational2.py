@@ -250,6 +250,107 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_discount_revenue",
+    tags=("aggregation", "scan-filter"),
+    oracle="""
+        SELECT
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+            COUNT(*) AS n_lineitems
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+)
+def q6_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate, the canonical pushdown
+    showcase -- all four predicates land in the parquet scan
+    (PushedFilters), three columns read, one row out, zero joins.  The
+    whole query is one WholeStageCodegen span feeding a single-group
+    partial/final aggregate."""
+    l = load_table(spark, "lineitem", sf_dir).select(
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    )
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(money("l_extendedprice") * rate("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier_per_year",
+    tags=("aggregation", "window", "argmax"),
+    oracle="""
+        SELECT ship_year, s_suppkey, s_name, total_revenue
+        FROM (
+            SELECT ship_year, s_suppkey, s_name, total_revenue,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY ship_year
+                       ORDER BY total_revenue DESC, s_suppkey ASC
+                   ) AS rn
+            FROM (
+                SELECT CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+                       s_suppkey, s_name,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                            AS DOUBLE) AS total_revenue
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                GROUP BY YEAR(l_shipdate), s_suppkey, s_name
+            )
+        ) WHERE rn = 1
+    """,
+)
+def q15_top_supplier_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate, then argmax over the aggregate (top
+    supplier by revenue per ship year), via rank-over-aggregate with a
+    deterministic tiebreak.
+
+    Scale notes: the aggregate collapses lineitem to (year x supplier)
+    cardinality BEFORE the window, so the rank's sort shuffles group
+    rows only.  The reference formulation (a view + WHERE rev = (SELECT
+    MAX..)) would scan the aggregate twice; the window form is one
+    pass."""
+    l = load_table(spark, "lineitem", sf_dir).select(
+        "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    rev = money("l_extendedprice") * (one() - rate("l_discount"))
+    agg = (
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+            F.col("s_suppkey"),
+            F.col("s_name"),
+        )
+        .agg(F.sum(rev).cast("double").alias("total_revenue"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ship_year").orderBy(
+        F.col("total_revenue").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
     "events_props_json_stats",
     tags=("json", "semi-structured", "aggregation"),
     oracle="""
