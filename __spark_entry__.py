@@ -17,8 +17,10 @@ from dataworks_aws_corporate_data_ingestion_spark.workload import QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
+    """Flagship on /root/testdata/sf0.001: the full CDI ingest chain
+    (envelope parse -> cached-key AES-CTR decrypt -> validate/sanitise ->
+    canonical rows) -- the engine's core parity operation."""
+    return QUERIES["cdi_ingest_pipeline"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
