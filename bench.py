@@ -38,7 +38,7 @@ def main() -> None:
     # best-of-N: the harness shares a host, so single-shot timings carry
     # external load spikes; the minimum is the cleanest estimate of what
     # the plan itself costs
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     out_dir = tempfile.mkdtemp(prefix="cdi-bench-")
     try:
         for name, spec in bench_queries.items():
