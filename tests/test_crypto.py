@@ -96,3 +96,54 @@ def read_envelopes_from_df(spark, lines):
 
     df = spark.createDataFrame([(l,) for l in lines], ["value"])
     return df.withColumn("env", envelope_udf()(F.col("value"))).select("value", "env.*")
+
+
+class TestHttpKeyService:
+    """Wiring tests with a stubbed transport -- no network."""
+
+    def _service_with_stub(self, responses):
+        from dataworks_aws_corporate_data_ingestion_spark.functions.crypto import HttpKeyService
+
+        svc = HttpKeyService("https://dks.example/decrypt", correlation_id="cid-1")
+        calls = []
+
+        class _Resp:
+            def __init__(self, payload):
+                self._payload = payload
+
+            def json(self):
+                return self._payload
+
+        class _Session:
+            def post(self, url, params=None, data=None, cert=None, verify=None):
+                calls.append({"url": url, "params": params, "data": data})
+                return _Resp(responses[min(len(calls) - 1, len(responses) - 1)])
+
+        svc._session = _Session()
+        return svc, calls
+
+    def test_decrypts_and_passes_key_id_and_correlation(self):
+        svc, calls = self._service_with_stub([{"plaintextDataKey": "pt-key"}])
+        out = svc.decrypt_data_key("enc-key", "kek-9")
+        assert out == "pt-key"
+        assert calls[0]["params"] == {"keyId": "kek-9", "correlationId": "cid-1"}
+        assert calls[0]["data"] == "enc-key"
+
+    def test_missing_plaintext_raises(self):
+        import pytest
+
+        svc, _ = self._service_with_stub([{"error": "denied"}])
+        with pytest.raises(RuntimeError, match="plaintextDataKey"):
+            svc.decrypt_data_key("enc-key", "kek-9")
+
+    def test_retry_adapter_configured(self):
+        from dataworks_aws_corporate_data_ingestion_spark.functions.crypto import HttpKeyService
+
+        svc = HttpKeyService("https://dks.example/decrypt", retries=5, backoff=0.2)
+        session = svc._build_session()
+        adapter = session.get_adapter("https://dks.example/decrypt")
+        retries = adapter.max_retries
+        assert retries.total == 5
+        assert retries.backoff_factor == 0.2
+        assert 429 in retries.status_forcelist
+        assert 503 in retries.status_forcelist
