@@ -1,0 +1,43 @@
+"""Physical-plan regression guards over the whole query registry.
+
+Planning only (no execution): catches a future edit that introduces a
+cartesian product, a row-at-a-time Python UDF, or strips the pushdown
+from a scan-heavy query.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dataworks_aws_corporate_data_ingestion_spark.workload import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_or_row_python(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    # BatchEvalPython = row-pickled UDF; ArrowEvalPython (vectorised) is fine
+    assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+
+
+def test_pushdown_reaches_scans(spark):
+    """Spot-check the scan-heavy queries keep their PushedFilters."""
+    for name in ("q1_pricing_summary", "q6_discount_revenue", "q19_disjunctive_revenue"):
+        plan = _plan(spark, name)
+        assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan.split(
+            "PushedFilters:"
+        )[1][:4], f"{name} lost its scan pushdown"
+
+
+def test_topk_uses_take_ordered(spark):
+    for name in ("q3_top_unshipped_orders", "q10_returned_items", "q18_large_orders"):
+        assert "TakeOrderedAndProject" in _plan(spark, name), (
+            f"{name} should plan top-k as TakeOrderedAndProject, not a global sort"
+        )
