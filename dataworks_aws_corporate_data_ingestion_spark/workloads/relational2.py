@@ -251,6 +251,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6_discount_revenue",
+    bench=True,
     tags=("aggregation", "scan-filter"),
     oracle="""
         SELECT
