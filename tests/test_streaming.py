@@ -175,3 +175,47 @@ class TestStreamingMerge:
         assert snap["aa1"][0] == "DELETE"
         assert snap["cc3"] == ("INSERT", "v3")
         assert set(snap) == {"aa1", "bb2", "cc3"}
+
+
+class TestContinuousRollup:
+    def test_incremental_equals_batch_recompute(self, spark, tmp_path):
+        import datetime as dt
+
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.rollup import (
+            continuous_rollup_query,
+        )
+
+        delta_dir = tmp_path / "events"
+        rollup_dir = str(tmp_path / "rollup")
+        ckpt = str(tmp_path / "ckpt")
+        delta_dir.mkdir()
+
+        def batch(rows):
+            spark.createDataFrame(
+                rows,
+                "event_id bigint, ts timestamp, user_id bigint,"
+                " event_type string, value double",
+            ).write.mode("append").parquet(str(delta_dir))
+
+        t0 = dt.datetime(2024, 1, 1, 10, 15)
+        t1 = dt.datetime(2024, 1, 1, 11, 45)
+        batch([(1, t0, 1, "view", 2.0), (2, t0, 2, "click", 1.0)])
+        q = continuous_rollup_query(spark, str(delta_dir), rollup_dir, ckpt)
+        q.awaitTermination(120)
+        # second delta touches an existing window AND a new one
+        batch([(3, t0, 3, "view", 5.0), (4, t1, 1, "view", 7.0)])
+        q = continuous_rollup_query(spark, str(delta_dir), rollup_dir, ckpt)
+        q.awaitTermination(120)
+
+        got = {
+            (r["window_start"].hour, r["event_type"]): (
+                r["n_events"],
+                float(r["sum_value"]),
+            )
+            for r in spark.read.parquet(rollup_dir).collect()
+        }
+        assert got == {
+            (10, "view"): (2, 7.0),
+            (10, "click"): (1, 1.0),
+            (11, "view"): (1, 7.0),
+        }
