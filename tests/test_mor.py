@@ -1,0 +1,63 @@
+"""Merge-on-read: read-time view equals eager merge at every point,
+later deltas win, tombstones hide at read and vanish at compaction."""
+
+from __future__ import annotations
+
+import os
+
+from dataworks_aws_corporate_data_ingestion_spark.operators.mor import (
+    compact,
+    delta_fraction,
+    read_merged,
+    write_delta,
+)
+
+
+def _rows(spark, *triples):
+    return spark.createDataFrame(
+        [(i, t, v, i[:2]) for i, t, v in triples],
+        "id string, db_type string, val string, id_part string",
+    )
+
+
+def _snap(spark, table_dir):
+    return {
+        r["id"]: (r["db_type"], r["val"]) for r in read_merged(spark, table_dir).collect()
+    }
+
+
+class TestMergeOnRead:
+    def test_lifecycle(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_delta(_rows(spark, ("aa1", "INSERT", "v1"), ("bb2", "INSERT", "v2")), t)
+        assert _snap(spark, t) == {"aa1": ("INSERT", "v1"), "bb2": ("INSERT", "v2")}
+
+        # newer delta updates bb2, tombstones aa1, adds cc3
+        write_delta(
+            _rows(
+                spark,
+                ("bb2", "INSERT", "v9"),
+                ("aa1", "DELETE", "v1"),
+                ("cc3", "INSERT", "v3"),
+            ),
+            t,
+        )
+        assert _snap(spark, t) == {"bb2": ("INSERT", "v9"), "cc3": ("INSERT", "v3")}
+        assert delta_fraction(spark, t) > 0
+
+        compact(spark, t)
+        # same logical view after compaction, deltas gone, base present
+        assert _snap(spark, t) == {"bb2": ("INSERT", "v9"), "cc3": ("INSERT", "v3")}
+        assert not os.path.exists(os.path.join(t, "deltas"))
+        assert delta_fraction(spark, t) == 0.0
+
+        # a key re-inserted after its tombstone compacted away comes back
+        write_delta(_rows(spark, ("aa1", "INSERT", "v-new")), t)
+        assert _snap(spark, t)["aa1"] == ("INSERT", "v-new")
+
+    def test_within_batch_delete_beats_insert(self, spark, tmp_path):
+        t = str(tmp_path / "tbl2")
+        write_delta(
+            _rows(spark, ("aa1", "INSERT", "v1"), ("aa1", "DELETE", "v1")), t
+        )
+        assert "aa1" not in _snap(spark, t)
