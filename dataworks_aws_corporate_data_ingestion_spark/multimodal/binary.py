@@ -143,6 +143,79 @@ def decode_images(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, DECODED_IMAGE_SCHEMA)
 
 
+WAVEFORM_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def waveform_stats(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Audio feature extraction over raw PCM: RMS level, peak, and
+    zero-crossing count per asset.  The blob is interpreted as 16-bit
+    little-endian mono PCM -- the post-decode layout every audio codec
+    path produces -- so this stage is fully real; only the upstream
+    codec decode (mp3/ogg -> PCM) is a stub in this container."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, blob in zip(pdf[id_col], pdf["data"]):
+                blob = blob or b""
+                usable = len(blob) - (len(blob) % 2)
+                samples = np.frombuffer(blob[:usable], dtype="<i2").astype(np.float64)
+                n = int(samples.size)
+                if n:
+                    norm = samples / 32768.0
+                    rms = float(np.sqrt(np.mean(norm * norm)))
+                    peak = float(np.abs(norm).max())
+                    zc = int(np.count_nonzero(np.diff(np.signbit(samples))))
+                else:
+                    rms, peak, zc = 0.0, 0.0, 0
+                rows.append((int(aid), n, rms, peak, zc))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "n_samples", "rms", "peak", "zero_crossings"],
+            )
+
+    return df.mapInPandas(batches, WAVEFORM_SCHEMA)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def perceptual_hash(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """64-bit block-mean perceptual hash: split the payload into 64 equal
+    byte blocks, bit i = (block i mean > global mean).  On decoded pixel
+    buffers this IS block-mean pHash; on raw bytes it is a deterministic
+    stand-in with identical schema and hamming-distance semantics, so
+    downstream near-dup bucketing (simhash-style banding) is exercised
+    for real."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, blob in zip(pdf[id_col], pdf["data"]):
+                arr = np.frombuffer(blob or b"\x00", dtype=np.uint8)
+                blocks = np.array_split(arr.astype(np.float64), 64)
+                means = np.array([b.mean() if b.size else 0.0 for b in blocks])
+                bits = (means > means.mean()).astype(np.uint64)
+                weights = (1 << np.arange(64, dtype=np.uint64))
+                rows.append((int(aid), int((bits * weights).sum().astype(np.int64))))
+            yield pd.DataFrame(rows, columns=["asset_id", "phash"])
+
+    return df.mapInPandas(batches, PHASH_SCHEMA)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),

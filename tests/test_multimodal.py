@@ -82,3 +82,51 @@ class TestRebalance:
         df = media_df(spark, n=8, blob_size=1000)
         out = rebalance_by_size(df, target_partition_bytes=4000)
         assert out.rdd.getNumPartitions() >= 2
+
+
+class TestWaveformStats:
+    def test_matches_numpy_on_known_signal(self, spark):
+        import numpy as np
+
+        from dataworks_aws_corporate_data_ingestion_spark.multimodal.binary import waveform_stats
+
+        # a square wave: +/-16384 alternating every sample
+        samples = np.tile([16384, -16384], 100).astype("<i2")
+        df = spark.createDataFrame(
+            [(1, bytearray(samples.tobytes()))], "asset_id bigint, data binary"
+        )
+        r = waveform_stats(df).collect()[0]
+        assert r["n_samples"] == 200
+        assert abs(r["rms"] - 0.5) < 1e-9
+        assert abs(r["peak"] - 0.5) < 1e-9
+        assert r["zero_crossings"] == 199
+
+    def test_empty_and_odd_length(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.multimodal.binary import waveform_stats
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"")), (2, bytearray(b"\x01\x02\x03"))],
+            "asset_id bigint, data binary",
+        )
+        rows = {r["asset_id"]: r for r in waveform_stats(df).collect()}
+        assert rows[1]["n_samples"] == 0 and rows[1]["rms"] == 0.0
+        assert rows[2]["n_samples"] == 1  # trailing odd byte dropped
+
+
+class TestPerceptualHash:
+    def test_deterministic_and_similarity_ordering(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.multimodal.binary import perceptual_hash
+
+        base = bytes(range(256)) * 8
+        near = bytearray(base)
+        near[0] ^= 0xFF  # tiny perturbation
+        far = bytes(reversed(base))
+        df = spark.createDataFrame(
+            [(1, bytearray(base)), (2, near), (3, bytearray(far))],
+            "asset_id bigint, data binary",
+        )
+        h = {r["asset_id"]: r["phash"] for r in perceptual_hash(df).collect()}
+        h2 = {r["asset_id"]: r["phash"] for r in perceptual_hash(df).collect()}
+        assert h == h2  # deterministic
+        ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+        assert ham(h[1], h[2]) <= ham(h[1], h[3])
