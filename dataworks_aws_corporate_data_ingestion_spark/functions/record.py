@@ -79,7 +79,24 @@ def normalise_dates(value):
     if isinstance(value, dict):
         return {k: normalise_dates(v) for k, v in value.items()}
     if isinstance(value, list):
-        return [normalise_dates(v) for v in value]
+        return [_normalise_list_element(v) for v in value]
+    if isinstance(value, str) and is_date_string(value):
+        return {"$date": to_utc_wrapped_format(value)}
+    return value
+
+
+def _normalise_list_element(value):
+    """List-element recursion replicating the reference's
+    DateWrapper.process_list (steps/data.py:233-241): dict elements are sent
+    straight to the dict-iteration path WITHOUT the wrapped-date check, so a
+    list element that is itself {"$date": s} comes out double-wrapped as
+    {"$date": {"$date": <normalised>}} -- an observable reference quirk we
+    preserve for byte parity.  Values nested deeper inside such a dict go
+    through normalise_dates (reference process_element), which does check."""
+    if isinstance(value, dict):
+        return {k: normalise_dates(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_normalise_list_element(v) for v in value]
     if isinstance(value, str) and is_date_string(value):
         return {"$date": to_utc_wrapped_format(value)}
     return value

@@ -254,11 +254,21 @@ def price_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB percentile path: approx_percentile's mergeable sketch --
     map-side partial aggregation, no per-group sort, error bounded by the
-    accuracy parameter (10000 -> ~0.01%)."""
+    accuracy parameter (10000 -> ~0.01%).
+
+    The sketch returns an array; the registered surface exposes one scalar
+    column per requested percentile (driver-canonicalisable)."""
     l = load_table(spark, "lineitem", sf_dir).select("l_returnflag", "l_extendedprice")
-    return l.groupBy("l_returnflag").agg(
+    agg = l.groupBy("l_returnflag").agg(
         F.approx_percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)).alias("approx_pcts"),
         F.approx_count_distinct("l_extendedprice").alias("approx_distinct_prices"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.element_at("approx_pcts", 1).alias("ap50"),
+        F.element_at("approx_pcts", 2).alias("ap90"),
+        F.element_at("approx_pcts", 3).alias("ap99"),
+        "approx_distinct_prices",
     )
 
 

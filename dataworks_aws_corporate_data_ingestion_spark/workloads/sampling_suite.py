@@ -79,8 +79,13 @@ def packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-fit-decreasing (operators/packing.py).  No SQL oracle --
     ordering-dependent greedy packing is not relational; pytest pins the
     invariants (every doc exactly once, no pack over budget,
-    determinism)."""
+    determinism).
+
+    The operator API returns doc_ids as array<bigint>; the registered
+    surface serialises it to a JSON string so the driver's canonicaliser
+    (pandas sort over object columns) can hash it."""
     d = load_table(spark, "documents", sf_dir).select(
         "doc_id", token_count(F.col("text")).alias("n_tokens")
     )
-    return pack_sequences(d, budget=512)
+    packed = pack_sequences(d, budget=512)
+    return packed.withColumn("doc_ids", F.to_json("doc_ids"))

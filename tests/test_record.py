@@ -64,6 +64,35 @@ class TestDateNormalisation:
         with pytest.raises(ValueError):
             record.normalise_dates({"d": {"$date": "2019-07-04"}})
 
+    def test_wrapped_date_as_list_element_double_wraps(self):
+        # Reference quirk (steps/data.py:233-241): process_list sends dict
+        # elements to process_object with NO mongo-date check, so a list
+        # element {"$date": s} double-wraps.  Verified empirically against
+        # the reference; we preserve it for byte parity.
+        out = record.normalise_dates(
+            {"dates": [{"$date": "2019-07-04T07:27:35.104+0000"}]}
+        )
+        assert out == {
+            "dates": [{"$date": {"$date": "2019-07-04T07:27:35.104Z"}}]
+        }
+
+    def test_wrapped_date_nested_inside_list_element_dict_single_wraps(self):
+        # ...but one level deeper the reference's process_element DOES check,
+        # so {"a": {"$date": s}} inside a list stays single-wrapped.
+        out = record.normalise_dates(
+            {"lst": [{"a": {"$date": "2019-07-04T07:27:35.104+0000"}}]}
+        )
+        assert out == {"lst": [{"a": {"$date": "2019-07-04T07:27:35.104Z"}}]}
+
+    def test_wrapped_date_in_nested_list_double_wraps(self):
+        # process_list -> process_list recursion keeps the quirk at any depth
+        out = record.normalise_dates(
+            {"lst": [[{"$date": "2019-07-04T07:27:35.104+0000"}]]}
+        )
+        assert out == {
+            "lst": [[{"$date": {"$date": "2019-07-04T07:27:35.104Z"}}]]
+        }
+
 
 class TestValidate:
     def test_last_modified_priority_existing(self):
