@@ -164,30 +164,82 @@ def event_surplus_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECILE_PCTS = [i / 10 for i in range(1, 10)]
+
+
 @register(
     "customer_balance_deciles",
-    tags=("window", "ntile", "aggregation"),
-    oracle="""
+    tags=("percentile", "range-bucketing", "aggregation"),
+    oracle=f"""
+        WITH bounds AS (
+            SELECT quantile_cont(CAST(c_acctbal AS DOUBLE),
+                                 [{", ".join(str(p) for p in _DECILE_PCTS)}]) AS bs
+            FROM customer
+        )
         SELECT decile,
                COUNT(*) AS n_customers,
-               MIN(c_acctbal) AS min_bal,
-               MAX(c_acctbal) AS max_bal
+               MIN(CAST(c_acctbal AS DOUBLE)) AS min_bal,
+               MAX(CAST(c_acctbal AS DOUBLE)) AS max_bal
         FROM (
             SELECT c_acctbal,
-                   NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
-            FROM customer
+                   CAST(1 + len(list_filter(bs, b -> b <= CAST(c_acctbal AS DOUBLE)))
+                        AS INT) AS decile
+            FROM customer, bounds
         )
         GROUP BY decile
     """,
 )
 def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global ntile deciles over account balance + per-decile extrema.
+    """Range-bucketed balance deciles: exact decile boundaries from one
+    percentile aggregate, then a broadcast of 9 doubles buckets every row
+    map-side.  decile(v) = 1 + #{boundaries <= v} -- ties share a bucket
+    (value-range semantics, not rank semantics).
 
-    Scale notes: an un-partitioned window is a single-task sort -- fine
-    for its one legitimate use (final small-output ranking) but a
-    deliberate anti-pattern at depth; the aggregate after it is tiny.
-    At 100 TB, compute decile boundaries with approx_percentile and
-    bucket by range instead (see approx_percentiles_by_flag)."""
+    Scale notes: this is the scale path that replaces the global-ntile
+    window (a single-task sort of the whole table, kept as a test twin in
+    customer_balance_deciles_ntile).  Here nothing global ever sorts:
+    the boundary aggregate is the only wide step and at 100 TB it swaps
+    for approx_percentile's mergeable sketch (identical plan shape, the
+    boundaries just carry the sketch's bounded error); bucketing is a
+    per-row expression against 9 broadcast doubles and the final
+    per-decile aggregate is an ordinary map-side-combined groupBy.
+
+    Exactness: Spark percentile(col, array) == DuckDB quantile_cont
+    bit-for-bit (both p*(n-1) linear interpolation over doubles), so the
+    bucket comparison b <= v sees identical doubles in both engines."""
+    c = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey"), F.col("c_acctbal").cast("double").alias("bal")
+    )
+    bounds = c.agg(
+        F.percentile("bal", F.array(*[F.lit(p) for p in _DECILE_PCTS])).alias("bs")
+    )
+    return (
+        c.join(F.broadcast(bounds))
+        .withColumn(
+            "decile",
+            (
+                F.lit(1)
+                + F.aggregate(
+                    "bs",
+                    F.lit(0),
+                    lambda acc, b: acc + F.when(b <= F.col("bal"), 1).otherwise(0),
+                )
+            ).cast("int"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("bal").alias("min_bal"),
+            F.max("bal").alias("max_bal"),
+        )
+    )
+
+
+def customer_balance_deciles_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-ntile twin of customer_balance_deciles -- rank semantics via
+    an un-partitioned window (single-task sort; deliberately NOT the
+    registered query: a one-executor sort of every customer is the
+    anti-pattern at scale).  Kept for small-SF comparison tests."""
     c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_acctbal")
     w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
     return (

@@ -47,10 +47,16 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level feature extraction (size/entropy/histogram) over binary
     media columns, here derived from document text bytes.  mapInPandas
-    batch plumbing; verified against numpy in pytest."""
+    batch plumbing; verified against numpy in pytest.
+
+    The operator API keeps the histogram as array<double>; the registered
+    surface serialises it to a JSON string so the driver canonicaliser can
+    sort/hash the column."""
     docs = load_table(spark, "documents", sf_dir)
     media = docs.select(
         F.col("doc_id").alias("asset_id"),
         F.encode(F.col("text"), "utf-8").alias("data"),
     )
-    return extract_byte_features(media)
+    return extract_byte_features(media).withColumn(
+        "byte_histogram", F.to_json("byte_histogram")
+    )

@@ -72,3 +72,24 @@ class TestSessionize:
         out = sessionize(df, "user_id", "ts", gap_minutes=30, tiebreak="event_id")
         got = {r["event_id"]: r["session_no"] for r in out.collect()}
         assert got == {10: 1, 20: 1, 21: 2}
+
+
+class TestBalanceDecileTwins:
+    """Range-bucketing (registered) vs global-ntile (test twin): different
+    tie semantics, same partition-of-the-table contract."""
+
+    def test_both_forms_partition_all_customers(self, spark, sf_dir):
+        from dataworks_aws_corporate_data_ingestion_spark.workloads.relational3 import (
+            customer_balance_deciles,
+            customer_balance_deciles_ntile,
+        )
+
+        rng = customer_balance_deciles(spark, sf_dir).collect()
+        ntl = customer_balance_deciles_ntile(spark, sf_dir).collect()
+        assert sum(r.n_customers for r in rng) == sum(r.n_customers for r in ntl)
+        assert {r.decile for r in rng} <= set(range(1, 11))
+        assert {r.decile for r in ntl} == set(range(1, 11))
+        # value-range deciles are ordered: max_bal of decile d <= min of d+1
+        by_d = sorted(rng, key=lambda r: r.decile)
+        for lo, hi in zip(by_d, by_d[1:]):
+            assert lo.max_bal <= hi.min_bal

@@ -41,3 +41,13 @@ def test_topk_uses_take_ordered(spark):
         assert "TakeOrderedAndProject" in _plan(spark, name), (
             f"{name} should plan top-k as TakeOrderedAndProject, not a global sort"
         )
+
+
+def test_deciles_have_no_global_window_sort(spark):
+    """The registered deciles query must be the range-bucketing form: no
+    un-partitioned window (= Exchange SinglePartition feeding a Window),
+    which would funnel the whole table through one task."""
+    plan = _plan(spark, "customer_balance_deciles")
+    # the only SinglePartition exchange allowed is the 9-double boundary
+    # aggregate; any Window at all means the ntile twin got registered
+    assert "Window" not in plan, "deciles regressed to a global window sort"

@@ -25,6 +25,16 @@ TABLES = (
 ).split()
 
 
+def driver_canon_probe(df: pd.DataFrame) -> None:
+    """Replicate the round driver's _canon sort step: a pandas sort_values
+    over ALL columns, which raises TypeError on unhashable cells (lists /
+    dicts / arrays).  The real driver runs this even for rows-only queries
+    -- that is exactly how array-typed outputs crashed in round 1 -- so we
+    probe every query's output, oracle or not."""
+    if len(df.columns):
+        df.sort_values(by=list(df.columns))
+
+
 def value_hash(df: pd.DataFrame) -> str:
     df = df.reindex(sorted(df.columns), axis=1)
     cols = []
@@ -68,6 +78,12 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark raised {exc}")
+            continue
+        try:
+            driver_canon_probe(sdf)
+        except TypeError as exc:
+            failures.append(name)
+            print(f"FAIL {name}: driver canon would crash: {exc}")
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(sdf)} rows")
