@@ -261,6 +261,23 @@ def near_dup_pairs_exact(
 # SimHash
 # --------------------------------------------------------------------------
 
+# Worker-level cache of token -> blake2b hash: real corpora reuse a small
+# vocabulary across millions of token instances, so each worker pays the
+# (Python) blake2b cost once per distinct token, not once per instance.
+_TOKEN_HASH_CACHE: dict = {}
+_TOKEN_HASH_CACHE_MAX = 1_000_000
+
+
+def _hash_token_cached(tok: str) -> int:
+    h = _TOKEN_HASH_CACHE.get(tok)
+    if h is None:
+        if len(_TOKEN_HASH_CACHE) >= _TOKEN_HASH_CACHE_MAX:
+            _TOKEN_HASH_CACHE.clear()
+        h = _shingle_hash64(tok)
+        _TOKEN_HASH_CACHE[tok] = h
+    return h
+
+
 def simhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -268,24 +285,49 @@ def simhash_signatures(
     out_col: str = "simhash",
 ) -> DataFrame:
     """64-bit simhash over tokens: sum +/-1 per bit across token hashes,
-    take signs.  Returned as signed bigint."""
+    take signs.  Returned as signed bigint.
+
+    Vectorised per Arrow batch: tokens are factorized (C-level), only the
+    batch's DISTINCT tokens are blake2b-hashed (cached per worker), the
+    64 bit columns are expanded once per distinct token, and the per-doc
+    +/-1 sums are one segmented reduction -- no per-token numpy ops, same
+    signatures as the scalar blake2b reference (pinned by pytest)."""
 
     @pandas_udf(LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
-        out = []
-        for text in texts:
-            toks = (text or "").lower().split(" ")
-            acc = np.zeros(64, dtype=np.int64)
-            for t in toks:
-                h = _shingle_hash64(t)
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), 1, -1)
-            sig = np.uint64(0)
-            for i in range(64):
-                if acc[i] > 0:
-                    sig |= np.uint64(1) << np.uint64(i)
-            out.append(int(sig.astype(np.int64)))
-        return pd.Series(out, dtype="int64")
+        n_docs = len(texts)
+        if n_docs == 0:
+            return pd.Series([], dtype="int64")
+        tok_lists = [(t or "").lower().split(" ") for t in texts]
+        lengths = np.fromiter(
+            (len(tl) for tl in tok_lists), dtype=np.int64, count=n_docs
+        )
+        flat = np.asarray(
+            [t for tl in tok_lists for t in tl], dtype=object
+        )
+        codes, uniques = pd.factorize(flat)
+        uh = np.fromiter(
+            (_hash_token_cached(t) for t in uniques),
+            dtype=np.uint64,
+            count=len(uniques),
+        )
+        inst = uh[codes]  # one uint64 per token instance
+        doc_idx = np.repeat(np.arange(n_docs), lengths)
+        # per-doc set-bit counts, one C-level bincount per bit position --
+        # never materialises an instances x 64 matrix; +/-1 sums follow as
+        # acc = 2*count_set - n_tokens
+        acc = np.empty((n_docs, 64), dtype=np.int64)
+        for b in range(64):
+            bit = ((inst >> np.uint64(b)) & np.uint64(1)).astype(np.float64)
+            acc[:, b] = np.bincount(doc_idx, weights=bit, minlength=n_docs).astype(
+                np.int64
+            )
+        acc = 2 * acc - lengths[:, None]
+        shifts = np.arange(64, dtype=np.uint64)
+        sig = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.Series(sig.astype(np.int64), dtype="int64")
 
     return docs.select(F.col(id_col), F.col(text_col)).withColumn(
         out_col, _simhash(F.col(text_col))

@@ -148,6 +148,7 @@ def train_ivf_centroids(
     sample_size: int = 4096,
     iters: int = 8,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     seed: int = _SEED,
 ) -> np.ndarray:
     """Spherical k-means centroids from a bounded corpus sample.
@@ -155,8 +156,22 @@ def train_ivf_centroids(
     The sample (not the corpus) comes to the driver -- training a
     kilobyte-scale model on a capped sample then broadcasting it is the
     standard small-model pattern; the corpus itself is never collected.
-    Deterministic: fixed seed, fixed iteration count."""
-    rows = corpus.select(vec_col).limit(sample_size).collect()
+
+    Deterministic end-to-end: the sample is the sample_size rows with the
+    SMALLEST md5(id) -- a pure function of row identity, identical across
+    runs, partition counts, and file layouts (a bare limit() would take
+    whichever partitions answered first).  Spark plans the orderBy+limit
+    as TakeOrderedAndProject: each task keeps a size-bounded heap, no
+    global sort materialises.  k-means itself uses a fixed seed and a
+    fixed iteration count."""
+    h = F.md5(F.concat(F.lit("ivf"), F.col(id_col).cast("string")).cast("binary"))
+    rows = (
+        corpus.select(F.col(vec_col), h.alias("__h"), F.col(id_col))
+        .orderBy("__h", id_col)
+        .limit(sample_size)
+        .select(vec_col)
+        .collect()
+    )
     mat = np.array([r[0] for r in rows], dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
@@ -209,7 +224,7 @@ def ivf_topk(
     of the corpus -- tune both to the recall/cost target; IVF beats
     hyperplane LSH when the corpus is cluster-structured (lists match
     real clusters), LSH when it is isotropic."""
-    centroids = train_ivf_centroids(corpus, dim, n_lists, vec_col=vec_col)
+    centroids = train_ivf_centroids(corpus, dim, n_lists, vec_col=vec_col, id_col=id_col)
     assign = _nearest_lists_udf(centroids, 1)
     probe = _nearest_lists_udf(centroids, n_probe)
     c = corpus.select(

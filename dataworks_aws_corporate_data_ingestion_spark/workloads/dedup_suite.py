@@ -61,6 +61,7 @@ def near_dup_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_near_dups",
+    bench=True,
     tags=("dedup", "simhash", "non-sql"),
 )
 def simhash_near_dups_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -108,6 +108,23 @@ class TestAnnIvf:
         c2 = train_ivf_centroids(emb, dim=64, n_lists=8)
         assert np.array_equal(c1, c2)
 
+    def test_centroids_layout_independent(self, spark, tmp_path):
+        """The training sample is a pure function of row identity (smallest
+        md5(id)), so rewriting the corpus with a different partition count /
+        file layout must yield bit-identical centroids."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.similarity import (
+            train_ivf_centroids,
+        )
+        import numpy as np
+
+        emb = load_table(spark, "embeddings", SF)
+        base = train_ivf_centroids(emb, dim=64, n_lists=8)
+        for parts in (1, 7):
+            path = str(tmp_path / f"emb_{parts}")
+            emb.repartition(parts).write.mode("overwrite").parquet(path)
+            relaid = spark.read.parquet(path)
+            assert np.array_equal(base, train_ivf_centroids(relaid, dim=64, n_lists=8))
+
 
 class TestShingleFrequencyCap:
     def test_cap_preserves_near_dups_drops_hot_key(self, spark):
