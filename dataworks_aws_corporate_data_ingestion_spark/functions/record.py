@@ -43,10 +43,42 @@ def is_date_string(value: str) -> bool:
     return bool(DATE_PATTERN.match(value))
 
 
+# Fast-parse shape: the overwhelmingly common wire format (exactly 3
+# millisecond digits, Z or +/-HHMM).  Anything else falls back to strptime
+# so acceptance/rejection semantics stay bit-identical to the reference.
+_FAST_TS = re.compile(
+    r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})\.(\d{3})(Z|[+-]\d{4})$"
+)
+
+
 def to_utc_wrapped_format(raw: str) -> str:
     """Parse an incoming kafka timestamp and re-emit as UTC with exactly
     3 millisecond digits and a literal Z (reference steps/data.py:291-301).
-    Raises ValueError on malformed input, as the reference does."""
+    Raises ValueError on malformed input, as the reference does.
+
+    strptime dominates the fused-UDF profile (~40%), so the common shape
+    takes a regex + int fast path; component validation (month 13, second
+    61, ...) still raises ValueError via the datetime constructor exactly
+    as strptime would.  Offsets of 24h+ (which strptime rejects) and any
+    other shape (e.g. 6-digit microseconds, which strptime accepts) fall
+    through to strptime."""
+    m = _FAST_TS.match(raw)
+    if m is not None:
+        y, mo, d, h, mi, s, ms, tz = m.groups()
+        t = dt.datetime(int(y), int(mo), int(d), int(h), int(mi), int(s))
+        if tz != "Z":
+            off = int(tz[1:3]) * 60 + int(tz[3:5])
+            if off >= 24 * 60:
+                # strptime raises "offset must be ... strictly between"; defer
+                dt.datetime.strptime(raw, _INCOMING_FORMAT)
+            if tz[0] == "+":
+                t -= dt.timedelta(minutes=off)
+            else:
+                t += dt.timedelta(minutes=off)
+        return (
+            f"{t.year:04d}-{t.month:02d}-{t.day:02d}"
+            f"T{t.hour:02d}:{t.minute:02d}:{t.second:02d}.{ms}Z"
+        )
     parsed = dt.datetime.strptime(raw, _INCOMING_FORMAT).astimezone(dt.timezone.utc)
     return parsed.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
 

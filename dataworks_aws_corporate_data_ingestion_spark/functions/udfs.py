@@ -26,7 +26,44 @@ from pyspark.sql.types import (
 )
 
 from . import record
-from .crypto import CachingKeyClient, KeyService, aes_ctr_decrypt
+from .crypto import (
+    CachingKeyClient,
+    KeyService,
+    aes_ctr_decrypt,
+    aes_ctr_decrypt_batch,
+)
+
+
+def _decrypt_series(
+    client: CachingKeyClient,
+    ciphertext: pd.Series,
+    encrypted_key: pd.Series,
+    iv: pd.Series,
+    kek_id: pd.Series,
+) -> list:
+    """Decrypt a whole Arrow batch, grouping records by resolved data key so
+    each group pays ONE cipher operation (aes_ctr_decrypt_batch) instead of
+    a Cipher per record.  Key-cache lookups stay per-record, preserving the
+    reference's hit/miss accounting contract exactly."""
+    import base64
+
+    ct_list = ciphertext.tolist()
+    iv_list = iv.tolist()
+    keys = []
+    for ct, ek, kek in zip(ct_list, encrypted_key.tolist(), kek_id.tolist()):
+        if ct is None:
+            raise ValueError("dbObject is missing (None)")
+        keys.append(client.data_key(ek, kek))
+    groups: dict = {}
+    for i, k in enumerate(keys):
+        groups.setdefault(k, []).append(i)
+    out = [None] * len(ct_list)
+    for k, idxs in groups.items():
+        cts = [base64.b64decode(ct_list[i]) for i in idxs]
+        ivs = [base64.b64decode(iv_list[i]) for i in idxs]
+        for i, pt in zip(idxs, aes_ctr_decrypt_batch(cts, base64.b64decode(k), ivs)):
+            out[i] = pt.decode("utf8")
+    return out
 
 ENVELOPE_STRUCT = StructType(
     [
@@ -99,13 +136,10 @@ def decrypt_udf(key_service: KeyService, hit_acc=None, miss_acc=None):
     def _decrypt(
         ciphertext: pd.Series, encrypted_key: pd.Series, iv: pd.Series, kek_id: pd.Series
     ) -> pd.Series:
-        out = []
-        for ct, ek, vec, kek in zip(ciphertext, encrypted_key, iv, kek_id):
-            if ct is None:
-                raise ValueError("dbObject is missing (None)")
-            data_key = client.data_key(ek, kek)
-            out.append(aes_ctr_decrypt(ct, data_key, vec))
-        return pd.Series(out, dtype="object")
+        return pd.Series(
+            _decrypt_series(client, ciphertext, encrypted_key, iv, kek_id),
+            dtype="object",
+        )
 
     return _decrypt
 
@@ -159,14 +193,9 @@ def decrypt_process_udf(
         collection: pd.Series,
         stamp: pd.Series,
     ) -> pd.DataFrame:
+        decrypted = _decrypt_series(client, ciphertext, encrypted_key, iv, kek_id)
         vals, deletes = [], []
-        for ct, ek, vec, kek, d, c, s in zip(
-            ciphertext, encrypted_key, iv, kek_id, db, collection, stamp
-        ):
-            if ct is None:
-                raise ValueError("dbObject is missing (None)")
-            data_key = client.data_key(ek, kek)
-            rec = aes_ctr_decrypt(ct, data_key, vec)
+        for rec, d, c, s in zip(decrypted, db, collection, stamp):
             if audit and d == "data" and c == "businessAudit":
                 rec = record.audit_transform(rec, s)
             rec, is_delete = record.validate_record(rec)

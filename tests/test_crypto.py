@@ -147,3 +147,49 @@ class TestHttpKeyService:
         assert retries.backoff_factor == 0.2
         assert 429 in retries.status_forcelist
         assert 503 in retries.status_forcelist
+
+
+class TestBatchDecrypt:
+    """aes_ctr_decrypt_batch must be byte-identical to per-record
+    aes_ctr_decrypt for every length/IV shape, including 64-bit-carry and
+    full 128-bit counter wraparound."""
+
+    def _roundtrip(self, ivs_int, lengths):
+        import random
+
+        from dataworks_aws_corporate_data_ingestion_spark.functions.crypto import (
+            aes_ctr_decrypt_batch,
+        )
+
+        rng = random.Random(7)
+        key_raw = bytes(rng.randrange(256) for _ in range(16))
+        key_b64 = base64.b64encode(key_raw).decode()
+        cts, ivs, expected = [], [], []
+        for iv_int, n in zip(ivs_int, lengths):
+            iv_raw = (iv_int % (1 << 128)).to_bytes(16, "big")
+            iv_b64 = base64.b64encode(iv_raw).decode()
+            msg = "".join(chr(rng.randrange(32, 127)) for _ in range(n))
+            ct_b64 = aes_ctr_encrypt(msg, key_b64, iv_b64)
+            cts.append(base64.b64decode(ct_b64))
+            ivs.append(iv_raw)
+            expected.append(aes_ctr_decrypt(ct_b64, key_b64, iv_b64).encode())
+        got = aes_ctr_decrypt_batch(cts, key_raw, ivs)
+        assert got == expected
+
+    def test_matches_per_record_various_lengths(self):
+        self._roundtrip([0, 1, 12345, 2**64 - 1, 2**127], [0, 1, 15, 16, 17, 1000][:5])
+
+    def test_low64_carry_wraparound(self):
+        # counter increments must carry into the high 64 bits mid-record
+        self._roundtrip([2**64 - 2, 2**64 - 1], [64, 64])
+
+    def test_full_128bit_wraparound(self):
+        # reference Counter.new(128) wraps mod 2^128 mid-record
+        self._roundtrip([2**128 - 2, 2**128 - 1], [64, 64])
+
+    def test_empty_batch(self):
+        from dataworks_aws_corporate_data_ingestion_spark.functions.crypto import (
+            aes_ctr_decrypt_batch,
+        )
+
+        assert aes_ctr_decrypt_batch([], b"\x00" * 16, []) == []

@@ -258,3 +258,56 @@ class TestFullChainParity:
             "nested": {"when": {"d_date": "2020-02-02T02:02:02.222Z"}},
         }
         assert is_delete is False
+
+
+class TestTimestampFastPath:
+    """to_utc_wrapped_format's regex fast path must agree with the
+    strptime reference implementation (reference steps/data.py:291-301)
+    on both acceptance and rejection, for every shape."""
+
+    @staticmethod
+    def _reference(raw):
+        import datetime as dt
+
+        parsed = dt.datetime.strptime(raw, "%Y-%m-%dT%H:%M:%S.%f%z").astimezone(
+            dt.timezone.utc
+        )
+        return parsed.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+
+    def test_agrees_with_strptime(self):
+        cases = [
+            "2019-07-04T07:27:35.104+0000",
+            "2019-07-04T07:27:35.104Z",
+            "2019-12-31T23:59:59.999+0100",   # crosses day boundary backwards
+            "2020-01-01T00:00:00.000-0530",   # forward across day
+            "2020-02-29T12:00:00.001+0000",   # leap day
+            "1999-01-01T00:00:00.123456+0000",  # 6-digit micros: strptime path
+            "2020-06-15T10:30:00.5+0000",     # 1-digit fraction: strptime path
+        ]
+        for raw in cases:
+            assert record.to_utc_wrapped_format(raw) == self._reference(raw), raw
+
+    def test_rejects_exactly_like_strptime(self):
+        import pytest
+
+        bad = [
+            "2019-13-04T07:27:35.104+0000",  # month 13 (fast path: datetime ctor)
+            "2019-07-32T07:27:35.104+0000",  # day 32
+            "2019-07-04T24:27:35.104+0000",  # hour 24
+            "2019-07-04T07:61:35.104+0000",  # minute 61
+            "2019-07-04T07:27:61.104+0000",  # second 61
+            "2019-07-04T07:27:35.104+2400",  # offset >= 24h (fast path defers)
+            "2019-07-04T07:27:35.104+9959",
+            "2019-07-04 07:27:35.104+0000",  # wrong separator
+            "2019-07-04T07:27:35+0000",      # no fraction
+            "not a date",
+        ]
+        for raw in bad:
+            with pytest.raises(ValueError):
+                record.to_utc_wrapped_format(raw)
+
+    def test_fast_path_hit_is_exercised(self):
+        # sanity: the common wire shape actually matches the fast regex
+        assert record._FAST_TS.match("2019-07-04T07:27:35.104+0000")
+        assert record._FAST_TS.match("2019-07-04T07:27:35.104Z")
+        assert not record._FAST_TS.match("2019-07-04T07:27:35.1044+0000")

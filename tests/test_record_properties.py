@@ -53,11 +53,32 @@ def test_canonical_json_is_a_fixpoint(value):
     assert once == twice
 
 
+def _has_list_element_wrapped_date(v) -> bool:
+    """True when a wrapped date appears directly as a list element -- the
+    one shape the reference's DateWrapper (and therefore normalise_dates)
+    is deliberately NOT idempotent on: each pass re-wraps it
+    (reference steps/data.py:233-241, see the double-wrap regression
+    tests in test_record.py)."""
+    if isinstance(v, dict):
+        return any(_has_list_element_wrapped_date(x) for x in v.values())
+    if isinstance(v, list):
+        return any(
+            record._is_wrapped_date(x) or _has_list_element_wrapped_date(x)
+            for x in v
+        )
+    return False
+
+
 @settings(max_examples=150, deadline=None)
 @given(_json)
-def test_normalise_dates_idempotent(value):
+def test_normalise_dates_idempotent_outside_reference_quirk(value):
     once = record.normalise_dates(value)
-    assert record.normalise_dates(once) == once
+    if _has_list_element_wrapped_date(once):
+        # reference quirk: list-element wrapped dates re-wrap every pass
+        twice = record.normalise_dates(once)
+        assert twice != once  # pin the non-idempotence too
+    else:
+        assert record.normalise_dates(once) == once
 
 
 @settings(max_examples=150, deadline=None)
