@@ -219,3 +219,36 @@ class TestContinuousRollup:
             (10, "click"): (1, 1.0),
             (11, "view"): (1, 7.0),
         }
+
+    def test_replayed_batch_is_a_noop(self, spark, tmp_path):
+        """foreachBatch is at-least-once: a crash after the atomic swap but
+        before the checkpoint commit re-delivers the SAME batch_id.  The
+        additive merge must not double-count, so the applier skips ids
+        already recorded by the swap's _meta.json."""
+        import datetime as dt
+
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.rollup import (
+            last_applied_batch_id,
+            rollup_batch_applier,
+        )
+
+        rollup_dir = str(tmp_path / "rollup")
+        t0 = dt.datetime(2024, 1, 1, 10, 15)
+        df = spark.createDataFrame(
+            [(1, t0, 1, "view", 2.0), (2, t0, 2, "view", 3.0)],
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double",
+        )
+        apply_batch = rollup_batch_applier(spark, rollup_dir, "1 hour")
+
+        apply_batch(df, 0)
+        first = spark.read.parquet(rollup_dir).collect()
+        assert last_applied_batch_id(rollup_dir) == 0
+
+        apply_batch(df, 0)  # replay: must be a no-op
+        assert spark.read.parquet(rollup_dir).collect() == first
+
+        apply_batch(df, 1)  # genuinely new batch still merges additively
+        row = spark.read.parquet(rollup_dir).collect()[0]
+        assert row["n_events"] == 4 and float(row["sum_value"]) == 10.0
+        assert last_applied_batch_id(rollup_dir) == 1
