@@ -182,3 +182,190 @@ class TestRunner:
             run_range(spark, cfg)
         store = LocalStateStore(cfg.state_path)
         assert store.entries()[0].status == state_mod.FAILED
+
+
+class StubDynamoClient:
+    """In-memory stand-in for the low-level boto3 dynamodb client,
+    implementing exactly the call shapes DynamoDBStateStore makes.
+    Scan returns one item per page to exercise pagination."""
+
+    def __init__(self):
+        self.items = {}  # (correlation_id, data_product) -> item dict
+        self.calls = []
+
+    @staticmethod
+    def _k(key):
+        return (key["Correlation_Id"]["S"], key["DataProduct"]["S"])
+
+    def get_item(self, TableName, Key):
+        self.calls.append(("get_item", TableName))
+        item = self.items.get(self._k(Key))
+        return {"Item": item} if item else {}
+
+    def put_item(self, TableName, Item):
+        self.calls.append(("put_item", TableName))
+        self.items[self._k(Item)] = dict(Item)
+
+    def update_item(self, TableName, Key, AttributeUpdates):
+        self.calls.append(("update_item", TableName))
+        item = self.items[self._k(Key)]
+        for name, upd in AttributeUpdates.items():
+            item[name] = upd["Value"]
+
+    def scan(
+        self,
+        TableName,
+        FilterExpression,
+        ExpressionAttributeNames,
+        ExpressionAttributeValues,
+        ExclusiveStartKey=None,
+    ):
+        self.calls.append(("scan", TableName))
+        assert "attribute_exists(S3_Prefix_CDI_Export)" in FilterExpression
+        assert ExpressionAttributeNames == {"#st": "Status"}
+        dp = ExpressionAttributeValues[":dp"]["S"]
+        completed = ExpressionAttributeValues[":completed"]["S"]
+        matches = sorted(
+            (
+                item
+                for item in self.items.values()
+                if item["DataProduct"]["S"] == dp
+                and "S3_Prefix_CDI_Export" in item
+                and item["Status"]["S"] == completed
+            ),
+            key=lambda it: it["Correlation_Id"]["S"],
+        )
+        start = 0
+        if ExclusiveStartKey is not None:
+            keys = [self._k(it) for it in matches]
+            start = keys.index(self._k(ExclusiveStartKey)) + 1
+        page = {"Items": matches[start : start + 1]}
+        if start + 1 < len(matches):
+            page["LastEvaluatedKey"] = {
+                "Correlation_Id": matches[start]["Correlation_Id"],
+                "DataProduct": matches[start]["DataProduct"],
+            }
+        return page
+
+
+class TestDynamoDBStateStore:
+    def _store(self):
+        from dataworks_aws_corporate_data_ingestion_spark.plans.state import (
+            DynamoDBStateStore,
+        )
+
+        client = StubDynamoClient()
+        return DynamoDBStateStore(client, now=lambda: 1_000_000.0), client
+
+    def test_create_then_update_flow(self):
+        from dataworks_aws_corporate_data_ingestion_spark.plans.state import (
+            COMPLETED,
+            IN_PROGRESS,
+            JobStatus,
+        )
+
+        store, client = self._store()
+        store.put(
+            JobStatus("corr1", "CDI-a:b", "2024-01-05", IN_PROGRESS, cluster_id="j-1")
+        )
+        item = client.items[("corr1", "CDI-a:b")]
+        # first write creates the full row, reference steps/dynamodb.py:44-56
+        assert item["Status"]["S"] == IN_PROGRESS
+        assert item["Cluster_Id"]["S"] == "j-1"
+        assert float(item["TimeToExist"]["N"]) == 1_000_000.0 + 2 * 52 * 7 * 24 * 3600
+        assert "S3_Prefix_CDI_Export" not in item
+
+        store.put(
+            JobStatus(
+                "corr1", "CDI-a:b", "2024-01-05", COMPLETED, export_prefix="s3://x/p1"
+            )
+        )
+        # second write goes through update_item, not put_item
+        assert client.calls.count(("put_item", "data_pipeline_metadata")) == 1
+        assert client.calls.count(("update_item", "data_pipeline_metadata")) == 1
+        item = client.items[("corr1", "CDI-a:b")]
+        assert item["Status"]["S"] == COMPLETED
+        assert item["S3_Prefix_CDI_Export"]["S"] == "s3://x/p1"
+
+    def test_latest_completed_export_scans_and_paginates(self):
+        from dataworks_aws_corporate_data_ingestion_spark.plans.state import (
+            COMPLETED,
+            IN_PROGRESS,
+            JobStatus,
+        )
+
+        store, client = self._store()
+        put = lambda corr, date, status, prefix: store.put(
+            JobStatus(corr, "CDI-a:b", date, status, export_prefix=prefix)
+        )
+        put("c1", "2024-01-05", COMPLETED, "s3://x/p1")
+        put("c2", "2024-02-01", COMPLETED, "s3://x/p2")   # newest valid
+        put("c3", "2024-03-01", IN_PROGRESS, "s3://x/p3")  # wrong status
+        put("c4", "2024-04-01", COMPLETED, None)           # no export prefix
+        put("c5", "not-a-date", COMPLETED, "s3://x/p5")    # unparseable Date
+        store.put(JobStatus("c6", "CDI-other", "2024-05-01", COMPLETED,
+                            export_prefix="s3://x/p6"))    # other product
+
+        latest = store.latest_completed_export("CDI-a:b")
+        assert latest is not None
+        assert (latest.correlation_id, latest.export_prefix) == ("c2", "s3://x/p2")
+        # stub pages 1 item at a time -> pagination was exercised
+        assert client.calls.count(("scan", "data_pipeline_metadata")) >= 2
+
+    def test_empty_scan_returns_none(self):
+        store, _ = self._store()
+        assert store.latest_completed_export("CDI-a:b") is None
+
+
+class TestHiveDdlAuditPath:
+    """The metastore-backed audit publication variant: DDL strings are
+    asserted verbatim against the reference sequence
+    (steps/ingesters.py:181-206); execution stays gated on a Hive-enabled
+    session, which the sandbox doesn't have."""
+
+    def test_raw_load_sequence_matches_reference(self):
+        from dataworks_aws_corporate_data_ingestion_spark.plans.publish import (
+            audit_raw_load_ddl,
+        )
+        from dataworks_aws_corporate_data_ingestion_spark.plans.sqlrunner import (
+            split_statements,
+        )
+
+        stmts = split_statements(
+            audit_raw_load_ddl(
+                "uc_dw_auditlog", "auditlog_raw", "2024-01-05", "s3://pub/audit/2024-01-05/"
+            )
+        )
+        assert stmts == [
+            "DROP TABLE IF EXISTS uc_dw_auditlog.auditlog_raw_2024_01_05",
+            "CREATE EXTERNAL TABLE uc_dw_auditlog.auditlog_raw_2024_01_05 (val STRING)"
+            " PARTITIONED BY (date_str STRING) STORED AS TEXTFILE"
+            " LOCATION 's3://pub/audit/2024-01-05/'",
+            "ALTER TABLE uc_dw_auditlog.auditlog_raw_2024_01_05 ADD IF NOT EXISTS"
+            " PARTITION(date_str='2024-01-05') LOCATION 's3://pub/audit/2024-01-05/'",
+            "INSERT OVERWRITE TABLE uc_dw_auditlog.auditlog_raw"
+            " SELECT * FROM uc_dw_auditlog.auditlog_raw_2024_01_05",
+            "DROP TABLE IF EXISTS uc_dw_auditlog.auditlog_raw_2024_01_05",
+        ]
+
+    def test_expanded_table_uses_openx_serde(self):
+        from dataworks_aws_corporate_data_ingestion_spark.plans.publish import (
+            audit_expanded_table_ddl,
+        )
+
+        ddl = audit_expanded_table_ddl(
+            "uc_dw_auditlog", "2024-01-05", "s3://pub/audit/2024-01-05/"
+        )
+        assert "ROW FORMAT SERDE 'org.openx.data.jsonserde.JsonSerDe'" in ddl
+        assert "auditlog_expanded_2024_01_05" in ddl
+        assert "PARTITION(date_str='2024-01-05')" in ddl
+
+    def test_execution_gated_on_hive_catalog(self, spark):
+        import pytest
+
+        from dataworks_aws_corporate_data_ingestion_spark.plans.publish import (
+            publish_audit_day_hive,
+        )
+
+        with pytest.raises(RuntimeError, match="catalogImplementation"):
+            publish_audit_day_hive(spark, "/tmp/nowhere", "2024-01-05")
