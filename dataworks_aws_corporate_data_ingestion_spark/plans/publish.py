@@ -100,6 +100,82 @@ def publish_audit_day(
     )
 
 
+AUDIT_JSON_SERDE = "org.openx.data.jsonserde.JsonSerDe"
+
+
+def audit_raw_load_ddl(
+    database: str,
+    table: str,
+    export_date: str,
+    location: str,
+) -> str:
+    """The reference's exact external-table load sequence for one audit day
+    (reference steps/ingesters.py:181-193, verbatim statement shapes): a
+    throwaway EXTERNAL TABLE over the day's JSONL prefix, partition
+    registration, INSERT OVERWRITE into the raw managed table, then drop.
+
+    Returned as the same ';'-joined multi-statement text the reference fed
+    HiveService.execute_sql_statement_with_interpolation; run it with
+    SqlRunner.execute on a Hive-enabled session."""
+    external_table_name = f"auditlog_raw_{export_date.replace('-', '_')}"
+    return f"""
+        DROP TABLE IF EXISTS {database}.{external_table_name};
+        CREATE EXTERNAL TABLE {database}.{external_table_name} (val STRING) PARTITIONED BY (date_str STRING) STORED AS TEXTFILE LOCATION '{location}';
+        ALTER TABLE {database}.{external_table_name} ADD IF NOT EXISTS PARTITION(date_str='{export_date}') LOCATION '{location}';
+        INSERT OVERWRITE TABLE {database}.{table} SELECT * FROM {database}.{external_table_name};
+        DROP TABLE IF EXISTS {database}.{external_table_name}
+    """
+
+
+def audit_expanded_table_ddl(
+    database: str,
+    export_date: str,
+    location: str,
+    columns_ddl: str = "val STRING",
+) -> str:
+    """The JsonSerDe external-table day view (the reference interpolated
+    `auditlog_external_table.sql` with hivevars serde/date_underscore/
+    date_hyphen/data_location, steps/ingesters.py:195-206; the template
+    file itself lives outside the reference repo, so this reproduces the
+    documented interpolation contract rather than a byte-exact file)."""
+    table = f"auditlog_expanded_{export_date.replace('-', '_')}"
+    return f"""
+        DROP TABLE IF EXISTS {database}.{table};
+        CREATE EXTERNAL TABLE {database}.{table} ({columns_ddl}) PARTITIONED BY (date_str STRING) ROW FORMAT SERDE '{AUDIT_JSON_SERDE}' STORED AS TEXTFILE LOCATION '{location}';
+        ALTER TABLE {database}.{table} ADD IF NOT EXISTS PARTITION(date_str='{export_date}') LOCATION '{location}'
+    """
+
+
+def publish_audit_day_hive(
+    spark: SparkSession,
+    jsonl_day_path: str,
+    export_date: str,
+    database: str = "uc_dw_auditlog",
+    table: str = "auditlog_raw",
+) -> None:
+    """Hive-metastore form of publish_audit_day: the reference's actual
+    EXTERNAL TABLE/ADD PARTITION/INSERT OVERWRITE/DROP DDL round trip.
+    Requires a Hive-enabled session (enableHiveSupport); on the default
+    in-memory catalog raise rather than half-run DDL the catalog cannot
+    honour -- callers fall back to publish_audit_day."""
+    if spark.conf.get("spark.sql.catalogImplementation", "in-memory") != "hive":
+        raise RuntimeError(
+            "publish_audit_day_hive needs spark.sql.catalogImplementation=hive;"
+            " use publish_audit_day on the in-memory catalog"
+        )
+    runner = SqlRunner(spark)
+    runner.create_database_if_not_exists(database)
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS {database}.{table} (val STRING)
+        PARTITIONED BY (date_str STRING) STORED AS ORC
+        """
+    )
+    runner.execute(
+        audit_raw_load_ddl(database, table, export_date, jsonl_day_path)
+    )
+
+
 def publish_audit_view(
     spark: SparkSession,
     database: str,
