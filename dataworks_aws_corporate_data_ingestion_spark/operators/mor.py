@@ -8,11 +8,20 @@ window the batch merge uses, and compaction (the old full merge) runs
 only when the delta fraction makes read amplification hurt.  Weekly
 write cost drops ~10x; read cost grows with len(deltas) until compact.
 
-Layout (filesystem-atomic on local/HDFS; object stores want a manifest
-file instead of directory listing -- noted, not implemented):
+Layout:
 
+    table_dir/_manifest.json   committed view: base + ordered delta list
     table_dir/base/            range-clustered snapshot (id_part buckets)
     table_dir/deltas/<batch>/  append-only delta batches
+
+The manifest is the committed table state -- object-store directory
+listing is neither atomic nor consistent, so readers resolve the batch
+set from `_manifest.json` (committed via atomic rename here; a
+conditional PUT on S3) and fall back to sorted directory listing only
+for pre-manifest tables.  Once a manifest exists, compaction is a single
+manifest commit: base swaps and delta removal become garbage collection,
+not correctness.  Single committed writer assumed, as in the reference's
+one-driver jobs.
 
 Delete semantics follow the reference: DELETE rows win over INSERT for
 the same key (db_type ascending), so deletions tombstone at read time
@@ -21,6 +30,7 @@ and physically vanish at compaction.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -42,18 +52,61 @@ def _deltas_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "deltas")
 
 
+def _manifest_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "_manifest.json")
+
+
+def read_manifest(table_dir: str) -> dict | None:
+    """The committed table view, or None for a pre-manifest table."""
+    path = _manifest_path(table_dir)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _listed_state(table_dir: str) -> dict:
+    """Recovery view from directory listing (pre-manifest tables only;
+    batch names sort in arrival order by construction)."""
+    deltas = _deltas_dir(table_dir)
+    return {
+        "version": 0,
+        "base": os.path.exists(_base_dir(table_dir)),
+        "deltas": sorted(os.listdir(deltas)) if os.path.exists(deltas) else [],
+    }
+
+
+def _commit_manifest(table_dir: str, state: dict) -> None:
+    """Atomic-rename commit (the object-store port is a conditional PUT
+    keyed on `version`, which is why the version travels in the file)."""
+    tmp = _manifest_path(table_dir) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, _manifest_path(table_dir))
+
+
+def current_state(table_dir: str) -> dict:
+    return read_manifest(table_dir) or _listed_state(table_dir)
+
+
 def write_delta(df: DataFrame, table_dir: str) -> str:
     """Append one delta batch; returns its directory.  Cheap: no read of
     existing state, no shuffle beyond the caller's.
 
-    Batch names carry a monotonic nanosecond prefix: read_merged derives
-    generation order from the SORTED names, so names must sort in
-    arrival order (a bare uuid would randomise who wins a key)."""
-    batch_dir = os.path.join(
-        _deltas_dir(table_dir),
-        f"batch-{time.time_ns():020d}-{uuid.uuid4().hex[:6]}",
-    )
+    Batch names carry a monotonic nanosecond prefix so the pre-manifest
+    fallback (sorted listing) still yields arrival order; the committed
+    order is the manifest's list.  The batch is invisible to readers
+    until the manifest commit -- a crash between the two leaves an
+    orphan directory, not a torn table."""
+    # snapshot the committed state BEFORE the write: in the pre-manifest
+    # fallback the listing would otherwise already include the new batch
+    state = current_state(table_dir)
+    batch_name = f"batch-{time.time_ns():020d}-{uuid.uuid4().hex[:6]}"
+    batch_dir = os.path.join(_deltas_dir(table_dir), batch_name)
     df.select(*COLUMNS).write.mode("errorifexists").parquet(batch_dir)
+    state["version"] = int(state.get("version", 0)) + 1
+    state["deltas"] = list(state["deltas"]) + [batch_name]
+    _commit_manifest(table_dir, state)
     return batch_dir
 
 
@@ -62,20 +115,21 @@ def read_merged(spark: SparkSession, table_dir: str) -> DataFrame:
     latest-per-key merge.  Later delta batches beat earlier ones and all
     deltas beat base; within a batch, DELETE beats INSERT (reference
     rule).  Ordering uses a generation stamp per source."""
+    state = current_state(table_dir)
     frames = []
-    base = _base_dir(table_dir)
-    if os.path.exists(base):
+    if state["base"]:
         frames.append(
-            spark.read.parquet(base).select(*COLUMNS).withColumn("__gen", F.lit(0))
+            spark.read.parquet(_base_dir(table_dir))
+            .select(*COLUMNS)
+            .withColumn("__gen", F.lit(0))
         )
     deltas = _deltas_dir(table_dir)
-    if os.path.exists(deltas):
-        for gen, batch in enumerate(sorted(os.listdir(deltas)), start=1):
-            frames.append(
-                spark.read.parquet(os.path.join(deltas, batch))
-                .select(*COLUMNS)
-                .withColumn("__gen", F.lit(gen))
-            )
+    for gen, batch in enumerate(state["deltas"], start=1):
+        frames.append(
+            spark.read.parquet(os.path.join(deltas, batch))
+            .select(*COLUMNS)
+            .withColumn("__gen", F.lit(gen))
+        )
     if not frames:
         raise FileNotFoundError(f"no base or deltas under {table_dir}")
     unioned = frames[0]
@@ -94,16 +148,28 @@ def read_merged(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
+def clear_deltas(table_dir: str) -> None:
+    """Drop all delta batches from the committed view (manifest commit
+    first, directory removal as GC) -- used after an external fold of the
+    deltas, e.g. the bench's steady-state reset."""
+    state = current_state(table_dir)
+    state["version"] = int(state.get("version", 0)) + 1
+    state["deltas"] = []
+    _commit_manifest(table_dir, state)
+    shutil.rmtree(_deltas_dir(table_dir), ignore_errors=True)
+
+
 def delta_fraction(spark: SparkSession, table_dir: str) -> float:
     """Deltas-to-base row ratio -- the compaction trigger metric."""
+    state = current_state(table_dir)
     deltas = _deltas_dir(table_dir)
-    base = _base_dir(table_dir)
-    n_delta = (
-        spark.read.parquet(os.path.join(deltas, "*")).count()
-        if os.path.exists(deltas) and os.listdir(deltas)
-        else 0
+    n_delta = sum(
+        spark.read.parquet(os.path.join(deltas, b)).count()
+        for b in state["deltas"]
     )
-    n_base = spark.read.parquet(base).count() if os.path.exists(base) else 0
+    n_base = (
+        spark.read.parquet(_base_dir(table_dir)).count() if state["base"] else 0
+    )
     return n_delta / max(n_base, 1)
 
 
@@ -111,6 +177,7 @@ def compact(spark: SparkSession, table_dir: str) -> None:
     """Fold all deltas into a new range-clustered base and clear them --
     the reference's weekly merge, now run on-demand.  Tombstoned keys
     physically disappear here."""
+    state = current_state(table_dir)
     merged = read_merged(spark, table_dir)
     staging = os.path.join(table_dir, f"base.staging-{uuid.uuid4().hex[:8]}")
     (
@@ -124,5 +191,11 @@ def compact(spark: SparkSession, table_dir: str) -> None:
     if os.path.exists(base):
         os.rename(base, old)
     os.rename(staging, base)
+    # the commit point: readers switch to the new base + empty delta list
+    # here; everything after is garbage collection
+    _commit_manifest(
+        table_dir,
+        {"version": int(state.get("version", 0)) + 1, "base": True, "deltas": []},
+    )
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(_deltas_dir(table_dir), ignore_errors=True)

@@ -378,8 +378,34 @@ def _bench_merge_write(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     write_snapshot(merged, f"{out_dir}/snapshot")
 
 
+def _bench_mor_cycle(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Merge-on-read daily cycle, the counterpoint to the CoW
+    merge_and_write_snapshot above: append a ~1% delta and produce the
+    read-time merged view.  The base is built on the first repeat only and
+    the delta set is reset each call, so best-of-N times the steady state
+    (delta append + read-amplified merged scan, no base rewrite)."""
+    import shutil
+
+    from .operators import mor
+
+    table = f"{out_dir}/mor"
+    daily = spark.read.orc(f"{out_dir}/daily")
+    cols = ("id", "db_type", "val", "id_part")
+    if mor.current_state(table)["deltas"] or not mor.current_state(table)["base"]:
+        shutil.rmtree(table, ignore_errors=True)
+        mor.write_delta(daily.select(*cols), table)
+        mor.compact(spark, table)
+    mor.write_delta(
+        daily.select(*cols).sample(fraction=0.01, seed=42), table
+    )
+    mor.read_merged(spark, table).write.format("noop").mode("overwrite").save()
+    # restore steady state for the next repeat
+    mor.clear_deltas(table)
+
+
 WRITE_BENCHES["write_daily_clustered_orc"] = _bench_write_daily
 WRITE_BENCHES["merge_and_write_snapshot"] = _bench_merge_write
+WRITE_BENCHES["mor_append_and_read_merged"] = _bench_mor_cycle
 
 
 # Extension modules register additional queries on import; this must stay at

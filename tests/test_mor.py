@@ -61,3 +61,55 @@ class TestMergeOnRead:
             _rows(spark, ("aa1", "INSERT", "v1"), ("aa1", "DELETE", "v1")), t
         )
         assert "aa1" not in _snap(spark, t)
+
+
+class TestManifest:
+    def test_manifest_is_authoritative_orphans_invisible(self, spark, tmp_path):
+        """A crash between writing a batch directory and committing the
+        manifest leaves an orphan dir; readers must not see it."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.mor import (
+            read_manifest,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(_rows(spark, ("aa1", "INSERT", "v1")), t)
+        # simulate the torn write: batch parquet exists, manifest never updated
+        orphan = _rows(spark, ("aa1", "INSERT", "SHOULD-NOT-WIN"))
+        orphan.select("id", "db_type", "val", "id_part").write.parquet(
+            os.path.join(t, "deltas", "batch-99999999999999999999-dead")
+        )
+        assert _snap(spark, t) == {"aa1": ("INSERT", "v1")}
+        assert read_manifest(t)["deltas"] != []
+
+    def test_pre_manifest_table_recovers_from_listing(self, spark, tmp_path):
+        """Deleting the manifest (a pre-manifest table) falls back to
+        sorted directory listing; the next write re-commits a manifest
+        covering the recovered batches."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.mor import (
+            read_manifest,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(_rows(spark, ("aa1", "INSERT", "v1")), t)
+        write_delta(_rows(spark, ("aa1", "INSERT", "v2")), t)
+        os.remove(os.path.join(t, "_manifest.json"))
+        assert _snap(spark, t) == {"aa1": ("INSERT", "v2")}  # listing order
+        write_delta(_rows(spark, ("bb2", "INSERT", "v3")), t)
+        m = read_manifest(t)
+        assert len(m["deltas"]) == 3  # recovered both + the new one, in order
+        assert _snap(spark, t) == {
+            "aa1": ("INSERT", "v2"),
+            "bb2": ("INSERT", "v3"),
+        }
+
+    def test_compact_commits_empty_delta_list(self, spark, tmp_path):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.mor import (
+            read_manifest,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta(_rows(spark, ("aa1", "INSERT", "v1")), t)
+        v_before = read_manifest(t)["version"]
+        compact(spark, t)
+        m = read_manifest(t)
+        assert m == {"version": v_before + 1, "base": True, "deltas": []}
