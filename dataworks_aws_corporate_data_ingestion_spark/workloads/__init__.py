@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     relational,
     relational2,
     relational3,
+    relational4,
     sampling_suite,
     similarity_search,
     streaming_ops,

@@ -1,0 +1,343 @@
+"""TPC-H tail shapes q8/q17/q21/q22 adapted to the synthetic schema.
+
+The testdata has no partsupp table and omits a few classic columns
+(l_receiptdate/l_commitdate, p_container, c_phone), so the remaining
+expressible shapes keep the canonical PLAN structure with adapted
+predicates: q21's lateness is l_shipdate > o_orderdate + 90 days, q22's
+country code is the market segment.  q2/q9/q11/q16/q20 stay blocked on
+partsupp (ROUND_NOTES backlog).
+
+Oracle discipline (see .claude/skills/verify/SKILL.md): money stays
+DECIMAL(12,2) until a final double cast; threshold comparisons are
+cross-multiplied exact values (integers or decimals), never engine-summed
+doubles; ratio outputs are double-divided only after exact numerators and
+denominators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ..workload import money, one, rate, register
+
+
+@register(
+    "q8_market_share",
+    tags=("join", "aggregation", "ratio"),
+    oracle="""
+        SELECT
+            EXTRACT(year FROM o_orderdate) AS mkt_year,
+            CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                     THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+            / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                AS mkt_share
+        FROM part, lineitem, supplier, orders, customer, nation n1, nation n2, region
+        WHERE p_partkey = l_partkey
+          AND s_suppkey = l_suppkey
+          AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey
+          AND c_nationkey = n1.n_nationkey
+          AND n1.n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND s_nationkey = n2.n_nationkey
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+          AND p_type = 'ECONOMY'
+        GROUP BY mkt_year
+        ORDER BY mkt_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_5's share of ECONOMY-part revenue sold into EUROPE
+    per order year.
+
+    Scale notes: nation/region are fixed 25/5-row dims -> broadcast hints;
+    part/supplier/customer scale with SF, so their join strategies are
+    left to AQE.  The share is one hash aggregate over the joined fact --
+    the conditional numerator avoids a second scan.  Exact decimal sums,
+    double division at the end only."""
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    supplier = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    lineitem = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    customer = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, "region", sf_dir).select("r_regionkey", "r_name")
+
+    volume = money("l_extendedprice") * (one() - rate("l_discount"))
+    zero = F.lit(0).cast("decimal(12,2)")
+    euro_nations = (
+        nation.alias("n1")
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n1.n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n1.n_nationkey").alias("cust_nationkey"))
+    )
+    return (
+        lineitem.join(
+            part.filter(F.col("p_type") == "ECONOMY"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.filter(
+                F.col("o_orderdate").between(
+                    F.lit("1995-01-01").cast("timestamp_ntz"),
+                    F.lit("1996-12-31").cast("timestamp_ntz"),
+                )
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(euro_nations),
+            F.col("c_nationkey") == F.col("cust_nationkey"),
+        )
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("supp_nationkey"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("supp_nationkey"),
+        )
+        .groupBy(F.year("o_orderdate").alias("mkt_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", volume).otherwise(zero)
+                ).cast("double")
+                / F.sum(volume).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("mkt_year")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    tags=("join", "correlated-agg"),
+    oracle="""
+        WITH per_part AS (
+            SELECT l_partkey AS pp_partkey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT) AS cnt_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+               AS DOUBLE) AS avg_yearly
+        FROM lineitem, part, per_part
+        WHERE p_partkey = l_partkey
+          AND pp_partkey = p_partkey
+          AND p_brand = 'Brand#13'
+          AND p_type = 'ECONOMY'
+          AND CAST(l_quantity AS BIGINT) * 5 * cnt_qty < sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from lines whose quantity is below 20% of the
+    part's average ordered quantity (for one brand/type slice).
+
+    The 0.2*AVG threshold is the classic cross-engine trap: AVG(double)
+    differs per summation order.  Quantities are integral, so the
+    comparison cross-multiplies to exact integers:
+    qty < 0.2 * sum/cnt  ==  qty * 5 * cnt < sum.
+
+    Scale notes: the per-part aggregate is a partial-agg shuffle on
+    l_partkey (map-side combine shrinks it to one row per part), then an
+    equi-join back to the filtered fact; no per-row correlated probe
+    exists in the physical plan."""
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand", "p_type")
+    lineitem = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("__sum_qty"),
+        F.count(F.lit(1)).alias("__cnt_qty"),
+    )
+    return (
+        lineitem.join(
+            part.filter(
+                (F.col("p_brand") == "Brand#13") & (F.col("p_type") == "ECONOMY")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(per_part.withColumnRenamed("l_partkey", "__pk"),
+              F.col("p_partkey") == F.col("__pk"))
+        .filter(
+            F.col("l_quantity").cast("bigint") * 5 * F.col("__cnt_qty")
+            < F.col("__sum_qty")
+        )
+        .agg(
+            (F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    tags=("join", "exists", "anti-exists", "topk"),
+    oracle="""
+        WITH order_lines AS (
+            SELECT l_orderkey, l_suppkey,
+                   (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS is_late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        ),
+        order_stats AS (
+            SELECT l_orderkey,
+                   COUNT(DISTINCT l_suppkey) AS n_supp,
+                   COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+            FROM order_lines GROUP BY l_orderkey
+        )
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM order_lines ol
+        JOIN order_stats os ON ol.l_orderkey = os.l_orderkey
+        JOIN supplier ON ol.l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE ol.is_late
+          AND os.n_supp >= 2
+          AND os.n_late_supp = 1
+          AND n_name = 'NATION_3'
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 20
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers in one nation who alone held up multi-supplier
+    'F' orders (their line late, EXISTS another supplier on the order,
+    NOT EXISTS another LATE supplier).  Lateness adapts to the synthetic
+    schema as l_shipdate > o_orderdate + 90 days.
+
+    Scale notes: the classic EXISTS / NOT EXISTS pair is re-expressed as
+    ONE per-order aggregate (distinct suppliers, distinct late suppliers)
+    joined back to the late lines -- two shuffles on l_orderkey and one
+    on s_name, versus two correlated semi/anti probes of the fact table.
+    The nation filter broadcasts; TakeOrderedAndProject caps the output."""
+    supplier = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    lineitem = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    order_lines = (
+        lineitem.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("is_late"),
+        )
+    )
+    order_stats = order_lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    return (
+        order_lines.filter(F.col("is_late"))
+        .join(
+            order_stats.withColumnRenamed("l_orderkey", "__ok"),
+            F.col("l_orderkey") == F.col("__ok"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q22_lapsed_balance_report",
+    tags=("anti-join", "scalar-subquery", "aggregation"),
+    oracle="""
+        WITH pos AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS bal_sum,
+                   CAST(COUNT(*) AS BIGINT) AS bal_cnt
+            FROM customer
+            WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+              AND c_acctbal > 0.0
+        )
+        SELECT c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        FROM customer, pos
+        WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+          AND CAST(c_acctbal AS DECIMAL(12,2)) * bal_cnt > bal_sum
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '2000-01-01'
+          )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+)
+def q22_lapsed_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: well-funded customers (balance above the positive
+    average for their cohort) with no orders since 2000-01-01, reported
+    per segment (the synthetic schema's stand-in for the phone country
+    code; every synthetic customer has SOME order, so "lapsed" is
+    date-scoped to keep the anti join meaningful).
+
+    The above-average threshold is cross-multiplied exact decimals
+    (bal * count > sum), never a double AVG -- the skill-file trap.
+
+    Scale notes: the scalar aggregate is one tiny row broadcast into the
+    filter; the never-ordered test is a left_anti hash join on o_custkey
+    (null-safe by construction); one final shuffle on the 3 segments."""
+    segs = ("AUTOMOBILE", "BUILDING", "MACHINERY")
+    customer = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey", "o_orderdate")
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    cohort = customer.filter(F.col("c_mktsegment").isin(*segs))
+    pos = cohort.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(money("c_acctbal")).cast("decimal(38,2)").alias("bal_sum"),
+        F.count(F.lit(1)).alias("bal_cnt"),
+    )
+    return (
+        cohort.join(F.broadcast(pos))
+        .filter(money("c_acctbal") * F.col("bal_cnt") > F.col("bal_sum"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(money("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("segment")
+    )
