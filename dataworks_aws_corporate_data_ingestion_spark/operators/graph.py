@@ -1,0 +1,126 @@
+"""Connected components for duplicate-cluster resolution.
+
+Near-dup detection (minhash/simhash/embedding LSH) emits PAIRS, but
+dedup policy acts on CLUSTERS: transitively-linked docs collapse to one
+representative.  The pair->cluster step is connected components on the
+similarity graph.
+
+Algorithm: alternating large-star / small-star contraction (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SOCC'14) -- each
+round rewires every node's neighbors to its neighborhood minimum, which
+converges in O(log n) rounds even on adversarial long-chain graphs
+(plain min-label propagation needs O(diameter) rounds; near-dup chains
+can be long, so the star algorithm is the 100 TB-safe choice).
+
+Each round is two shuffles (neighborhood-min aggregate + co-partitioned
+join) and an eager localCheckpoint to truncate lineage -- without it the
+plan doubles per round and round 20 replays round 1.  Convergence is
+detected by an order-independent edge-set signature (count + sums of
+endpoint hashes), one cheap aggregate per round rather than a full
+set-difference job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("u"), F.col("v"))
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(nbrs: DataFrame) -> DataFrame:
+    """Large-star over the SYMMETRIC neighbor list: rewire every
+    strictly-larger neighbor of u to m(u) = min(N(u) + {u})."""
+    mins = nbrs.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        nbrs.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: orient each edge (larger -> smaller), group on the
+    larger endpoint, rewire all smaller neighbors AND the node itself to
+    the minimum (the (u, m) self-link is what keeps u attached to its
+    component between rounds)."""
+    oriented = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_links = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        rewired.union(self_links)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _signature(nbrs: DataFrame) -> tuple:
+    row = nbrs.agg(
+        F.count(F.lit(1)),
+        # decimal(38) accumulator: a BIGINT sum of int64 hashes overflows
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+        F.sum(F.col("u").cast("decimal(38,0)")),
+        F.sum(F.col("v").cast("decimal(38,0)")),
+    ).collect()[0]
+    return tuple(row)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Cluster assignment for every node that appears in `edges`:
+    returns (node, component) where component is the smallest node id in
+    the connected component.  Isolated nodes never appear in `edges`, so
+    callers union singletons back if the policy needs them.
+
+    Deterministic: component ids are graph minima, independent of
+    partitioning or round count."""
+    star = _symmetrize(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_rounds):
+        star = _small_star(_large_star(_symmetrize(star))).localCheckpoint(
+            eager=True
+        )
+        sig = _signature(star)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: a star forest of (node, root) edges; nodes may carry
+    # several edges mid-collapse, so take the min, and roots (appearing
+    # only as targets) label themselves
+    members = star.groupBy("u").agg(F.min("v").alias("component"))
+    roots = (
+        star.select(F.col("v").alias("u"))
+        .distinct()
+        .join(members, "u", "left_anti")
+        .select("u", F.col("u").alias("component"))
+    )
+    return members.union(roots).select(
+        F.col("u").alias("node"), "component"
+    )

@@ -7,6 +7,7 @@ parameters are tuned so verified candidates equal the exact >=0.9 pair set
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     near_dup_pairs_exact,
@@ -69,3 +70,46 @@ def simhash_near_dups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signature depends on blake2b token hashing; verified in pytest
     against a pure-Python reference implementation."""
     return simhash_near_dup_pairs(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "duplicate_clusters",
+    tags=("dedup", "graph", "connected-components"),
+    oracle="""
+        WITH RECURSIVE pairs AS (
+            SELECT a, b FROM (""" + _PAIRS_JACCARD_ORACLE + """) t
+        ),
+        sym AS (
+            SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+        ),
+        reach AS (
+            SELECT a AS node, b AS r FROM sym
+            UNION
+            SELECT reach.node, sym.b AS r
+            FROM reach JOIN sym ON reach.r = sym.a
+        )
+        SELECT node AS doc_id,
+               CAST(LEAST(node, MIN(r)) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    """,
+)
+def duplicate_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate CLUSTERS from near-dup pairs: the pair list
+    (minhash emits A~B, B~C) collapses to components (A,B,C share one
+    cluster_id = smallest doc_id) -- the unit dedup policy actually acts
+    on ("keep one doc per cluster").
+
+    Engine path: LSH-verified minhash pairs -> star-contraction connected
+    components (operators/graph.py, O(log n) rounds).  The oracle walks
+    the same >=0.9 exact-jaccard pair set with a recursive closure, so
+    the hash match certifies pairs AND clustering.
+
+    Scale notes: pair generation is the banded LSH join (no all-pairs);
+    clustering is O(log n) two-shuffle rounds on the pair set, which is
+    orders of magnitude smaller than the corpus."""
+    from ..operators.graph import connected_components
+
+    pairs = near_dup_pairs_minhash(load_table(spark, "documents", sf_dir))
+    return connected_components(pairs, src="a", dst="b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
