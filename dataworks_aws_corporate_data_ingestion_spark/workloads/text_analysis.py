@@ -165,3 +165,104 @@ def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_dist").cast("double") / F.sum("n_tok")).alias("distinct_ratio"),
         (F.sum("n_stop").cast("double") / F.sum("n_tok")).alias("stop_ratio"),
     )
+
+
+@register(
+    "bm25_top_docs",
+    tags=("text", "relevance", "topk"),
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   string_split(lower(text), ' ') AS toks,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, dl,
+                   CAST(len(list_filter(toks, x -> x = 'shuffle')) AS BIGINT) AS tf1,
+                   CAST(len(list_filter(toks, x -> x = 'broadcast')) AS BIGINT) AS tf2,
+                   CAST(len(list_filter(toks, x -> x = 'partition')) AS BIGINT) AS tf3
+            FROM d
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS sum_dl,
+                   CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                   CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+                   CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+            FROM tf
+        )
+        SELECT doc_id,
+               (CAST(n_docs - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)
+                   * (CAST(tf1 AS DOUBLE) * 2.2)
+                   / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75
+                      * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+             + (CAST(n_docs - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)
+                   * (CAST(tf2 AS DOUBLE) * 2.2)
+                   / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75
+                      * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+             + (CAST(n_docs - df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5)
+                   * (CAST(tf3 AS DOUBLE) * 2.2)
+                   / (CAST(tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75
+                      * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+               AS bm25
+        FROM tf, stats
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT 20
+    """,
+)
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against the fixed query
+    {shuffle, broadcast, partition}; top 20 by score.
+
+    Cross-engine determinism: the idf is the RATIONAL BM25 ratio
+    (n - df + 0.5)/(df + 0.5) with no log() -- transcendental libm
+    results differ in the last ulp between the JVM and DuckDB and the
+    driver hashes full repr() precision, so the score sticks to IEEE
+    +,-,*,/ on identically-derived operands with matching association
+    order (k1=1.2, b=0.75; tf*(k1+1) numerator).  Monotone in the
+    classic BM25 per-term score, so ranking semantics survive.
+
+    Scale notes: tf/dl are per-row JVM lambda exprs over the token
+    array (no Python); corpus stats are ONE tiny aggregate row broadcast
+    back; top-20 plans as TakeOrderedAndProject."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.lower(F.col("text")), " ")
+    tf_of = lambda term: F.size(F.filter(toks, lambda x: x == F.lit(term)))
+    tf = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("dl"),
+        tf_of("shuffle").cast("bigint").alias("tf1"),
+        tf_of("broadcast").cast("bigint").alias("tf2"),
+        tf_of("partition").cast("bigint").alias("tf3"),
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        F.sum((F.col("tf1") > 0).cast("bigint")).alias("df1"),
+        F.sum((F.col("tf2") > 0).cast("bigint")).alias("df2"),
+        F.sum((F.col("tf3") > 0).cast("bigint")).alias("df3"),
+    )
+
+    def term_score(tf_c: str, df_c: str) -> F.Column:
+        dbl = lambda c: F.col(c).cast("double")
+        avgdl = dbl("sum_dl") / dbl("n_docs")
+        idf = ((dbl("n_docs") - dbl(df_c)) + F.lit(0.5)) / (dbl(df_c) + F.lit(0.5))
+        return idf * (dbl(tf_c) * F.lit(2.2)) / (
+            dbl(tf_c)
+            + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (dbl("dl") / avgdl))
+        )
+
+    return (
+        tf.join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                term_score("tf1", "df1")
+                + term_score("tf2", "df2")
+                + term_score("tf3", "df3")
+            ).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
