@@ -347,6 +347,11 @@ def simhash_near_dup_pairs(
     on (chunk_id, chunk_value) -- never an all-pairs scan.  Candidates are
     verified with an exact popcount."""
     width = 64 // chunks
+    # the signature UDF is CPU-bound per row: spread it over every core
+    # even when the corpus arrived as one split (same discipline as
+    # minhash above), and compute it ONCE -- both sides of the bucket
+    # self-join read `exploded`, which would otherwise re-run the UDF
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     signed = simhash_signatures(docs, id_col=id_col, text_col=text_col)
     mask = (1 << width) - 1
     chunk_values = F.array(
@@ -359,7 +364,7 @@ def simhash_near_dup_pairs(
         F.col(id_col),
         F.col("simhash"),
         F.posexplode(chunk_values).alias("chunk_id", "chunk_value"),
-    )
+    ).persist()
     left = exploded.select(
         F.col(id_col).alias("a"), F.col("simhash").alias("sim_a"), "chunk_id", "chunk_value"
     )
