@@ -87,5 +87,5 @@ def packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir).select(
         "doc_id", token_count(F.col("text")).alias("n_tokens")
     )
-    packed = pack_sequences(d, budget=512)
-    return packed.withColumn("doc_ids", F.to_json("doc_ids"))
+    packed = pack_sequences(d, budget=512, residual_threshold=0.85)
+    return packed.withColumn("doc_ids", F.to_json("doc_ids")).drop("doc_tokens")

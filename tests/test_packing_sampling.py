@@ -52,6 +52,37 @@ class TestPacking:
         avg_fill = sum(r["fill_ratio"] for r in packs) / len(packs)
         assert avg_fill > 0.8, f"FFD should pack tightly, got {avg_fill}"
 
+    def test_residual_merge_recovers_global_fill(self, spark):
+        """Per-bucket FFD strands ~half a pack per bucket; the one-task
+        residual re-pack must recover (measured sf0.1: 0.89 -> 0.99 at
+        32 buckets).  Here: many buckets over few docs exaggerates the
+        stranding, and the recovered fill must match global FFD's pack
+        count."""
+        d = _docs(spark)
+        global_packs = pack_sequences(d, budget=128, n_buckets=1).count()
+        naive = pack_sequences(d, budget=128, n_buckets=16).count()
+        merged = pack_sequences(
+            d, budget=128, n_buckets=16, residual_threshold=0.85
+        ).count()
+        assert naive > global_packs  # stranding is real at this shape
+        assert merged < naive
+        # within 3% of global FFD (packs >= 0.85 fill are never dissolved,
+        # so exact parity isn't guaranteed on tiny corpora)
+        assert merged - global_packs <= max(2, global_packs * 3 // 100)
+
+    def test_residual_merge_keeps_invariants(self, spark):
+        d = _docs(spark)
+        packs = pack_sequences(
+            d, budget=128, n_buckets=16, residual_threshold=0.85
+        ).collect()
+        seen = sorted(i for r in packs for i in r["doc_ids"])
+        assert seen == list(range(500))  # every doc exactly once
+        for r in packs:
+            assert r["doc_tokens"] is not None
+            assert sum(r["doc_tokens"]) == r["total_tokens"]
+            if r["n_docs"] > 1:
+                assert r["total_tokens"] <= 128
+
 
 class TestSampling:
     def test_sample_stable_under_growth(self, spark):
