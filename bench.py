@@ -37,8 +37,9 @@ def main() -> None:
 
     # best-of-N: the harness shares a host, so single-shot timings carry
     # external load spikes; the minimum is the cleanest estimate of what
-    # the plan itself costs
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # the plan itself costs.  Default raised 3 -> 5 so round-over-round
+    # diffs outrun the host's ~3x load swings.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
     out_dir = tempfile.mkdtemp(prefix="cdi-bench-")
     try:
         for name, spec in bench_queries.items():
