@@ -40,6 +40,9 @@ def canonical_json(value) -> str:
 
 
 def is_date_string(value: str) -> bool:
+    lv = len(value)
+    if lv != 24 and lv != 28:  # the only lengths DATE_PATTERN can match
+        return False
     return bool(DATE_PATTERN.match(value))
 
 
@@ -65,16 +68,21 @@ def to_utc_wrapped_format(raw: str) -> str:
     m = _FAST_TS.match(raw)
     if m is not None:
         y, mo, d, h, mi, s, ms, tz = m.groups()
+        # the constructor IS the validation (month 13, day 32, ... raise
+        # ValueError exactly as strptime would)
         t = dt.datetime(int(y), int(mo), int(d), int(h), int(mi), int(s))
-        if tz != "Z":
-            off = int(tz[1:3]) * 60 + int(tz[3:5])
-            if off >= 24 * 60:
-                # strptime raises "offset must be ... strictly between"; defer
-                dt.datetime.strptime(raw, _INCOMING_FORMAT)
-            if tz[0] == "+":
-                t -= dt.timedelta(minutes=off)
-            else:
-                t += dt.timedelta(minutes=off)
+        if tz == "Z":
+            return raw  # already the canonical output byte-for-byte
+        off = int(tz[1:3]) * 60 + int(tz[3:5])
+        if off >= 24 * 60:
+            # strptime raises "offset must be ... strictly between"; defer
+            dt.datetime.strptime(raw, _INCOMING_FORMAT)
+        if off == 0:
+            return raw[:23] + "Z"  # +0000/-0000: no shift, swap the suffix
+        if tz[0] == "+":
+            t -= dt.timedelta(minutes=off)
+        else:
+            t += dt.timedelta(minutes=off)
         return (
             f"{t.year:04d}-{t.month:02d}-{t.day:02d}"
             f"T{t.hour:02d}:{t.minute:02d}:{t.second:02d}.{ms}Z"
@@ -105,15 +113,26 @@ def normalise_dates(value):
         (dates inside free text stay untouched)
       * a wrapped date whose inner string is malformed raises ValueError
       * dict *keys* are never rewritten
-    """
-    if _is_wrapped_date(value):
-        return {"$date": to_utc_wrapped_format(str(value["$date"]))}
-    if isinstance(value, dict):
+
+    This walk is the hottest loop of the fused ingest UDF (~40% of
+    validate_record), so dispatch is ordered for the common case: plain
+    strings first with a length gate before the regex, the wrapped-date
+    test only inside the dict branch (it can only ever be a dict), no
+    per-value helper calls."""
+    t = type(value)
+    if t is str:
+        lv = len(value)
+        if (lv == 24 or lv == 28) and DATE_PATTERN.match(value):
+            return {"$date": to_utc_wrapped_format(value)}
+        return value
+    if t is dict:
+        if len(value) == 1:
+            inner = value.get("$date")
+            if inner and isinstance(inner, JSON_PRIMITIVES):
+                return {"$date": to_utc_wrapped_format(str(inner))}
         return {k: normalise_dates(v) for k, v in value.items()}
-    if isinstance(value, list):
+    if t is list:
         return [_normalise_list_element(v) for v in value]
-    if isinstance(value, str) and is_date_string(value):
-        return {"$date": to_utc_wrapped_format(value)}
     return value
 
 
@@ -125,12 +144,15 @@ def _normalise_list_element(value):
     {"$date": {"$date": <normalised>}} -- an observable reference quirk we
     preserve for byte parity.  Values nested deeper inside such a dict go
     through normalise_dates (reference process_element), which does check."""
-    if isinstance(value, dict):
+    t = type(value)
+    if t is dict:
         return {k: normalise_dates(v) for k, v in value.items()}
-    if isinstance(value, list):
+    if t is list:
         return [_normalise_list_element(v) for v in value]
-    if isinstance(value, str) and is_date_string(value):
-        return {"$date": to_utc_wrapped_format(value)}
+    if t is str:
+        lv = len(value)
+        if (lv == 24 or lv == 28) and DATE_PATTERN.match(value):
+            return {"$date": to_utc_wrapped_format(value)}
     return value
 
 
