@@ -22,6 +22,10 @@ SHOWCASE = [
     ("sessionization_30min", "one window shuffle reused by the aggregate"),
     ("asof_last_view_before_purchase", "union-trick as-of join, no range join"),
     ("top_terms_by_source", "explode absorbed by map-side partial agg"),
+    ("q21_waiting_supplier", "EXISTS/NOT-EXISTS pair as one per-order aggregate"),
+    ("q22_lapsed_balance_report", "broadcast scalar aggregate + anti join"),
+    ("bm25_top_docs", "JVM lambda tf/dl + one broadcast stats row + TakeOrdered"),
+    ("curation_pipeline", "filter/grade/cluster/sample chain, one corpus shuffle"),
 ]
 
 
