@@ -1,0 +1,51 @@
+"""Bucketed managed tables: pre-shuffled layouts for exchange-free joins.
+
+A fact table joined repeatedly on the same key pays a full shuffle per
+query.  Writing both sides `bucketBy(n, key)` (hash-partitioned files +
+bucket metadata in the catalog) moves that shuffle to write time, once:
+joins and aggregations on the bucket key then plan with NO Exchange on
+the bucketed sides -- at 100 TB this turns the recurring dominant cost
+of a co-located join into a one-time layout decision, the same trade the
+reference makes with its range-clustered snapshot (but catalog-enforced,
+so every reader benefits without knowing the layout).
+
+Bucket counts should be sized so one bucket ~ one task's worth of data
+at the target scale (128-512 MB); both join sides must use the SAME
+count (or a multiple, letting Spark coalesce buckets).  sortBy within
+buckets additionally removes the join's per-partition sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort: bool = True,
+    fmt: str = "parquet",
+) -> None:
+    """Persist df as a bucketed (and optionally bucket-sorted) managed
+    table.  mode=overwrite keeps re-runs idempotent."""
+    writer = (
+        df.write.format(fmt)
+        .mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort:
+        writer = writer.sortBy(*bucket_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str]
+) -> DataFrame:
+    """Join two bucketed tables on their bucket key.  With matching
+    bucket counts the physical plan is a SortMergeJoin whose BOTH sides
+    read bucketed scans -- no Exchange (asserted by
+    tests/test_bucketing.py, which would catch a layout or key mismatch
+    silently reintroducing the shuffle)."""
+    return spark.table(left_table).join(spark.table(right_table), on)

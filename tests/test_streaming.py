@@ -252,3 +252,83 @@ class TestContinuousRollup:
         row = spark.read.parquet(rollup_dir).collect()[0]
         assert row["n_events"] == 4 and float(row["sum_value"]) == 10.0
         assert last_applied_batch_id(rollup_dir) == 1
+
+
+class TestStatefulAnomaly:
+    def test_state_carries_across_micro_batches(self, spark, tmp_path):
+        """Batch 1 builds each user's baseline; batch 2's outlier must be
+        judged against state restored via the checkpoint -- proving the
+        applyInPandasWithState state survives across runs."""
+        import datetime as dt
+
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.stateful import (
+            zscore_alert_query,
+        )
+
+        delta_dir = tmp_path / "events"
+        out_dir = str(tmp_path / "alerts")
+        ckpt = str(tmp_path / "ckpt")
+        delta_dir.mkdir()
+        t0 = dt.datetime(2024, 1, 1, 10, 0)
+
+        def batch(rows):
+            spark.createDataFrame(
+                rows,
+                "event_id bigint, ts timestamp, user_id bigint,"
+                " event_type string, value double",
+            ).write.mode("append").parquet(str(delta_dir))
+
+        # baseline: 12 calm events for user 1, values 10 +/- 1
+        batch(
+            [
+                (i, t0 + dt.timedelta(minutes=i), 1, "view", 10.0 + (i % 3 - 1))
+                for i in range(12)
+            ]
+        )
+        q = zscore_alert_query(spark, str(delta_dir), out_dir, ckpt, k=3.0, min_n=10)
+        q.awaitTermination(120)
+
+        # batch 2: one outlier and one calm event
+        batch(
+            [
+                (100, t0 + dt.timedelta(hours=1), 1, "view", 50.0),
+                (101, t0 + dt.timedelta(hours=1, minutes=1), 1, "view", 10.0),
+            ]
+        )
+        q = zscore_alert_query(spark, str(delta_dir), out_dir, ckpt, k=3.0, min_n=10)
+        q.awaitTermination(120)
+
+        alerts = spark.read.parquet(out_dir).collect()
+        assert [r["event_id"] for r in alerts] == [100]
+        a = alerts[0]
+        assert a["user_id"] == 1 and a["value"] == 50.0
+        assert a["n_before"] == 12  # the full batch-1 history was in state
+        assert abs(a["mean_before"] - 10.0) < 0.1
+
+    def test_no_alerts_below_min_history(self, spark, tmp_path):
+        import datetime as dt
+
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.stateful import (
+            zscore_alert_query,
+        )
+
+        delta_dir = tmp_path / "e2"
+        delta_dir.mkdir()
+        t0 = dt.datetime(2024, 1, 1)
+        spark.createDataFrame(
+            [(i, t0, 7, "view", 10.0 if i < 5 else 99.0) for i in range(6)],
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double",
+        ).write.mode("append").parquet(str(delta_dir))
+        q = zscore_alert_query(
+            spark, str(delta_dir), str(tmp_path / "a2"), str(tmp_path / "c2"),
+            min_n=10,
+        )
+        q.awaitTermination(120)
+        import os
+
+        files = [f for f in os.listdir(tmp_path / "a2") if f.endswith(".parquet")]
+        assert (
+            not files
+            or spark.read.parquet(str(tmp_path / "a2")).count() == 0
+        )
