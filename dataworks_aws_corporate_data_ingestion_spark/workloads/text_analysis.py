@@ -266,3 +266,51 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+@register(
+    "bigram_vocabulary",
+    tags=("text", "vocabulary", "aggregation", "topk"),
+    oracle="""
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(string_split(lower(text), ' '))),
+                       i -> string_split(lower(text), ' ')[i] || ' '
+                            || string_split(lower(text), ' ')[i+1]
+                   )) AS bigram
+            FROM documents
+        )
+        GROUP BY bigram
+        ORDER BY freq DESC, bigram ASC
+        LIMIT 100
+    """,
+)
+def bigram_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram vocabulary: top 100 bigrams by total frequency with
+    document frequency alongside -- the counting pass behind tokenizer /
+    vocabulary induction.
+
+    Scale notes: the explode feeds a partial hash aggregate in the same
+    stage (map-side combine collapses repeats before the shuffle), the
+    exchange carries one row per distinct (doc, bigram) for doc_freq
+    correctness, and top-100 plans as TakeOrderedAndProject.  No Python
+    anywhere."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+    )
+    return (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("freq").desc(), F.col("bigram").asc())
+        .limit(100)
+    )
