@@ -245,3 +245,74 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             )
 
     return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+PROBE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bits", IntegerType()),
+    ]
+)
+
+
+def _probe_one(blob: bytes):
+    """Parse real container headers with stdlib struct -- WAV (RIFF chunk
+    walk), PNG (IHDR), JPEG (SOF marker scan).  No codec library: header
+    layout is public format spec, so this step is fully real even where
+    the pixel/sample decode is stubbed."""
+    import struct
+
+    if len(blob) >= 12 and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        pos = 12
+        while pos + 8 <= len(blob):
+            cid, size = blob[pos : pos + 4], struct.unpack(
+                "<I", blob[pos + 4 : pos + 8]
+            )[0]
+            if cid == b"fmt " and pos + 24 <= len(blob):
+                _, ch, rate = struct.unpack("<HHI", blob[pos + 8 : pos + 16])
+                bits = struct.unpack("<H", blob[pos + 22 : pos + 24])[0]
+                return ("wav", None, None, rate, ch, bits)
+            pos += 8 + size + (size % 2)  # chunks are word-aligned
+        return ("wav", None, None, None, None, None)
+    if len(blob) >= 24 and blob[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", blob[16:24])
+        return ("png", w, h, None, None, None)
+    if len(blob) >= 2 and blob[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 9 <= len(blob) and blob[pos] == 0xFF:
+            marker, size = blob[pos + 1], struct.unpack(
+                ">H", blob[pos + 2 : pos + 4]
+            )[0]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0-3
+                h, w = struct.unpack(">HH", blob[pos + 5 : pos + 9])
+                return ("jpeg", w, h, None, None, None)
+            pos += 2 + size
+        return ("jpeg", None, None, None, None, None)
+    return ("unknown", None, None, None, None, None)
+
+
+def probe_container_metadata(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Typed metadata from binary media columns without decoding payloads:
+    the downstream filters ("only 16 kHz mono", "images wider than X")
+    then stay columnar over this frame instead of touching blobs again."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (int(aid), *_probe_one(blob or b""))
+                for aid, blob in zip(pdf[id_col], pdf["data"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "format", "width", "height",
+                    "sample_rate", "channels", "bits",
+                ],
+            )
+
+    return df.mapInPandas(batches, PROBE_SCHEMA)
