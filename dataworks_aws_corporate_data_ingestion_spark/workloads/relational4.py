@@ -341,3 +341,51 @@ def q22_lapsed_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "user_type_history_scd2",
+    tags=("scd2", "window", "gaps-and-islands"),
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                          OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), isl AS (
+            SELECT user_id, event_type, ts,
+                   SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS island
+            FROM ordered
+        ), coll AS (
+            SELECT user_id, island, MAX(event_type) AS event_type,
+                   MIN(ts) AS valid_from
+            FROM isl GROUP BY user_id, island
+        )
+        SELECT user_id, event_type, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+                   AS valid_to,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+                   IS NULL AS is_current
+        FROM coll
+    """,
+)
+def user_type_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity history of each user's event_type: consecutive
+    identical values collapse into [valid_from, valid_to) intervals with
+    an is_current flag (operators/scd.py).
+
+    Scale notes: both gaps-and-islands windows share one (user_id, ts)
+    ordering, so the plan is a single hash exchange + partition-local
+    sort reused across lag, running-sum, and lead -- no joins, no
+    second shuffle for the collapse (it groups on the same key)."""
+    from ..operators.scd import scd2_history
+
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    return scd2_history(
+        events, key="user_id", attr="event_type", ts="ts", tiebreak="event_id"
+    )

@@ -93,3 +93,58 @@ class TestBalanceDecileTwins:
         by_d = sorted(rng, key=lambda r: r.decile)
         for lo, hi in zip(by_d, by_d[1:]):
             assert lo.max_bal <= hi.min_bal
+
+
+class TestScd2History:
+    def test_intervals_collapse_and_chain(self, spark):
+        import datetime as dt
+
+        from dataworks_aws_corporate_data_ingestion_spark.operators.scd import (
+            scd2_history,
+        )
+
+        t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+        df = spark.createDataFrame(
+            [
+                (1, t(0), 7, "a"),
+                (2, t(1), 7, "a"),   # same value: collapses into row 1
+                (3, t(2), 7, "b"),   # change
+                (4, t(3), 7, "a"),   # back to a: NEW interval, not merged
+                (5, t(0), 8, "x"),   # second key
+            ],
+            "event_id bigint, ts timestamp, user_id bigint, event_type string",
+        )
+        rows = sorted(
+            scd2_history(df, "user_id", "event_type", "ts", "event_id").collect(),
+            key=lambda r: (r["user_id"], r["valid_from"]),
+        )
+        got = [
+            (r["user_id"], r["event_type"], r["valid_from"].minute,
+             r["valid_to"].minute if r["valid_to"] else None, r["is_current"])
+            for r in rows
+        ]
+        assert got == [
+            (7, "a", 0, 2, False),
+            (7, "b", 2, 3, False),
+            (7, "a", 3, None, True),
+            (8, "x", 0, None, True),
+        ]
+
+    def test_single_shuffle_plan(self, spark):
+        """Both windows and the collapse share the user_id partitioning:
+        exactly one hash exchange on user_id in the plan."""
+        import datetime as dt
+
+        from dataworks_aws_corporate_data_ingestion_spark.operators.scd import (
+            scd2_history,
+        )
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), 7, "a")],
+            "event_id bigint, ts timestamp, user_id bigint, event_type string",
+        )
+        plan = (
+            scd2_history(df, "user_id", "event_type", "ts", "event_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, plan
