@@ -78,11 +78,27 @@ def _listed_state(table_dir: str) -> dict:
 
 def _commit_manifest(table_dir: str, state: dict) -> None:
     """Atomic-rename commit (the object-store port is a conditional PUT
-    keyed on `version`, which is why the version travels in the file)."""
+    keyed on `version`, which is why the version travels in the file).
+    Each commit also lands an immutable `_manifest.v{N}.json` snapshot --
+    the time-travel log.  Snapshots are bytes-sized; compaction's GC is
+    the retention boundary."""
     tmp = _manifest_path(table_dir) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
         json.dump(state, fh)
+    versioned = os.path.join(
+        table_dir, f"_manifest.v{int(state['version'])}.json"
+    )
+    with open(versioned, "w") as fh:
+        json.dump(state, fh)
     os.replace(tmp, _manifest_path(table_dir))
+
+
+def read_manifest_version(table_dir: str, version: int) -> dict | None:
+    path = os.path.join(table_dir, f"_manifest.v{int(version)}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
 
 
 def current_state(table_dir: str) -> dict:
@@ -110,12 +126,36 @@ def write_delta(df: DataFrame, table_dir: str) -> str:
     return batch_dir
 
 
-def read_merged(spark: SparkSession, table_dir: str) -> DataFrame:
-    """The current logical snapshot: base + all deltas through the
-    latest-per-key merge.  Later delta batches beat earlier ones and all
-    deltas beat base; within a batch, DELETE beats INSERT (reference
-    rule).  Ordering uses a generation stamp per source."""
-    state = current_state(table_dir)
+def _gc_version_manifests(table_dir: str, keep_version: int) -> None:
+    """Drop time-travel snapshots older than keep_version -- they
+    reference data directories the caller is about to delete."""
+    for name in os.listdir(table_dir):
+        if name.startswith("_manifest.v") and name.endswith(".json"):
+            v = int(name[len("_manifest.v") : -len(".json")])
+            if v < keep_version:
+                os.remove(os.path.join(table_dir, name))
+
+
+def read_merged(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The logical snapshot: base + deltas through the latest-per-key
+    merge.  Later delta batches beat earlier ones and all deltas beat
+    base; within a batch, DELETE beats INSERT (reference rule).
+
+    `version` time-travels to an earlier committed view.  History is
+    valid back to the most recent compaction -- compaction rewrites base
+    and garbage-collects the delta dirs plus the manifests that
+    referenced them (the VACUUM boundary)."""
+    if version is not None:
+        state = read_manifest_version(table_dir, version)
+        if state is None:
+            raise FileNotFoundError(
+                f"version {version} of {table_dir} is unknown or was "
+                f"garbage-collected by a compaction"
+            )
+    else:
+        state = current_state(table_dir)
     frames = []
     if state["base"]:
         frames.append(
@@ -157,6 +197,7 @@ def clear_deltas(table_dir: str) -> None:
     state["deltas"] = []
     _commit_manifest(table_dir, state)
     shutil.rmtree(_deltas_dir(table_dir), ignore_errors=True)
+    _gc_version_manifests(table_dir, state["version"])
 
 
 def delta_fraction(spark: SparkSession, table_dir: str) -> float:
@@ -193,9 +234,10 @@ def compact(spark: SparkSession, table_dir: str) -> None:
     os.rename(staging, base)
     # the commit point: readers switch to the new base + empty delta list
     # here; everything after is garbage collection
+    new_version = int(state.get("version", 0)) + 1
     _commit_manifest(
-        table_dir,
-        {"version": int(state.get("version", 0)) + 1, "base": True, "deltas": []},
+        table_dir, {"version": new_version, "base": True, "deltas": []}
     )
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(_deltas_dir(table_dir), ignore_errors=True)
+    _gc_version_manifests(table_dir, new_version)

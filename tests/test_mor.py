@@ -113,3 +113,35 @@ class TestManifest:
         compact(spark, t)
         m = read_manifest(t)
         assert m == {"version": v_before + 1, "base": True, "deltas": []}
+
+    def test_time_travel_versions(self, spark, tmp_path):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.mor import (
+            read_manifest,
+        )
+
+        t = str(tmp_path / "tt")
+        write_delta(_rows(spark, ("aa1", "INSERT", "v1")), t)   # version 1
+        write_delta(_rows(spark, ("aa1", "INSERT", "v2")), t)   # version 2
+        assert read_manifest(t)["version"] == 2
+
+        v1 = {
+            r["id"]: r["val"]
+            for r in read_merged(spark, t, version=1).collect()
+        }
+        assert v1 == {"aa1": "v1"}  # the past, before the second delta
+        assert _snap(spark, t)["aa1"] == ("INSERT", "v2")  # the present
+
+    def test_compaction_is_the_time_travel_boundary(self, spark, tmp_path):
+        import pytest
+
+        t = str(tmp_path / "ttc")
+        write_delta(_rows(spark, ("aa1", "INSERT", "v1")), t)   # version 1
+        compact(spark, t)                                       # version 2 + GC
+        with pytest.raises(FileNotFoundError, match="garbage-collected"):
+            read_merged(spark, t, version=1)
+        assert _snap(spark, t)["aa1"] == ("INSERT", "v1")
+        # post-compaction history starts fresh
+        write_delta(_rows(spark, ("aa1", "INSERT", "v9")), t)   # version 3
+        assert {
+            r["val"] for r in read_merged(spark, t, version=2).collect()
+        } == {"v1"}
