@@ -1,0 +1,124 @@
+"""Multi-term BM25 search layer over a precomputed postings index.
+
+`bm25_top_docs` (workloads/text_analysis.py) scores a FIXED term set as
+per-row column expressions -- optimal for <= a handful of literals, but
+every new query re-scans the corpus.  A search layer inverts that cost:
+build the postings index (doc_id, term, tf, dl) and the per-term
+document-frequency dimension ONCE, then answer any query term set with a
+broadcast join against the postings -- the classic inverted-index shape
+(Lucene/ES do the same thing; here it is a DataFrame).
+
+Scale notes (100 TB corpus):
+
+* ``build_postings``: one explode + one hash aggregate keyed on
+  (doc_id, term).  Map-side combine collapses repeated tokens before the
+  exchange, so the shuffle carries one row per DISTINCT (doc, term) --
+  for natural text that is ~40% of raw token volume.  Write it out
+  bucketed by term (sinks/bucketing.py) and every later search is
+  exchange-free on the postings side.
+* ``term_stats``: a second tiny aggregate over postings (one row per
+  vocab term); this is the dimension table a query planner broadcasts.
+* ``bm25_search``: `term IN (...)` prunes the postings scan (pushed to
+  parquet when the index is materialised), the df/stats sides are
+  broadcast, and the only shuffle is the per-doc score sum over matched
+  postings -- rows proportional to matched postings, not corpus size.
+  Top-k plans as TakeOrderedAndProject.
+
+Cross-engine determinism: per-term scores are IEEE-exact (rational idf,
+no log -- see bm25_top_docs), and the per-doc SUM over a VARIABLE number
+of matched terms is order-sensitive in floating point, so the sum is an
+explicit left-to-right fold over the term-sorted score list
+(sort_array(collect_list(...)) + F.aggregate) mirrored by
+list(... ORDER BY term) + list_reduce in the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def tokens(text_col: F.Column) -> F.Column:
+    return F.split(F.lower(text_col), " ")
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The inverted index: one row per distinct (doc, term) with the
+    term frequency and the document length.
+
+    (doc_id, dl) ride the aggregate key -- dl is functionally dependent
+    on doc_id, so this adds no groups, and it keeps the plan one
+    aggregate instead of an aggregate plus a self-join."""
+    toks = tokens(F.col(text_col))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).cast("bigint").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def term_stats(postings: DataFrame) -> DataFrame:
+    """Per-term document frequency -- the broadcastable dimension table
+    (one row per vocabulary term; postings are already distinct per
+    (doc, term) so a plain count is df)."""
+    return postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def corpus_stats(postings: DataFrame) -> DataFrame:
+    """Single-row (n_docs, sum_dl): derived from the index itself so a
+    search needs no second corpus scan.  max(dl) per doc collapses the
+    per-term duplication exactly."""
+    per_doc = postings.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+
+
+def bm25_search(
+    postings: DataFrame,
+    dfs: DataFrame,
+    stats: DataFrame,
+    terms: Sequence[str],
+    k: int = 20,
+) -> DataFrame:
+    """Top-k documents for an arbitrary term set against a prebuilt
+    index.  Returns (doc_id, bm25), score-descending, doc_id tiebreak.
+
+    Only documents matching >= 1 query term are ranked (inverted-index
+    semantics; a zero-match doc scores 0 and is never competitive)."""
+    matched = postings.filter(F.col("term").isin(*terms))
+    dbl = lambda c: F.col(c).cast("double")
+    avgdl = dbl("sum_dl") / dbl("n_docs")
+    idf = (dbl("n_docs") - dbl("df") + F.lit(0.5)) / (dbl("df") + F.lit(0.5))
+    # literal 2.2 / 0.25 (k1+1, 1-b) rather than Python-computed sums so
+    # the constant bits provably match the oracle's SQL literals
+    score = idf * (dbl("tf") * F.lit(2.2)) / (
+        dbl("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (dbl("dl") / avgdl))
+    )
+    scored = (
+        matched.join(F.broadcast(dfs.filter(F.col("term").isin(*terms))), "term")
+        .join(F.broadcast(stats))
+        .select("doc_id", "term", score.alias("score"))
+    )
+    # deterministic fold: sort matched term scores per doc, sum left to
+    # right (see module docstring)
+    folded = scored.groupBy("doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "score"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["score"],
+        ).alias("bm25")
+    )
+    return folded.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(k)

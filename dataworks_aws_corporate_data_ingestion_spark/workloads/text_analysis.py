@@ -268,6 +268,80 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEARCH_TERMS = ("dup", "join", "stream", "vector", "window")
+_SEARCH_TERMS_SQL = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+
+
+@register(
+    "bm25_search_postings",
+    bench=True,
+    tags=("text", "relevance", "search", "inverted-index", "topk"),
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents
+        ), post AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                   unnest(toks) AS term
+            FROM d
+        ), tf AS (
+            SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM post GROUP BY doc_id, dl, term
+        ), dfs AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS sum_dl
+            FROM (SELECT doc_id, MAX(dl) AS dl FROM tf GROUP BY doc_id)
+        ), scored AS (
+            SELECT doc_id, tf.term AS term,
+                   (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                       / (CAST(df AS DOUBLE) + 0.5)
+                   * (CAST(tf AS DOUBLE) * 2.2)
+                   / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                      * (CAST(dl AS DOUBLE)
+                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+                       AS score
+            FROM tf, dfs, stats
+            WHERE tf.term = dfs.term
+              AND tf.term IN ({_SEARCH_TERMS_SQL})
+        )
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE), list(score ORDER BY term)),
+                   (acc, x) -> acc + x
+               ) AS bm25
+        FROM scored GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT 20
+    """,
+)
+def bm25_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-term BM25 via the inverted-index search layer
+    (operators/search.py): build postings + per-term df dimension +
+    corpus stats from the corpus, then answer a 5-term query with a
+    broadcast join against the postings.
+
+    Unlike `bm25_top_docs` (fixed terms as per-row column expressions),
+    this is the REUSABLE shape: the postings/df/stats frames are the
+    precomputed index -- any later term set is a broadcast join + fold,
+    no corpus re-scan.  Per-doc score summation is an explicit
+    term-sorted left fold so the float result is bit-identical
+    cross-engine (see operators/search.py docstring)."""
+    from ..operators.search import (
+        bm25_search,
+        build_postings,
+        corpus_stats,
+        term_stats,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    postings = build_postings(docs)
+    return bm25_search(
+        postings, term_stats(postings), corpus_stats(postings), _SEARCH_TERMS
+    )
+
+
 @register(
     "bigram_vocabulary",
     tags=("text", "vocabulary", "aggregation", "topk"),
