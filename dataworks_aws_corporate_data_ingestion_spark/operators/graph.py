@@ -124,3 +124,39 @@ def connected_components(
     return members.union(roots).select(
         F.col("u").alias("node"), "component"
     )
+
+
+def component_sizes(members: DataFrame) -> DataFrame:
+    """(component, size) for a (node, component) assignment -- one hash
+    aggregate with map-side combine, so a giant component costs one
+    long-tail reduce row, not a skewed task."""
+    return members.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+
+
+def flag_oversize_components(members: DataFrame, cap: int) -> DataFrame:
+    """The giant-cluster policy guard: members annotated with their
+    cluster size and an ``oversize`` flag (size > cap).
+
+    Star contraction itself survives dense graphs -- a clique collapses
+    in O(1) rounds and the hub-keyed min-aggregates are map-side
+    combined -- so a pathological near-dup graph (everything similar to
+    everything) is not a COMPUTE failure.  It is a POLICY failure:
+    "keep one representative per cluster" is right for organic
+    duplication, but a component whose size explodes past any plausible
+    duplication factor almost always means a degenerate feature chained
+    unrelated docs together (boilerplate shingle, empty text, template
+    headers).  Collapsing it would silently delete a corpus slice, so
+    the guard surfaces those clusters for DROP-or-review instead of
+    letting them flow into the keep-one filter.
+
+    Scale notes: sizes are a broadcastable aggregate of the (small)
+    member set; the annotate join broadcasts it back -- no corpus-sized
+    shuffle."""
+    sizes = component_sizes(members).select(
+        "component",
+        F.col("size").alias("cluster_size"),
+        (F.col("size") > F.lit(cap)).alias("oversize"),
+    )
+    return members.join(F.broadcast(sizes), "component").select(
+        "node", "component", "cluster_size", "oversize"
+    )

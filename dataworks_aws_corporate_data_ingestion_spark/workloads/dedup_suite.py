@@ -113,3 +113,50 @@ def duplicate_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, src="a", dst="b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+@register(
+    "duplicate_cluster_sizes",
+    tags=("dedup", "graph", "guard"),
+    oracle="""
+        WITH RECURSIVE pairs AS (
+            SELECT a, b FROM (""" + _PAIRS_JACCARD_ORACLE + """) t
+        ),
+        sym AS (
+            SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+        ),
+        reach AS (
+            SELECT a AS node, b AS r FROM sym
+            UNION
+            SELECT reach.node, sym.b AS r
+            FROM reach JOIN sym ON reach.r = sym.a
+        ),
+        clusters AS (
+            SELECT node, CAST(LEAST(node, MIN(r)) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node
+        )
+        SELECT cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size,
+               COUNT(*) > 2 AS oversize
+        FROM clusters GROUP BY cluster_id
+    """,
+)
+def duplicate_cluster_sizes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The giant-cluster guard over the real near-dup graph: per-cluster
+    size plus the oversize flag (cap=2 here so the synthetic corpus
+    exercises both flag values; production caps sit at ~100x the
+    plausible duplication factor).
+
+    A cluster past the cap nearly always means a degenerate feature
+    (boilerplate shingle) chained unrelated docs -- the keep-one policy
+    must quarantine it, not collapse it (see
+    operators/graph.py::flag_oversize_components)."""
+    from ..operators.graph import component_sizes, connected_components
+
+    pairs = near_dup_pairs_minhash(load_table(spark, "documents", sf_dir))
+    members = connected_components(pairs, src="a", dst="b")
+    return component_sizes(members).select(
+        F.col("component").alias("cluster_id"),
+        F.col("size").cast("bigint").alias("cluster_size"),
+        (F.col("size") > F.lit(2)).alias("oversize"),
+    )

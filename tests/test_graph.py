@@ -6,6 +6,7 @@ import random
 
 from dataworks_aws_corporate_data_ingestion_spark.operators.graph import (
     connected_components,
+    flag_oversize_components,
 )
 
 
@@ -41,3 +42,31 @@ class TestConnectedComponents:
     def test_component_id_is_graph_minimum(self, spark):
         got = _cc(spark, [(7, 9), (9, 5), (20, 30)])
         assert got == {5: 5, 7: 5, 9: 5, 20: 20, 30: 20}
+
+    def test_pathological_clique_converges_immediately(self, spark):
+        """The 'everything similar to everything' adversary: a K30 clique
+        must collapse within 3 star rounds (density is the EASY case for
+        star contraction -- the guard concern is policy, not compute)."""
+        n = 30
+        edges = [(i, j) for i in range(1, n + 1) for j in range(i + 1, n + 1)]
+        random.Random(7).shuffle(edges)
+        got = _cc(spark, edges, max_rounds=3)
+        assert got == {i: 1 for i in range(1, n + 1)}
+
+
+class TestOversizeGuard:
+    def test_flags_giant_cluster_only(self, spark):
+        # one K12 boilerplate blob + one organic pair
+        clique = [(i, j) for i in range(1, 13) for j in range(i + 1, 13)]
+        edges = spark.createDataFrame(
+            clique + [(100, 101)], "a bigint, b bigint"
+        )
+        members = connected_components(edges)
+        flagged = {
+            r["node"]: (r["cluster_size"], r["oversize"])
+            for r in flag_oversize_components(members, cap=10).collect()
+        }
+        for node in range(1, 13):
+            assert flagged[node] == (12, True)
+        assert flagged[100] == (2, False)
+        assert flagged[101] == (2, False)
