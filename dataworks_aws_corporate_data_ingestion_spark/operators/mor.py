@@ -16,12 +16,14 @@ Layout:
 
 The manifest is the committed table state -- object-store directory
 listing is neither atomic nor consistent, so readers resolve the batch
-set from `_manifest.json` (committed via atomic rename here; a
-conditional PUT on S3) and fall back to sorted directory listing only
-for pre-manifest tables.  Once a manifest exists, compaction is a single
+set from `_manifest.json` (committed via a compare-and-swap keyed on the
+carried version -- locally an O_EXCL lock + rename, on S3 one
+conditional PUT) and fall back to sorted directory listing only for
+pre-manifest tables.  Once a manifest exists, compaction is a single
 manifest commit: base swaps and delta removal become garbage collection,
-not correctness.  Single committed writer assumed, as in the reference's
-one-driver jobs.
+not correctness.  Delta appends are concurrent-writer safe (they commute
+and auto-retry on conflict); compaction remains single-writer and
+surfaces ManifestConflict if it loses a race.
 
 Delete semantics follow the reference: DELETE rows win over INSERT for
 the same key (db_type ascending), so deletions tombstone at read time
@@ -76,21 +78,54 @@ def _listed_state(table_dir: str) -> dict:
     }
 
 
+class ManifestConflict(RuntimeError):
+    """Another writer committed first: the stored manifest version no
+    longer matches the version this commit was derived from."""
+
+
 def _commit_manifest(table_dir: str, state: dict) -> None:
-    """Atomic-rename commit (the object-store port is a conditional PUT
-    keyed on `version`, which is why the version travels in the file).
+    """Compare-and-swap commit: the new state lands iff the stored
+    manifest still carries ``state['version'] - 1``; otherwise
+    ManifestConflict.  Locally the CAS is a short-lived O_EXCL lock file
+    around verify+rename; on an object store the SAME protocol is one
+    conditional PUT (S3 If-Match on the manifest ETag / If-None-Match
+    for version 1) -- the carried ``version`` exists precisely so every
+    backend can express the precondition.
+
     Each commit also lands an immutable `_manifest.v{N}.json` snapshot --
     the time-travel log.  Snapshots are bytes-sized; compaction's GC is
     the retention boundary."""
-    tmp = _manifest_path(table_dir) + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        json.dump(state, fh)
-    versioned = os.path.join(
-        table_dir, f"_manifest.v{int(state['version'])}.json"
-    )
-    with open(versioned, "w") as fh:
-        json.dump(state, fh)
-    os.replace(tmp, _manifest_path(table_dir))
+    expected = int(state["version"]) - 1
+    lock = _manifest_path(table_dir) + ".lock"
+    os.makedirs(table_dir, exist_ok=True)
+    fd = None
+    for _ in range(500):  # lock held only for a verify+rename: spin briefly
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            time.sleep(0.01)
+    if fd is None:
+        raise ManifestConflict(f"manifest lock stuck at {lock}")
+    try:
+        stored = read_manifest(table_dir)
+        stored_v = int(stored["version"]) if stored else 0
+        if stored_v != expected:
+            raise ManifestConflict(
+                f"{table_dir}: expected version {expected}, found {stored_v}"
+            )
+        tmp = _manifest_path(table_dir) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        versioned = os.path.join(
+            table_dir, f"_manifest.v{int(state['version'])}.json"
+        )
+        with open(versioned, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, _manifest_path(table_dir))
+    finally:
+        os.close(fd)
+        os.remove(lock)
 
 
 def read_manifest_version(table_dir: str, version: int) -> dict | None:
@@ -105,25 +140,40 @@ def current_state(table_dir: str) -> dict:
     return read_manifest(table_dir) or _listed_state(table_dir)
 
 
-def write_delta(df: DataFrame, table_dir: str) -> str:
+def write_delta(df: DataFrame, table_dir: str, max_retries: int = 5) -> str:
     """Append one delta batch; returns its directory.  Cheap: no read of
     existing state, no shuffle beyond the caller's.
+
+    Concurrent-appender safe: delta appends COMMUTE (the list order only
+    decides ties between writers that raced anyway), so on
+    ManifestConflict the commit reloads the fresh state and re-appends --
+    the parquet batch itself is already durable and never rewritten.
+    Compaction does NOT commute and propagates its conflict instead.
 
     Batch names carry a monotonic nanosecond prefix so the pre-manifest
     fallback (sorted listing) still yields arrival order; the committed
     order is the manifest's list.  The batch is invisible to readers
     until the manifest commit -- a crash between the two leaves an
     orphan directory, not a torn table."""
-    # snapshot the committed state BEFORE the write: in the pre-manifest
-    # fallback the listing would otherwise already include the new batch
-    state = current_state(table_dir)
     batch_name = f"batch-{time.time_ns():020d}-{uuid.uuid4().hex[:6]}"
     batch_dir = os.path.join(_deltas_dir(table_dir), batch_name)
     df.select(*COLUMNS).write.mode("errorifexists").parquet(batch_dir)
-    state["version"] = int(state.get("version", 0)) + 1
-    state["deltas"] = list(state["deltas"]) + [batch_name]
-    _commit_manifest(table_dir, state)
-    return batch_dir
+    last: ManifestConflict | None = None
+    for _ in range(max_retries):
+        state = current_state(table_dir)
+        # pre-manifest fallback lists the just-written batch already --
+        # drop it so the append below stays idempotent across retries
+        deltas = [b for b in state["deltas"] if b != batch_name]
+        state["version"] = int(state.get("version", 0)) + 1
+        state["deltas"] = deltas + [batch_name]
+        try:
+            _commit_manifest(table_dir, state)
+            return batch_dir
+        except ManifestConflict as exc:
+            last = exc
+    raise ManifestConflict(
+        f"delta commit lost the race {max_retries} times: {last}"
+    )
 
 
 def _gc_version_manifests(table_dir: str, keep_version: int) -> None:

@@ -131,6 +131,53 @@ class TestManifest:
         assert v1 == {"aa1": "v1"}  # the past, before the second delta
         assert _snap(spark, t)["aa1"] == ("INSERT", "v2")  # the present
 
+    def test_stale_commit_raises_conflict(self, spark, tmp_path):
+        """A commit derived from a superseded version must CAS-fail, not
+        silently overwrite -- the conditional-PUT contract."""
+        import pytest
+
+        from dataworks_aws_corporate_data_ingestion_spark.operators import mor
+
+        t = str(tmp_path / "cas")
+        write_delta(_rows(spark, ("aa1", "INSERT", "v1")), t)  # version 1
+        stale = mor.read_manifest(t)  # derived from version 1
+        write_delta(_rows(spark, ("bb2", "INSERT", "v2")), t)  # version 2
+        stale["version"] = int(stale["version"]) + 1  # would commit v2 again
+        with pytest.raises(mor.ManifestConflict, match="expected version"):
+            mor._commit_manifest(t, stale)
+        # loser's failure left the winner's state intact
+        assert mor.read_manifest(t)["version"] == 2
+        assert len(mor.read_manifest(t)["deltas"]) == 2
+
+    def test_delta_append_retries_past_conflict(self, spark, tmp_path, monkeypatch):
+        """write_delta auto-retries: force its first state snapshot to be
+        stale (as if another appender committed in between) and assert the
+        commit still lands with every batch present."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators import mor
+
+        t = str(tmp_path / "race")
+        write_delta(_rows(spark, ("aa1", "INSERT", "v1")), t)
+        real = mor.current_state
+        seen = []
+
+        def stale_once(table_dir):
+            state = real(table_dir)
+            if not seen:
+                seen.append(1)
+                state["version"] = int(state["version"]) - 1  # stale view
+            return state
+
+        monkeypatch.setattr(mor, "current_state", stale_once)
+        write_delta(_rows(spark, ("bb2", "INSERT", "v2")), t)
+        monkeypatch.setattr(mor, "current_state", real)
+        assert len(seen) == 1  # the stale path was actually exercised
+        m = mor.read_manifest(t)
+        assert m["version"] == 2 and len(m["deltas"]) == 2
+        assert _snap(spark, t) == {
+            "aa1": ("INSERT", "v1"),
+            "bb2": ("INSERT", "v2"),
+        }
+
     def test_compaction_is_the_time_travel_boundary(self, spark, tmp_path):
         import pytest
 
