@@ -14,4 +14,5 @@ from . import (  # noqa: F401
     similarity_search,
     streaming_ops,
     text_analysis,
+    timeseries_ops,
 )

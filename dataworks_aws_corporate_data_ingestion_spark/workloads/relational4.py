@@ -389,3 +389,91 @@ def user_type_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(
         events, key="user_id", attr="event_type", ts="ts", tiebreak="event_id"
     )
+
+
+@register(
+    "events_in_error_windows",
+    tags=("range-join", "interval", "bucketed"),
+    oracle="""
+        SELECT i.event_id AS window_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events i, events p
+        WHERE i.event_type = 'error'
+          AND p.event_id <> i.event_id
+          AND p.ts >= i.ts
+          AND p.ts < i.ts + INTERVAL 1 HOUR
+        GROUP BY i.event_id
+    """,
+)
+def events_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key): how many events of ANY user land
+    inside the hour after each error event -- blast-radius accounting.
+
+    The oracle is the naive inequality join; the engine answers it with
+    the bucketed interval join (operators/rangejoin.py): intervals
+    explode to covered 1h buckets, points map to one bucket, and the
+    equi-join on bucket id replaces the cartesian product.  The plan is
+    a plain hash join -- test_plan_quality's no-CartesianProduct guard
+    holds for this query like every other."""
+    from ..operators.rangejoin import interval_point_join
+
+    events = load_table(spark, "events", sf_dir)
+    intervals = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("interval 1 hour")).alias("end"),
+    )
+    points = events.select("event_id", "ts")
+    pairs = interval_point_join(intervals, points, bucket_width_s=3600)
+    return (
+        pairs.filter(F.col("event_id") != F.col("window_id"))
+        .groupBy("window_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "lineitem_metrics_unpivot",
+    tags=("unpivot", "melt", "aggregation"),
+    oracle="""
+        WITH wide AS (
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                       AS qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                       AS gross,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                       AS discount_amt
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'qty' AS metric, qty AS total FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'gross' AS metric, gross AS total FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'discount_amt' AS metric, discount_amt AS total
+        FROM wide
+    """,
+)
+def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping via the declarative unpivot operator (the
+    inverse of event_value_pivot's declared pivot): per-returnflag metric
+    totals melt into (metric, total) rows.
+
+    Scale notes: unpivot is a row-local Expand (3 output rows per input
+    row, no shuffle, no Python); the only exchange is the upstream
+    3-group aggregate.  The oracle spells the same reshape as UNION ALL,
+    which is what Expand desugars to."""
+    li = load_table(spark, "lineitem", sf_dir)
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(money("l_quantity")).cast("double").alias("qty"),
+        F.sum(money("l_extendedprice")).cast("double").alias("gross"),
+        F.sum(money("l_extendedprice") * rate("l_discount"))
+        .cast("double")
+        .alias("discount_amt"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "gross", "discount_amt"],
+        variableColumnName="metric",
+        valueColumnName="total",
+    )
