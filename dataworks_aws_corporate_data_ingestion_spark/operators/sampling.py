@@ -39,6 +39,34 @@ def deterministic_sample(
     return df.filter(_hash_prefix(key_col, salt) < F.lit(threshold))
 
 
+def stratified_sample(
+    df: DataFrame,
+    key: str | Column,
+    stratum: str,
+    fractions: dict[str, int],
+    default_num: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum keeps its own
+    fraction (numerator over 65536), strata not listed keep
+    ``default_num``.  The corpus-rebalancing primitive -- downweight an
+    over-represented source, keep a rare one whole -- with the same
+    audit-friendly guarantee as deterministic_sample: a row's fate is a
+    pure function of (salt, key), independent of partitioning, engine,
+    or dataset growth.
+
+    Scale notes: one per-row hash + CASE compare inside the scan stage;
+    no shuffle, no per-stratum passes, no driver-side stratum loop --
+    the fraction map compiles into a single CASE expression."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    threshold: Column = F.lit(format(default_num, "04x"))
+    for value, num in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(stratum) == F.lit(value), F.lit(format(num, "04x"))
+        ).otherwise(threshold)
+    return df.filter(_hash_prefix(key_col, salt) < threshold)
+
+
 def assign_split(
     df: DataFrame,
     key: str | Column,

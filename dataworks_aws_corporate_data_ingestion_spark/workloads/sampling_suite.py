@@ -89,3 +89,36 @@ def packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = pack_sequences(d, budget=512, residual_threshold=0.85)
     return packed.withColumn("doc_ids", F.to_json("doc_ids")).drop("doc_tokens")
+
+
+@register(
+    "documents_stratified_sample",
+    tags=("sampling", "stratified", "training-data"),
+    oracle="""
+        SELECT doc_id, source FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+              CASE source
+                  WHEN 'src0' THEN 'e000'
+                  WHEN 'src1' THEN '8000'
+                  ELSE '4000'
+              END
+    """,
+)
+def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing via per-stratum deterministic sampling: src0
+    keeps ~87.5%, src1 ~50%, every other source ~25% -- the upweight-rare
+    / downweight-common move of dataset curation, decided per row by an
+    md5 bucket so any engine can audit membership.
+
+    Scale notes: a single CASE-compare filter inside the scan stage --
+    no shuffle, no per-stratum passes (operators/sampling.py)."""
+    from ..operators.sampling import stratified_sample
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    return stratified_sample(
+        docs,
+        key="doc_id",
+        stratum="source",
+        fractions={"src0": 0xE000, "src1": 0x8000},
+        default_num=0x4000,
+    )

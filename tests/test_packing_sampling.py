@@ -10,6 +10,7 @@ from dataworks_aws_corporate_data_ingestion_spark.operators.packing import pack_
 from dataworks_aws_corporate_data_ingestion_spark.operators.sampling import (
     assign_split,
     deterministic_sample,
+    stratified_sample,
 )
 
 
@@ -104,3 +105,40 @@ class TestSampling:
         total = sum(len(v) for v in by_split.values())
         assert total == 1000  # disjoint + exhaustive
         assert len(by_split["train"]) > 800  # ~90%
+
+    def test_stratified_sample_per_stratum_fractions(self, spark):
+        d = spark.createDataFrame(
+            [(i, "a" if i % 2 else "b") for i in range(2000)],
+            "doc_id bigint, src string",
+        )
+        kept = stratified_sample(
+            d, "doc_id", "src", fractions={"a": 0xE000}, default_num=0x2000
+        ).collect()
+        by_src = {}
+        for r in kept:
+            by_src.setdefault(r["src"], set()).add(r["doc_id"])
+        # ~87.5% of stratum a, ~12.5% of stratum b
+        assert 780 < len(by_src["a"]) < 960
+        assert 70 < len(by_src["b"]) < 190
+
+    def test_stratified_membership_matches_flat_sample(self, spark):
+        """A row's fate depends only on (salt, key) and its own stratum's
+        fraction -- stratified with fraction f must equal the flat sample
+        at f restricted to that stratum."""
+        d = spark.createDataFrame(
+            [(i, "a" if i % 3 else "b") for i in range(900)],
+            "doc_id bigint, src string",
+        )
+        strat = {
+            r["doc_id"]
+            for r in stratified_sample(
+                d, "doc_id", "src", fractions={"a": 0x4000}, default_num=0
+            ).collect()
+        }
+        flat = {
+            r["doc_id"]
+            for r in deterministic_sample(
+                d.filter(F.col("src") == "a"), "doc_id", 0x4000
+            ).collect()
+        }
+        assert strat == flat
