@@ -2,20 +2,75 @@
 """Headline benchmark: run the bench-flagged workload queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and print ONE JSON line with per-query wall-clock seconds.
+
+Output schema: the driver-facing fields are unchanged ("queries" maps
+name -> best seconds); a "details" map adds, per query:
+  best      best-of-N wall-clock seconds (same number as "queries")
+  median    median-of-N -- separates plan cost from host load spikes
+  plan_sha  sha256 (16 hex chars) of the normalised initial physical plan,
+            so round-over-round diffs can tell "the plan changed" apart
+            from "the host was loaded" (expression ids / codegen ids /
+            temp paths are normalised out; AQE's runtime re-plan is
+            intentionally NOT captured -- the pre-execution plan is the
+            stable fingerprint of what the code asked for)
+
+Hygiene: every repeat ends by draining the tracked-cache registry
+(operators persist multi-consumer intermediates they cannot unpersist
+themselves -- see caching.py) and clearing the catalog cache, so repeat k
+never pays eviction pressure from repeat k-1's blocks.  Round 2 skipped
+this and accumulated dozens of leaked caches across 16 queries x 5
+repeats, regressing the common set +24%.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
+import statistics
 import sys
 import time
 
 import shutil
 import tempfile
 
+from dataworks_aws_corporate_data_ingestion_spark.caching import release_tracked
 from dataworks_aws_corporate_data_ingestion_spark.session import get_session
 from dataworks_aws_corporate_data_ingestion_spark.workload import QUERIES, WRITE_BENCHES
+
+# strip per-session noise from plan strings so the sha is stable across
+# runs: expression ids (#123L), plan/codegen/subquery ids, object
+# addresses, temp output dirs, and statistics annotations
+_PLAN_NOISE = [
+    (re.compile(r"#\d+"), "#x"),
+    (re.compile(r"\b(plan_id|id)=\d+"), r"\1=x"),
+    (re.compile(r"\[codegen id : \d+\]"), "[codegen id : x]"),
+    (re.compile(r"@[0-9a-f]{6,}"), "@x"),
+    (re.compile(r"/tmp/[^\s,\]]+"), "/tmp/x"),
+    (re.compile(r"Statistics\([^)]*\)"), "Statistics(x)"),
+    (re.compile(r"subquery#x, \[id=x\]"), "subquery"),
+]
+
+
+def plan_sha(df) -> str | None:
+    """16-hex-char fingerprint of the normalised initial physical plan."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return None
+    for pat, rep in _PLAN_NOISE:
+        plan = pat.sub(rep, plan)
+    return hashlib.sha256(plan.encode("utf-8")).hexdigest()[:16]
+
+
+def _end_repeat(spark) -> None:
+    """Free repeat-scoped state: tracked operator caches + catalog cache."""
+    release_tracked()
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
 
 
 def main() -> None:
@@ -26,6 +81,7 @@ def main() -> None:
 
     bench_queries = {n: s for n, s in QUERIES.items() if s.bench}
     timings: dict[str, float] = {}
+    details: dict[str, dict] = {}
 
     # warm every benched plan once at the smallest SF: first execution pays
     # JVM codegen + Python-UDF worker spin-up, which would otherwise be
@@ -34,29 +90,45 @@ def main() -> None:
         spec.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
+    _end_repeat(spark)
 
     # best-of-N: the harness shares a host, so single-shot timings carry
     # external load spikes; the minimum is the cleanest estimate of what
-    # the plan itself costs.  Default raised 3 -> 5 so round-over-round
-    # diffs outrun the host's ~3x load swings.
+    # the plan itself costs.  Median is reported alongside so a diff can
+    # distinguish a loaded host (best stable, median up) from a slower
+    # plan (both up, plan_sha changed).
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
     out_dir = tempfile.mkdtemp(prefix="cdi-bench-")
     try:
         for name, spec in bench_queries.items():
-            best = float("inf")
+            times: list[float] = []
             for _ in range(repeats):
                 start = time.perf_counter()
                 spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - start)
-            timings[name] = round(best, 3)
+                times.append(time.perf_counter() - start)
+                _end_repeat(spark)
+            timings[name] = round(min(times), 3)
+            details[name] = {
+                "best": round(min(times), 3),
+                "median": round(statistics.median(times), 3),
+                "plan_sha": plan_sha(spec.fn(spark, sf_dir)),
+            }
+            _end_repeat(spark)
         # write-path headline ops (ordered: merge reads write_daily's output)
         for name, fn in WRITE_BENCHES.items():
-            best = float("inf")
+            times = []
             for _ in range(repeats):
                 start = time.perf_counter()
                 fn(spark, sf_dir, out_dir)
-                best = min(best, time.perf_counter() - start)
-            timings[name] = round(best, 3)
+                times.append(time.perf_counter() - start)
+                _end_repeat(spark)
+            timings[name] = round(min(times), 3)
+            details[name] = {
+                "best": round(min(times), 3),
+                "median": round(statistics.median(times), 3),
+                # sinks produce files, not plans; no stable fingerprint
+                "plan_sha": None,
+            }
         total = round(sum(timings.values()), 3)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -68,6 +140,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "details": details,
                 "sf": sf,
             }
         )

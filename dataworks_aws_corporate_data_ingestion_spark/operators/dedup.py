@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
+from ..caching import tracked_persist
 from ..functions.text import jaccard, word_shingles
 
 # fixed 61-bit Mersenne prime universe for the affine permutations
@@ -181,10 +182,14 @@ def near_dup_pairs_minhash(
     # jaccard verification join; persist it so the shingle arrays are
     # computed (and Arrow-serialised) once, not once per consumer -- the
     # same multi-use-intermediate discipline as the reference's
-    # persist(DISK_ONLY) snapshot (steps/ingesters.py:326)
-    with_shingles = docs.select(
-        F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles")
-    ).persist()
+    # persist(DISK_ONLY) snapshot (steps/ingesters.py:326).  Tracked so
+    # harnesses can free the blocks once the caller's action completes
+    # (the operator returns lazily and cannot unpersist itself).
+    with_shingles = tracked_persist(
+        docs.select(
+            F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles")
+        )
+    )
     signed = minhash_signatures(with_shingles)
     buckets = lsh_band_buckets(signed, id_col=id_col, bands=bands, rows=rows)
     candidates = lsh_candidate_pairs(buckets, id_col=id_col)
@@ -360,11 +365,13 @@ def simhash_near_dup_pairs(
             for i in range(chunks)
         ]
     )
-    exploded = signed.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.posexplode(chunk_values).alias("chunk_id", "chunk_value"),
-    ).persist()
+    exploded = tracked_persist(
+        signed.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.posexplode(chunk_values).alias("chunk_id", "chunk_value"),
+        )
+    )
     left = exploded.select(
         F.col(id_col).alias("a"), F.col("simhash").alias("sim_a"), "chunk_id", "chunk_value"
     )

@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
+
 
 _PACK_SCHEMA = (
     "pack_id string, doc_ids array<bigint>, doc_tokens array<bigint>,"
@@ -100,7 +102,9 @@ def pack_sequences(
     if residual_threshold is None:
         return packs
 
-    packs = packs.persist()
+    # first-pass packs feed both the keep-filter and the residual re-pack;
+    # tracked so the harness frees the blocks after its terminal action
+    packs = tracked_persist(packs)
     full = packs.filter(F.col("fill_ratio") >= residual_threshold)
     residual_docs = (
         packs.filter(F.col("fill_ratio") < residual_threshold)

@@ -2,10 +2,19 @@ from __future__ import annotations
 
 import pytest
 
+from dataworks_aws_corporate_data_ingestion_spark.caching import release_tracked
 from dataworks_aws_corporate_data_ingestion_spark.session import get_session
 
 SF_SMALL = "/root/testdata/sf0.001"
 SF_MED = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(autouse=True)
+def _release_tracked_caches():
+    """Drain operator-persisted caches after every test so the shared
+    session never accumulates leaked blocks (see caching.py)."""
+    yield
+    release_tracked()
 
 
 @pytest.fixture(scope="session")

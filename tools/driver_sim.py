@@ -5,12 +5,17 @@
 2. correctness: each queries()[name] at sf0.01 vs oracle_sql()[name] in
    DuckDB -- row count, sorted column names, order-insensitive value hash.
 
-Exit 0 iff everything matches.  Usage: python tools/driver_sim.py [sf_dir]
+Exit 0 iff everything matches.
+Usage: python tools/driver_sim.py [sf_dir] [--json out.json] [names...]
+With --json, writes a CORRECTNESS_r{N}.json-shaped report (one object per
+query: rows_match / schema_match / hash_match / spark_rows / oracle_rows /
+err) so never-driver-sampled queries still get a committed hard signal.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import sys
 
 import duckdb
@@ -19,6 +24,7 @@ from pyspark.sql import SparkSession
 
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod  # noqa: E402
+from dataworks_aws_corporate_data_ingestion_spark.caching import release_tracked  # noqa: E402
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -53,6 +59,11 @@ def value_hash(df: pd.DataFrame) -> str:
 
 def main() -> int:
     args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args.pop(0) if args and args[0].startswith("/") else "/root/testdata/sf0.01"
     only = set(args)  # optional query names to restrict the run to
     spark = SparkSession.builder.master("local[8]").getOrCreate()  # plain, like the driver
@@ -70,32 +81,57 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in sorted(queries.items()):
         if only and name not in only:
             continue
+        rec = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        report[name] = rec
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            rec["err"] = f"spark: {exc}"[:300]
             print(f"FAIL {name}: spark raised {exc}")
+            release_tracked()
             continue
+        finally:
+            release_tracked()
+        rec["spark_rows"] = len(sdf)
         try:
             driver_canon_probe(sdf)
         except TypeError as exc:
             failures.append(name)
+            rec["err"] = f"canon: {exc}"[:300]
             print(f"FAIL {name}: driver canon would crash: {exc}")
             continue
         if name not in oracles:
+            rec["err"] = "no_oracle"
             print(f"ROWS-ONLY {name}: {len(sdf)} rows")
             continue
         odf = con.execute(oracles[name]).df()
+        rec["oracle_rows"] = len(odf)
+        rec["rows_match"] = len(sdf) == len(odf)
+        rec["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
         sh, oh = value_hash(sdf), value_hash(odf)
+        rec["hash_match"] = sh == oh
         status = "OK  " if (sh == oh and len(sdf) == len(odf)) else "FAIL"
         if status == "FAIL":
             failures.append(name)
         print(f"{status} {name}: spark={len(sdf)} oracle={len(odf)} hash {sh} vs {oh}")
 
     spark.stop()
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_out}")
     print(f"{len(queries)} queries, {len(failures)} failures: {failures}")
     return 1 if failures else 0
 
