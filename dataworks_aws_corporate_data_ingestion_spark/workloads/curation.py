@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..operators.dedup import near_dup_pairs_minhash
-from ..operators.graph import connected_components
+from ..operators.graph import connected_components, flag_oversize_components
 from ..operators.sampling import deterministic_sample
 from ..sources.tables import load_table
 from ..workload import register
@@ -25,6 +25,45 @@ from .text_analysis import _LANG_SCORES, _STOP_SQL
 
 # keep ~90% after curation: md5 prefix < 0xe666 (58982/65536)
 _KEEP_NUM = 0xE666
+
+# giant-cluster policy cap: a near-dup cluster larger than this is treated
+# as a degenerate artifact (boilerplate/template chaining), not organic
+# duplication -- its members are surfaced for review and EXCLUDED from the
+# curated corpus instead of silently collapsing to one representative
+_CLUSTER_CAP = 100
+
+
+def collapse_near_dup_clusters(
+    df,
+    clusters,
+    id_col: str = "doc_id",
+    cap: int = _CLUSTER_CAP,
+):
+    """Keep one representative (the cluster-minimum id) per near-dup
+    cluster; rows in clusters LARGER than ``cap`` are dropped entirely --
+    the surface-not-collapse policy of
+    :func:`...operators.graph.flag_oversize_components`.
+
+    ``clusters`` is a (node, component) assignment (isolated rows absent
+    -- they pass through untouched via the left join).  The join is left
+    un-hinted on purpose: cluster membership is proportional to the
+    corpus's DUPLICATED fraction, which at 100 TB with a 20-30% dup rate
+    is billions of rows -- far past any broadcast threshold -- so AQE
+    picks broadcast only when runtime stats say the assignment fits.
+    """
+    flagged = flag_oversize_components(clusters, cap).select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("__cluster_id"),
+        "oversize",
+    )
+    return (
+        df.join(flagged, id_col, "left")
+        .filter(
+            F.col("__cluster_id").isNull()
+            | ((~F.col("oversize")) & (F.col("__cluster_id") == F.col(id_col)))
+        )
+        .drop("__cluster_id", "oversize")
+    )
 
 
 @register(
@@ -61,14 +100,20 @@ _KEEP_NUM = 0xE666
         ), clusters AS (
             SELECT node AS doc_id, LEAST(node, MIN(r)) AS cluster_id
             FROM reach GROUP BY node
+        ), sized AS (
+            SELECT cluster_id, COUNT(*) AS cluster_size
+            FROM clusters GROUP BY cluster_id
         )
         SELECT source,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-        FROM graded LEFT JOIN clusters USING (doc_id)
+        FROM graded
+        LEFT JOIN clusters USING (doc_id)
+        LEFT JOIN sized USING (cluster_id)
         WHERE is_en
           AND quality >= 0.5
-          AND (cluster_id IS NULL OR cluster_id = doc_id)
+          AND (cluster_id IS NULL
+               OR (cluster_id = doc_id AND cluster_size <= {_CLUSTER_CAP}))
           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_KEEP_NUM:04x}'
         GROUP BY source
         ORDER BY source
@@ -76,9 +121,10 @@ _KEEP_NUM = 0xE666
 )
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curate `documents` for training: English-only, quality >= 0.5,
-    one representative per near-dup cluster (the smallest doc_id),
-    ~90% deterministic keep-sample; report kept docs and tokens per
-    source.
+    one representative per near-dup cluster (the smallest doc_id) with
+    clusters larger than the policy cap surfaced-and-dropped rather than
+    collapsed, ~90% deterministic keep-sample; report kept docs and
+    tokens per source.
 
     The quality threshold is safe cross-engine because the score is
     IEEE arithmetic on identically-derived exact integers (the
@@ -86,8 +132,9 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     and sampling reuse the proven minhash-CC and md5-bucket paths.
 
     Scale notes: text grading is pure JVM column work in the scan
-    stage; the cluster side is the tiny near-dup pair set (broadcast
-    into the collapse join); sampling is a per-row filter; the only
+    stage; the cluster-collapse join is un-hinted (membership scales
+    with the duplicated fraction of the corpus -- AQE broadcasts only
+    when it actually fits); sampling is a per-row filter; the only
     corpus-sized shuffle is the final per-source aggregate."""
     docs = load_table(spark, "documents", sf_dir)
     t = F.lower(F.col("text"))
@@ -98,15 +145,10 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.quality_score(t).alias("quality"),
         T.lang_id(t).alias("lang_guess"),
     )
-    clusters = connected_components(
-        near_dup_pairs_minhash(docs), src="a", dst="b"
-    ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
-    kept = (
-        graded.filter((F.col("lang_guess") == "en") & (F.col("quality") >= 0.5))
-        .join(F.broadcast(clusters), "doc_id", "left")
-        .filter(
-            F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
-        )
+    clusters = connected_components(near_dup_pairs_minhash(docs), src="a", dst="b")
+    kept = collapse_near_dup_clusters(
+        graded.filter((F.col("lang_guess") == "en") & (F.col("quality") >= 0.5)),
+        clusters,
     )
     sampled = deterministic_sample(kept, "doc_id", _KEEP_NUM)
     return (

@@ -70,3 +70,45 @@ class TestOversizeGuard:
             assert flagged[node] == (12, True)
         assert flagged[100] == (2, False)
         assert flagged[101] == (2, False)
+
+
+class TestCollapseNearDupClusters:
+    def test_oversize_cluster_surfaced_not_collapsed(self, spark):
+        """The curation collapse policy: organic clusters keep their
+        minimum-id representative; a cluster past the cap is degenerate
+        and contributes NO rows at all (drop-for-review, never a silent
+        collapse to one survivor)."""
+        from dataworks_aws_corporate_data_ingestion_spark.workloads.curation import (
+            collapse_near_dup_clusters,
+        )
+
+        # docs 1-12: one K12 boilerplate blob; 100/101: organic pair;
+        # 500: isolated (never appears in pairs)
+        clique = [(i, j) for i in range(1, 13) for j in range(i + 1, 13)]
+        pairs = spark.createDataFrame(clique + [(100, 101)], "a bigint, b bigint")
+        docs = spark.createDataFrame(
+            [(i,) for i in list(range(1, 13)) + [100, 101, 500]],
+            "doc_id bigint",
+        )
+        clusters = connected_components(pairs)
+        kept = sorted(
+            r["doc_id"]
+            for r in collapse_near_dup_clusters(docs, clusters, cap=10).collect()
+        )
+        # blob (cluster size 12 > 10) fully dropped; pair keeps min id;
+        # isolated doc passes through
+        assert kept == [100, 500]
+
+    def test_under_cap_keeps_one_representative(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.workloads.curation import (
+            collapse_near_dup_clusters,
+        )
+
+        pairs = spark.createDataFrame([(3, 7), (7, 9)], "a bigint, b bigint")
+        docs = spark.createDataFrame([(i,) for i in (3, 7, 9, 42)], "doc_id bigint")
+        clusters = connected_components(pairs)
+        kept = sorted(
+            r["doc_id"]
+            for r in collapse_near_dup_clusters(docs, clusters, cap=10).collect()
+        )
+        assert kept == [3, 42]
