@@ -38,10 +38,11 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .merge import merge_snapshot
+from .mor_store import ManifestConflict
 
 COLUMNS = ("id", "db_type", "val", "id_part")
 
@@ -76,11 +77,6 @@ def _listed_state(table_dir: str) -> dict:
         "base": os.path.exists(_base_dir(table_dir)),
         "deltas": sorted(os.listdir(deltas)) if os.path.exists(deltas) else [],
     }
-
-
-class ManifestConflict(RuntimeError):
-    """Another writer committed first: the stored manifest version no
-    longer matches the version this commit was derived from."""
 
 
 def _commit_manifest(table_dir: str, state: dict) -> None:
@@ -157,7 +153,17 @@ def write_delta(df: DataFrame, table_dir: str, max_retries: int = 5) -> str:
     orphan directory, not a torn table."""
     batch_name = f"batch-{time.time_ns():020d}-{uuid.uuid4().hex[:6]}"
     batch_dir = os.path.join(_deltas_dir(table_dir), batch_name)
-    df.select(*COLUMNS).write.mode("errorifexists").parquet(batch_dir)
+    # row count piggybacks on the write job via observe -- zero extra
+    # Spark jobs -- and rides in the manifest so compaction triggers
+    # (delta_fraction) never have to re-scan data files
+    obs = Observation()
+    (
+        df.select(*COLUMNS)
+        .observe(obs, F.count(F.lit(1)).alias("rows"))
+        .write.mode("errorifexists")
+        .parquet(batch_dir)
+    )
+    n_rows = int(obs.get["rows"])
     last: ManifestConflict | None = None
     for _ in range(max_retries):
         state = current_state(table_dir)
@@ -166,6 +172,10 @@ def write_delta(df: DataFrame, table_dir: str, max_retries: int = 5) -> str:
         deltas = [b for b in state["deltas"] if b != batch_name]
         state["version"] = int(state.get("version", 0)) + 1
         state["deltas"] = deltas + [batch_name]
+        state["delta_rows"] = {
+            **{b: n for b, n in state.get("delta_rows", {}).items() if b in deltas},
+            batch_name: n_rows,
+        }
         try:
             _commit_manifest(table_dir, state)
             return batch_dir
@@ -245,22 +255,36 @@ def clear_deltas(table_dir: str) -> None:
     state = current_state(table_dir)
     state["version"] = int(state.get("version", 0)) + 1
     state["deltas"] = []
+    state["delta_rows"] = {}
     _commit_manifest(table_dir, state)
     shutil.rmtree(_deltas_dir(table_dir), ignore_errors=True)
     _gc_version_manifests(table_dir, state["version"])
 
 
 def delta_fraction(spark: SparkSession, table_dir: str) -> float:
-    """Deltas-to-base row ratio -- the compaction trigger metric."""
+    """Deltas-to-base row ratio -- the compaction trigger metric.
+
+    Counts ride in the manifest (written by observe at append/compact
+    time), so for any manifest-era table this is pure metadata
+    arithmetic: zero Spark jobs, zero data-file reads.  Pre-manifest
+    tables (or manifests written before counts existed) fall back to
+    counting -- one union scan for all deltas, not a job per batch."""
     state = current_state(table_dir)
-    deltas = _deltas_dir(table_dir)
-    n_delta = sum(
-        spark.read.parquet(os.path.join(deltas, b)).count()
-        for b in state["deltas"]
-    )
-    n_base = (
-        spark.read.parquet(_base_dir(table_dir)).count() if state["base"] else 0
-    )
+    delta_rows = state.get("delta_rows", {})
+    if all(b in delta_rows for b in state["deltas"]):
+        n_delta = sum(int(delta_rows[b]) for b in state["deltas"])
+    else:
+        deltas = _deltas_dir(table_dir)
+        paths = [os.path.join(deltas, b) for b in state["deltas"]]
+        n_delta = spark.read.parquet(*paths).count() if paths else 0
+    if state.get("base_rows") is not None:
+        n_base = int(state["base_rows"])
+    else:
+        n_base = (
+            spark.read.parquet(_base_dir(table_dir)).count()
+            if state["base"]
+            else 0
+        )
     return n_delta / max(n_base, 1)
 
 
@@ -271,12 +295,18 @@ def compact(spark: SparkSession, table_dir: str) -> None:
     state = current_state(table_dir)
     merged = read_merged(spark, table_dir)
     staging = os.path.join(table_dir, f"base.staging-{uuid.uuid4().hex[:8]}")
+    obs = Observation()
     (
+        # observe sits ABOVE the range exchange: repartitionByRange runs a
+        # boundary-sampling pass over its child, which would double-count
+        # an observation placed below it
         merged.repartitionByRange("id_part", "id")
         .sortWithinPartitions("id")
+        .observe(obs, F.count(F.lit(1)).alias("rows"))
         .write.mode("overwrite")
         .parquet(staging)
     )
+    base_rows = int(obs.get["rows"])
     base = _base_dir(table_dir)
     old = os.path.join(table_dir, f"base.old-{uuid.uuid4().hex[:8]}")
     if os.path.exists(base):
@@ -286,7 +316,14 @@ def compact(spark: SparkSession, table_dir: str) -> None:
     # here; everything after is garbage collection
     new_version = int(state.get("version", 0)) + 1
     _commit_manifest(
-        table_dir, {"version": new_version, "base": True, "deltas": []}
+        table_dir,
+        {
+            "version": new_version,
+            "base": True,
+            "deltas": [],
+            "base_rows": base_rows,
+            "delta_rows": {},
+        },
     )
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(_deltas_dir(table_dir), ignore_errors=True)

@@ -5,6 +5,9 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
+from dataworks_aws_corporate_data_ingestion_spark.operators import mor
 from dataworks_aws_corporate_data_ingestion_spark.operators.mor import (
     compact,
     delta_fraction,
@@ -112,7 +115,13 @@ class TestManifest:
         v_before = read_manifest(t)["version"]
         compact(spark, t)
         m = read_manifest(t)
-        assert m == {"version": v_before + 1, "base": True, "deltas": []}
+        assert m == {
+            "version": v_before + 1,
+            "base": True,
+            "deltas": [],
+            "base_rows": 1,
+            "delta_rows": {},
+        }
 
     def test_time_travel_versions(self, spark, tmp_path):
         from dataworks_aws_corporate_data_ingestion_spark.operators.mor import (
@@ -192,3 +201,156 @@ class TestManifest:
         assert {
             r["val"] for r in read_merged(spark, t, version=2).collect()
         } == {"v1"}
+
+
+class StubObjectStore:
+    """In-memory HTTP object store with ETag conditional-write semantics
+    (If-Match / If-None-Match), the wire contract of S3 conditional PUT."""
+
+    def __init__(self):
+        self.objects: dict[str, tuple[bytes, str]] = {}
+        self.requests: list[tuple[str, str]] = []
+        self._etag = 0
+        self.on_conditional_put = None  # test hook: runs before the check
+
+    def __call__(self, method, url, headers, body):
+        self.requests.append((method, url))
+        if method == "GET":
+            if url not in self.objects:
+                return 404, {}, None
+            data, etag = self.objects[url]
+            return 200, {"ETag": etag}, data
+        assert method == "PUT"
+        conditional = "If-Match" in headers or "If-None-Match" in headers
+        if conditional and self.on_conditional_put:
+            hook, self.on_conditional_put = self.on_conditional_put, None
+            hook()
+        current = self.objects.get(url)
+        if "If-Match" in headers and (
+            current is None or current[1] != headers["If-Match"]
+        ):
+            return 412, {}, None
+        if "If-None-Match" in headers and current is not None:
+            return 412, {}, None
+        self._etag += 1
+        etag = f'"{self._etag}"'
+        self.objects[url] = (body, etag)
+        return 200, {"ETag": etag}, None
+
+
+class TestConditionalPutManifestStore:
+    URL = "https://store.example/tables/t1/_manifest.json"
+
+    def _store(self):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.mor_store import (
+            ConditionalPutManifestStore,
+        )
+
+        transport = StubObjectStore()
+        return ConditionalPutManifestStore(self.URL, transport), transport
+
+    def test_create_and_load_roundtrip(self):
+        store, transport = self._store()
+        assert store.load() == (None, None)
+        state = {"version": 1, "base": False, "deltas": ["b1"]}
+        store.commit(state, None)  # If-None-Match: * create
+        loaded, token = store.load()
+        assert loaded == state
+        assert token  # ETag present for the next CAS
+
+    def test_stale_token_conflicts(self):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.mor_store import (
+            ManifestConflict,
+        )
+
+        store, transport = self._store()
+        store.commit({"version": 1, "base": False, "deltas": []}, None)
+        _, stale = store.load()
+        store.commit({"version": 2, "base": False, "deltas": ["x"]}, stale)
+        with pytest.raises(ManifestConflict):
+            store.commit({"version": 2, "base": False, "deltas": ["y"]}, stale)
+        # create-precondition also conflicts once the object exists
+        with pytest.raises(ManifestConflict):
+            store.commit({"version": 1, "base": False, "deltas": []}, None)
+
+    def test_cas_update_retries_past_interleaved_commit(self):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.mor_store import (
+            cas_update,
+        )
+
+        store, transport = self._store()
+        store.commit({"version": 1, "base": True, "deltas": ["b1"]}, None)
+
+        def foreign_commit():
+            # another appender lands between our load and our PUT
+            st, tok = store.load()
+            st = dict(st, version=st["version"] + 1, deltas=st["deltas"] + ["theirs"])
+            store.commit(st, tok)
+
+        transport.on_conditional_put = foreign_commit
+
+        def append_mine(state):
+            return dict(
+                state,
+                version=int(state["version"]) + 1,
+                deltas=state["deltas"] + ["mine"],
+            )
+
+        final = cas_update(store, append_mine)
+        # both appends survived: ours retried on top of theirs
+        assert final["deltas"] == ["b1", "theirs", "mine"]
+        assert final["version"] == 3
+        loaded, _ = store.load()
+        assert loaded == final
+
+    def test_versioned_snapshots_enable_time_travel(self):
+        store, transport = self._store()
+        v1 = {"version": 1, "base": False, "deltas": []}
+        v2 = {"version": 2, "base": False, "deltas": ["b1"]}
+        store.commit(v1, None)
+        _, tok = store.load()
+        store.commit(v2, tok)
+        assert store.load_version(1) == v1
+        assert store.load_version(2) == v2
+        assert store.load_version(9) is None
+
+    def test_data_puts_are_never_conditional(self):
+        """Only the manifest swap carries a precondition; the immutable
+        .v{N} snapshot PUT must be unconditional (unique name)."""
+        store, transport = self._store()
+        store.commit({"version": 1, "base": False, "deltas": []}, None)
+        puts = [u for m, u in transport.requests if m == "PUT"]
+        assert puts == [self.URL + ".v1", self.URL]
+
+
+class TestManifestRowCounts:
+    def test_delta_fraction_is_metadata_only(self, spark, tmp_path):
+        """After manifest-era appends and a compact, delta_fraction needs
+        no SparkSession at all -- counts ride in the manifest."""
+        t = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(str(i), "INSERT", f"v{i}", "00") for i in range(10)],
+            "id string, db_type string, val string, id_part string",
+        )
+        mor.write_delta(base, t)
+        mor.compact(spark, t)
+        delta = spark.createDataFrame(
+            [("3", "INSERT", "v3b", "00"), ("99", "INSERT", "v99", "00")],
+            "id string, db_type string, val string, id_part string",
+        )
+        mor.write_delta(delta, t)
+        m = mor.read_manifest(t)
+        assert m["base_rows"] == 10
+        assert list(m["delta_rows"].values()) == [2]
+        # spark=None proves zero jobs: any data-file read would crash
+        assert mor.delta_fraction(None, t) == 2 / 10
+
+    def test_fallback_counts_pre_manifest_tables(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [("1", "INSERT", "v", "00")],
+            "id string, db_type string, val string, id_part string",
+        )
+        mor.write_delta(df, t)
+        os.remove(os.path.join(t, "_manifest.json"))  # pre-manifest table
+        assert mor.delta_fraction(spark, t) == 1.0
