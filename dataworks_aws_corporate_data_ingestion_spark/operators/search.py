@@ -86,6 +86,41 @@ def corpus_stats(postings: DataFrame) -> DataFrame:
     )
 
 
+def materialize_search_index(
+    spark,
+    docs: DataFrame,
+    prefix: str,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Persist the full search index as catalog tables, postings bucketed
+    by term: `{prefix}_postings` (bucketBy term -- the corpus-sized side),
+    `{prefix}_dfs` (per-term df dimension), `{prefix}_stats` (single-row
+    corpus stats).  Returns the three frames read back from the catalog.
+
+    This is the Lucene trade re-expressed in Spark's layout system: pay
+    the postings shuffle ONCE at write time; every later search plans as
+    a bucketed scan with the `term IN (...)` predicate pushed to parquet,
+    broadcast dims, and exactly one exchange (the per-doc score fold) --
+    asserted by tests/test_bucketing.py.  Bucket counts should put one
+    bucket ~ one task (128-512 MB) at the target corpus size."""
+    from ..sinks.bucketing import write_bucketed
+
+    postings = build_postings(docs, id_col=id_col, text_col=text_col)
+    write_bucketed(postings, f"{prefix}_postings", ["term"], n_buckets)
+    indexed = spark.table(f"{prefix}_postings")
+    # dims derive from the materialised postings (not the source corpus):
+    # one bucketed-scan pass, and bit-identical to what searches will read
+    term_stats(indexed).write.mode("overwrite").saveAsTable(f"{prefix}_dfs")
+    corpus_stats(indexed).write.mode("overwrite").saveAsTable(f"{prefix}_stats")
+    return (
+        indexed,
+        spark.table(f"{prefix}_dfs"),
+        spark.table(f"{prefix}_stats"),
+    )
+
+
 def bm25_search(
     postings: DataFrame,
     dfs: DataFrame,

@@ -272,11 +272,11 @@ _SEARCH_TERMS = ("dup", "join", "stream", "vector", "window")
 _SEARCH_TERMS_SQL = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
 
 
-@register(
-    "bm25_search_postings",
-    bench=True,
-    tags=("text", "relevance", "search", "inverted-index", "topk"),
-    oracle=f"""
+def _bm25_postings_oracle(terms_sql: str) -> str:
+    """The postings-index BM25 oracle, parameterised on the term list --
+    shared by the ad-hoc and the bucketed-index registrations (identical
+    semantics; only the physical layout differs)."""
+    return f"""
         WITH d AS (
             SELECT doc_id, string_split(lower(text), ' ') AS toks
             FROM documents
@@ -304,7 +304,7 @@ _SEARCH_TERMS_SQL = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
                        AS score
             FROM tf, dfs, stats
             WHERE tf.term = dfs.term
-              AND tf.term IN ({_SEARCH_TERMS_SQL})
+              AND tf.term IN ({terms_sql})
         )
         SELECT doc_id,
                list_reduce(
@@ -314,7 +314,14 @@ _SEARCH_TERMS_SQL = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
         FROM scored GROUP BY doc_id
         ORDER BY bm25 DESC, doc_id ASC
         LIMIT 20
-    """,
+    """
+
+
+@register(
+    "bm25_search_postings",
+    bench=True,
+    tags=("text", "relevance", "search", "inverted-index", "topk"),
+    oracle=_bm25_postings_oracle(_SEARCH_TERMS_SQL),
 )
 def bm25_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-term BM25 via the inverted-index search layer
@@ -340,6 +347,36 @@ def bm25_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(
         postings, term_stats(postings), corpus_stats(postings), _SEARCH_TERMS
     )
+
+
+_BUCKETED_TERMS = ("filter", "merge", "sort", "query")
+_BUCKETED_TERMS_SQL = ", ".join(f"'{t}'" for t in _BUCKETED_TERMS)
+
+
+@register(
+    "bm25_search_bucketed",
+    tags=("text", "relevance", "search", "inverted-index", "bucketing", "topk"),
+    oracle=_bm25_postings_oracle(_BUCKETED_TERMS_SQL),
+)
+def bm25_search_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 search against a MATERIALISED index: postings persisted as a
+    catalog table bucketed by term plus df/stats dimension tables
+    (operators/search.py::materialize_search_index), then an arbitrary
+    term set answered from the tables alone -- no corpus access.
+
+    Scale notes: the postings shuffle is paid once at index-build time;
+    the repeat-search plan is a bucketed postings scan with the
+    `term IN (...)` predicate pushed to parquet, broadcast dims, and
+    exactly one exchange (the per-doc fold) -- asserted in
+    tests/test_bucketing.py.  Oracle semantics are identical to
+    `bm25_search_postings`; only the physical layout differs."""
+    from ..operators.search import bm25_search, materialize_search_index
+
+    docs = load_table(spark, "documents", sf_dir)
+    postings, dfs, stats = materialize_search_index(
+        spark, docs, "bm25_index", n_buckets=8
+    )
+    return bm25_search(postings, dfs, stats, _BUCKETED_TERMS)
 
 
 @register(

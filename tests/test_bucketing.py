@@ -61,3 +61,77 @@ class TestBucketedJoin:
         )
         plan = agg._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+class TestBucketedSearchIndex:
+    @pytest.fixture()
+    def index(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.search import (
+            materialize_search_index,
+        )
+        from dataworks_aws_corporate_data_ingestion_spark.sources.tables import (
+            load_table,
+        )
+
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+        yield materialize_search_index(spark, docs, "t_bm25", n_buckets=4)
+        for t in ("t_bm25_postings", "t_bm25_dfs", "t_bm25_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_search_plan_single_exchange_and_pushed_terms(self, spark, index):
+        """The whole point of the bucketed index: a repeat search must
+        plan as bucketed-scan + broadcast dims + ONE exchange (the
+        per-doc score fold) -- nothing on the postings-join side -- with
+        the term filter pushed into the parquet scan."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.search import (
+            bm25_search,
+        )
+
+        postings, dfs, stats = index
+        plan = (
+            bm25_search(postings, dfs, stats, ["filter", "merge"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n_exchanges = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert n_exchanges == 1, plan
+        assert "hashpartitioning(doc_id" in plan, plan
+        assert "PushedFilters: [In(term" in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_term_stats_from_bucketed_postings_skips_exchange(self, spark, index):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.search import (
+            term_stats,
+        )
+
+        postings, _, _ = index
+        plan = (
+            term_stats(postings)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+
+    def test_bucketed_search_matches_adhoc_search(self, spark, index):
+        """Layout must not change semantics: the bucketed-index search
+        returns exactly the ad-hoc (in-memory index) search's ranking."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.search import (
+            bm25_search,
+            build_postings,
+            corpus_stats,
+            term_stats,
+        )
+        from dataworks_aws_corporate_data_ingestion_spark.sources.tables import (
+            load_table,
+        )
+
+        postings, dfs, stats = index
+        terms = ["filter", "merge", "sort", "query"]
+        got = bm25_search(postings, dfs, stats, terms).collect()
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+        adhoc_p = build_postings(docs)
+        want = bm25_search(
+            adhoc_p, term_stats(adhoc_p), corpus_stats(adhoc_p), terms
+        ).collect()
+        assert [(r.doc_id, r.bm25) for r in got] == [
+            (r.doc_id, r.bm25) for r in want
+        ]
