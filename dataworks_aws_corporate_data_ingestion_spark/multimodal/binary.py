@@ -4,11 +4,15 @@ Media travel as opaque `binary` columns plus a typed metadata struct; all
 per-asset compute runs through `mapInPandas` so each Arrow batch is one
 Python crossing and assets never round-trip through JVM row objects.
 
-Codec-dependent steps (JPEG decode, resampling, frame extraction) are
-STUBS in this container -- the image/audio libraries are not installed --
-gated behind import-tries that raise NotImplementedError with the library
-named.  Everything around them (schemas, batching, partitioning, the
-byte-level feature extractor) is real and tested.
+Codec-dependent steps (JPEG/PNG decode, resampling, frame extraction)
+are STUBS in this container -- the image/audio libraries are not
+installed -- gated behind import-tries that raise NotImplementedError
+with the library named.  Formats whose layout is a public spec needing
+no codec (uncompressed BMP, binary PPM, WAV/PNG/JPEG headers, raw PCM)
+decode/parse for real in pure Python+numpy, so the decode -> pixel-stats
+path runs end-to-end here.  Everything around the stubs (schemas,
+batching, partitioning, the byte-level feature extractor) is real and
+tested.
 
 Scale notes: assets are large values; `rebalance_by_size` targets a bytes-
 per-partition budget so one task never holds hundreds of 4K frames, and
@@ -60,6 +64,10 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", LongType()),
         StructField("byte_entropy", DoubleType()),
         StructField("byte_histogram", ArrayType(DoubleType())),
+        # raw integer counts per 16-bin nibble bucket: the exact-arithmetic
+        # twin of byte_histogram, and the driver-oracle-checkable surface
+        # (entropy/ratios involve libm / division rounding; counts do not)
+        StructField("byte_hist_counts", ArrayType(LongType())),
     ]
 )
 
@@ -97,16 +105,24 @@ def extract_byte_features(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
                 arr = np.frombuffer(blob or b"", dtype=np.uint8)
                 n = int(arr.size)
                 if n:
-                    counts = np.bincount(arr >> 4, minlength=16).astype(np.float64)
-                    probs = counts / n
+                    counts = np.bincount(arr >> 4, minlength=16)
+                    probs = counts.astype(np.float64) / n
                     nz = probs[probs > 0]
                     entropy = float(-(nz * np.log2(nz)).sum())
-                    hist = (counts / n).tolist()
+                    hist = probs.tolist()
+                    raw = [int(c) for c in counts]
                 else:
-                    entropy, hist = 0.0, [0.0] * 16
-                rows.append((int(aid), n, entropy, hist))
+                    entropy, hist, raw = 0.0, [0.0] * 16, [0] * 16
+                rows.append((int(aid), n, entropy, hist, raw))
             yield pd.DataFrame(
-                rows, columns=["asset_id", "n_bytes", "byte_entropy", "byte_histogram"]
+                rows,
+                columns=[
+                    "asset_id",
+                    "n_bytes",
+                    "byte_entropy",
+                    "byte_histogram",
+                    "byte_hist_counts",
+                ],
             )
 
     return df.mapInPandas(batches, FEATURE_SCHEMA)
@@ -122,25 +138,144 @@ DECODED_IMAGE_SCHEMA = StructType(
 )
 
 
+def _decode_bmp(blob: bytes) -> tuple[int, int, bytes]:
+    """Uncompressed 24-bit BMP -> (width, height, row-major top-down RGB).
+    Pure stdlib+numpy: the BMP container is a public fixed layout
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, BGR rows padded to 4 bytes,
+    bottom-up unless height is negative)."""
+    import struct
+
+    if len(blob) < 54 or blob[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    (data_offset,) = struct.unpack("<I", blob[10:14])
+    width, height = struct.unpack("<ii", blob[18:26])
+    (bpp,) = struct.unpack("<H", blob[28:30])
+    (compression,) = struct.unpack("<I", blob[30:34])
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    raw = np.frombuffer(
+        blob, dtype=np.uint8, count=row_bytes * height, offset=data_offset
+    ).reshape(height, row_bytes)
+    bgr = raw[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        bgr = bgr[::-1]
+    return width, height, bgr[:, :, ::-1].tobytes()  # BGR -> RGB
+
+
+def _decode_ppm(blob: bytes) -> tuple[int, int, bytes]:
+    """Binary PPM (P6, maxval 255) -> (width, height, row-major RGB).
+    The header is whitespace-separated ASCII tokens with '#' comments;
+    the payload is already row-major RGB."""
+    if blob[:2] != b"P6":
+        raise ValueError("not a P6 PPM file")
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(blob):
+        c = blob[pos]
+        if c in b"#":
+            pos = blob.index(b"\n", pos) + 1
+        elif c in b" \t\r\n":
+            pos += 1
+        else:
+            end = pos
+            while end < len(blob) and blob[end] not in b" \t\r\n#":
+                end += 1
+            tokens.append(int(blob[pos:end]))
+            pos = end
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 PPM supported (got {maxval})")
+    pos += 1  # single whitespace byte separates header from payload
+    need = width * height * 3
+    pixels = blob[pos : pos + need]
+    if len(pixels) != need:
+        raise ValueError("truncated PPM payload")
+    return width, height, pixels
+
+
 def decode_images(df: DataFrame) -> DataFrame:
-    """JPEG/PNG decode via PIL -- STUB here (PIL not installed): the
-    mapInPandas harness and output schema are real; the inner decode call
-    raises NotImplementedError naming the missing library."""
+    """Image decode to row-major RGB.  Uncompressed BMP and binary PPM
+    decode end-to-end in pure Python/numpy (container layouts are public
+    specs, no codec library needed); PNG/JPEG route through PIL, which is
+    import-gated in this container (NotImplementedError naming the
+    missing library)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pil = _require("PIL", "image decode")  # raises in this container
         import io
 
         for pdf in it:
             rows = []
             for aid, blob in zip(pdf["asset_id"], pdf["data"]):
-                img = pil.Image.open(io.BytesIO(blob)).convert("RGB")
-                rows.append((int(aid), img.width, img.height, img.tobytes()))
+                blob = bytes(blob or b"")
+                if blob[:2] == b"BM":
+                    w, h, px = _decode_bmp(blob)
+                elif blob[:2] == b"P6":
+                    w, h, px = _decode_ppm(blob)
+                else:
+                    pil = _require("PIL", "PNG/JPEG decode")
+                    img = pil.Image.open(io.BytesIO(blob)).convert("RGB")
+                    w, h, px = img.width, img.height, img.tobytes()
+                rows.append((int(aid), w, h, px))
             yield pd.DataFrame(
                 rows, columns=["asset_id", "width", "height", "pixels"]
             )
 
     return df.mapInPandas(batches, DECODED_IMAGE_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("min_luma", LongType()),
+        StructField("max_luma", LongType()),
+    ]
+)
+
+
+def pixel_stats(decoded: DataFrame) -> DataFrame:
+    """Per-image channel statistics over decoded RGB buffers -- with the
+    BMP/PPM decoders above this is a fully-real decode -> featurise path
+    (no codec library).  Luma uses integer BT.601-ish weights (77R + 150G
+    + 29B) >> 8 so min/max are exact."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, px in zip(pdf["asset_id"], pdf["pixels"]):
+                arr = np.frombuffer(px or b"", dtype=np.uint8)
+                arr = arr[: (arr.size // 3) * 3].reshape(-1, 3).astype(np.int64)
+                n = int(arr.shape[0])
+                if n:
+                    means = arr.mean(axis=0)
+                    luma = (77 * arr[:, 0] + 150 * arr[:, 1] + 29 * arr[:, 2]) >> 8
+                    rows.append(
+                        (
+                            int(aid),
+                            n,
+                            float(means[0]),
+                            float(means[1]),
+                            float(means[2]),
+                            int(luma.min()),
+                            int(luma.max()),
+                        )
+                    )
+                else:
+                    rows.append((int(aid), 0, 0.0, 0.0, 0.0, 0, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "n_pixels", "mean_r", "mean_g", "mean_b",
+                    "min_luma", "max_luma",
+                ],
+            )
+
+    return decoded.mapInPandas(batches, PIXEL_STATS_SCHEMA)
 
 
 WAVEFORM_SCHEMA = StructType(

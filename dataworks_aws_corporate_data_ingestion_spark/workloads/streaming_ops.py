@@ -42,21 +42,64 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_byte_features",
-    tags=("multimodal", "mapinpandas", "non-sql"),
+    tags=("multimodal", "mapinpandas"),
+    oracle="""
+        WITH ch AS (
+            SELECT doc_id, ascii(c) // 16 AS nib
+            FROM (
+                SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents
+            )
+        ), nibs AS (
+            SELECT unnest(range(16)) AS nib
+        ), counts AS (
+            SELECT d.doc_id, n.nib, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            CROSS JOIN nibs n
+            LEFT JOIN (
+                SELECT doc_id, nib, COUNT(*) AS cnt FROM ch GROUP BY doc_id, nib
+            ) c ON c.doc_id = d.doc_id AND c.nib = n.nib
+        ), lists AS (
+            SELECT doc_id,
+                   CAST(to_json(list(cnt ORDER BY nib)) AS VARCHAR)
+                       AS nibble_histogram,
+                   list(cnt ORDER BY nib) AS arr
+            FROM counts GROUP BY doc_id
+        )
+        SELECT l.doc_id AS asset_id,
+               CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+               l.nibble_histogram,
+               CAST(list_position(l.arr, list_max(l.arr)) - 1 AS BIGINT)
+                   AS top_nibble
+        FROM lists l JOIN documents d ON d.doc_id = l.doc_id
+    """,
 )
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-level feature extraction (size/entropy/histogram) over binary
-    media columns, here derived from document text bytes.  mapInPandas
-    batch plumbing; verified against numpy in pytest.
+    """Byte-level feature extraction over binary media columns (here
+    derived from document text bytes): size, 16-bin nibble histogram,
+    dominant nibble.  mapInPandas batch plumbing is the real multimodal
+    path; the driver-checked surface sticks to the INTEGER-exact outputs
+    (counts, argmax) -- entropy and ratio columns stay on the operator
+    API, pinned against numpy in pytest, because libm/division rounding
+    is not bit-stable cross-engine.
 
-    The operator API keeps the histogram as array<double>; the registered
-    surface serialises it to a JSON string so the driver canonicaliser can
-    sort/hash the column."""
+    The histogram rides as a compact JSON string so the driver
+    canonicaliser can sort/hash the column; Spark's to_json and DuckDB's
+    to_json render bigint lists identically."""
     docs = load_table(spark, "documents", sf_dir)
     media = docs.select(
         F.col("doc_id").alias("asset_id"),
         F.encode(F.col("text"), "utf-8").alias("data"),
     )
-    return extract_byte_features(media).withColumn(
-        "byte_histogram", F.to_json("byte_histogram")
+    feats = extract_byte_features(media)
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        F.to_json("byte_hist_counts").alias("nibble_histogram"),
+        (
+            F.expr("array_position(byte_hist_counts, array_max(byte_hist_counts))")
+            - F.lit(1)
+        )
+        .cast("bigint")
+        .alias("top_nibble"),
     )
