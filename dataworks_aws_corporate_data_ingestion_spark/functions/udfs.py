@@ -116,7 +116,15 @@ def envelope_udf(configured_collection: str | None = None):
             rows, columns=[f.name for f in ENVELOPE_STRUCT.fields]
         )
 
-    return _parse
+    # The parse is pure, but it is declared nondeterministic as an
+    # OPTIMIZER BARRIER: a deterministic alias gets inlined into any
+    # later filter predicate (e.g. the quarantine's db_object IS NOT
+    # NULL) and pushed down as a SECOND copy of the expression --
+    # Catalyst then runs the whole upstream Python chain twice.  The
+    # round-3 plan audit measured exactly that doubling; with the
+    # barrier the envelope parse evaluates once and filters reference
+    # its output attribute.
+    return _parse.asNondeterministic()
 
 
 def decrypt_udf(key_service: KeyService, hit_acc=None, miss_acc=None):

@@ -22,22 +22,41 @@ from ..functions.crypto import KeyService
 
 
 def read_envelopes(
-    spark: SparkSession, source_path: str, collection: str | None = None
+    spark: SparkSession,
+    source_path: str,
+    collection: str | None = None,
+    expand: bool = True,
 ) -> DataFrame:
     """Line-oriented scan of JSONL (gz auto-decompressed by the Hadoop
     codec) plus envelope parse (reference steps/ingesters.py:30-31 +
-    steps/data.py:63-89)."""
-    return (
-        spark.read.text(source_path)
-        .withColumn("env", envelope_udf(collection)(F.col("value")))
-        .select("value", "env.*")
+    steps/data.py:63-89).
+
+    ``expand=False`` keeps the parsed envelope as the single ``env``
+    struct column -- REQUIRED when a filter follows (see
+    quarantine_missing_db_object): filtering on an expanded field
+    re-derives the UDF expression and Catalyst evaluates the whole
+    upstream Python chain twice."""
+    df = spark.read.text(source_path).withColumn(
+        "env", envelope_udf(collection)(F.col("value"))
     )
+    return df.select("value", "env.*") if expand else df
 
 
 def quarantine_missing_db_object(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split rows with a null dbObject into a quarantine branch instead of
     failing the whole job (the reference hard-raises per record,
-    steps/dks.py:142-143; a 100 TB run should not die on one bad row)."""
+    steps/dks.py:142-143; a 100 TB run should not die on one bad row).
+
+    Pass the UNEXPANDED frame (``env`` struct still packed): the split
+    then filters on the struct attribute and the envelope UDF -- plus
+    everything upstream of it -- evaluates exactly once.  Filtering an
+    expanded ``db_object`` column instead duplicates the UDF expression
+    into the Filter node, and the round-3 plan audit measured the whole
+    Python chain (fixture encrypt + envelope parse) running twice."""
+    if "env" in df.columns:
+        good = df.filter(F.col("env.db_object").isNotNull()).select("value", "env.*")
+        bad = df.filter(F.col("env.db_object").isNull()).select("value", "env.*")
+        return good, bad
     good = df.filter(F.col("db_object").isNotNull())
     bad = df.filter(F.col("db_object").isNull())
     return good, bad
@@ -166,7 +185,7 @@ def ingest_daily(
     (reference steps/ingesters.py:116-119); for keyed collections the
     caller feeds the rows to sinks.writers.write_daily (reference
     steps/ingesters.py:526-539)."""
-    env = read_envelopes(spark, source_path, collection)
+    env = read_envelopes(spark, source_path, collection, expand=False)
     good, quarantined = quarantine_missing_db_object(env)
     processed = decrypt_and_process(good, key_service, audit=audit, hit_acc=hit_acc, miss_acc=miss_acc)
     return to_daily_rows(processed, export_date), quarantined

@@ -248,9 +248,11 @@ def cdi_audit_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lines = enc.select(line.alias("value"))
+    # env stays packed through the quarantine split -- expanding first
+    # would double-evaluate the whole Python chain (see ingest.py)
     env = lines.withColumn(
         "env", envelope_udf("data:businessAudit")(F.col("value"))
-    ).select("value", "env.*")
+    )
     good, _quarantined = quarantine_missing_db_object(env)
     processed = decrypt_and_process(good, IdentityKeyService(), audit=True)
     return processed.select("id", "val", "is_delete")
@@ -297,9 +299,11 @@ def cdi_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     id_part bucketing all at once (reference steps/data.py + steps/dks.py +
     steps/ingesters.py:505-522)."""
     lines = envelope_lines_from_events(spark, sf_dir)
+    # env stays packed through the quarantine split -- expanding first
+    # would double-evaluate the whole Python chain (see ingest.py)
     env = lines.withColumn(
         "env", envelope_udf("calculator:calculationParts")(F.col("value"))
-    ).select("value", "env.*")
+    )
     good, _quarantined = quarantine_missing_db_object(env)
     processed = decrypt_and_process(good, IdentityKeyService())
     return to_daily_rows(processed, EXPORT_DATE)

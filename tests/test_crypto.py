@@ -69,7 +69,11 @@ class TestKeyCache:
 
         hit_acc = spark.sparkContext.accumulator(0)
         miss_acc = spark.sparkContext.accumulator(0)
-        lines, _ = make_batch(60, n_keys=5)
+        # unique seed => unique data keys: worker key caches are
+        # module-level and survive across tests in this session, so keys
+        # shared with other fixtures would already be warm and the
+        # hit/miss split below would depend on test order
+        lines, _ = make_batch(60, seed=424242, n_keys=5)
         env = read_envelopes_from_df(spark, lines)
         dec = decrypt_udf(IdentityKeyService(), hit_acc=hit_acc, miss_acc=miss_acc)
         out = env.coalesce(1).withColumn(

@@ -51,3 +51,16 @@ def test_deciles_have_no_global_window_sort(spark):
     # the only SinglePartition exchange allowed is the 9-double boundary
     # aggregate; any Window at all means the ntile twin got registered
     assert "Window" not in plan, "deciles regressed to a global window sort"
+
+
+def test_cdi_python_stages_evaluate_once(spark):
+    """Each pandas UDF in the CDI chain must appear EXACTLY once in the
+    plan.  A filter on an expanded UDF column gets the expression inlined
+    + pushed and the whole upstream Python chain (fixture encrypt +
+    envelope parse) runs twice -- the round-3 plan audit measured that
+    doubling before envelope_udf became an optimizer barrier
+    (asNondeterministic) and quarantine split on the packed struct."""
+    for name in ("cdi_ingest_pipeline", "cdi_audit_pipeline"):
+        plan = _plan(spark, name)
+        n = plan.count("ArrowEvalPython")
+        assert n == 3, f"{name}: expected 3 Python stages, found {n}"
