@@ -105,15 +105,16 @@ def materialize_search_index(
     broadcast dims, and exactly one exchange (the per-doc score fold) --
     asserted by tests/test_bucketing.py.  Bucket counts should put one
     bucket ~ one task (128-512 MB) at the target corpus size."""
-    from ..sinks.bucketing import write_bucketed
+    from ..sinks.bucketing import _clear_orphan_location, write_bucketed
 
     postings = build_postings(docs, id_col=id_col, text_col=text_col)
     write_bucketed(postings, f"{prefix}_postings", ["term"], n_buckets)
     indexed = spark.table(f"{prefix}_postings")
     # dims derive from the materialised postings (not the source corpus):
     # one bucketed-scan pass, and bit-identical to what searches will read
-    term_stats(indexed).write.mode("overwrite").saveAsTable(f"{prefix}_dfs")
-    corpus_stats(indexed).write.mode("overwrite").saveAsTable(f"{prefix}_stats")
+    for suffix, frame in (("dfs", term_stats(indexed)), ("stats", corpus_stats(indexed))):
+        _clear_orphan_location(spark, f"{prefix}_{suffix}")
+        frame.write.mode("overwrite").saveAsTable(f"{prefix}_{suffix}")
     return (
         indexed,
         spark.table(f"{prefix}_dfs"),

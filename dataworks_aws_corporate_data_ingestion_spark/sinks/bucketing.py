@@ -17,7 +17,24 @@ buckets additionally removes the join's per-partition sort.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _clear_orphan_location(spark: SparkSession, table: str) -> None:
+    """A fresh session's catalog does not know tables a PREVIOUS session
+    wrote into the same warehouse dir, so CREATE fails with
+    LOCATION_ALREADY_EXISTS on the leftover directory.  Drop the catalog
+    entry if present, then remove an orphaned file-scheme location."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if warehouse.scheme in ("", "file"):
+        loc = os.path.join(warehouse.path, table.split(".")[-1].lower())
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def write_bucketed(
@@ -29,7 +46,9 @@ def write_bucketed(
     fmt: str = "parquet",
 ) -> None:
     """Persist df as a bucketed (and optionally bucket-sorted) managed
-    table.  mode=overwrite keeps re-runs idempotent."""
+    table.  mode=overwrite keeps re-runs idempotent, including across
+    sessions sharing a warehouse dir (orphan locations are cleared)."""
+    _clear_orphan_location(df.sparkSession, table)
     writer = (
         df.write.format(fmt)
         .mode("overwrite")
