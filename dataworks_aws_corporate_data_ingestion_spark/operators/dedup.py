@@ -198,6 +198,64 @@ def near_dup_pairs_minhash(
     )
 
 
+def near_dup_pairs_minhash_incremental(
+    corpus: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    k: int = 3,
+    bands: int = 16,
+    rows: int = 4,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus: (a, b, jaccard_sim)
+    pairs where at least one side is a delta doc -- delta-vs-corpus and
+    delta-vs-delta, never corpus-vs-corpus.
+
+    This is the daily-cadence shape (the reference ingests daily deltas
+    against a 10 TB snapshot): re-running the full self-join to admit a
+    1% delta re-pays the corpus-squared candidate work, while here
+    candidate generation joins DELTA band buckets against the union's
+    buckets, so candidate volume scales with |delta|, not |corpus|.
+
+    Scale notes: the delta bucket side is tiny relative to the corpus --
+    left un-hinted so AQE broadcasts it and the corpus bucket stream
+    never shuffles.  At steady state the corpus signatures/buckets are
+    a one-time build (materialise them with sinks.bucketing bucketed by
+    (band_id, band_hash) and appends become exchange-free on the corpus
+    side); they are recomputed here because the registry query is
+    self-contained.  Recall math is identical to near_dup_pairs_minhash
+    (same bands x rows)."""
+    spark_parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    shingled = lambda df: tracked_persist(  # noqa: E731
+        df.repartition(spark_parallelism).select(
+            F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles")
+        )
+    )
+    corpus_sh, delta_sh = shingled(corpus), shingled(delta)
+    all_sh = corpus_sh.unionByName(delta_sh)
+    buckets = lambda sh: lsh_band_buckets(  # noqa: E731
+        minhash_signatures(sh), id_col=id_col, bands=bands, rows=rows
+    )
+    delta_buckets = buckets(delta_sh).select(
+        F.col(id_col).alias("d"), "band_id", "band_hash"
+    )
+    union_buckets = buckets(all_sh).select(
+        F.col(id_col).alias("o"), "band_id", "band_hash"
+    )
+    candidates = (
+        union_buckets.join(delta_buckets, ["band_id", "band_hash"])
+        .filter(F.col("d") != F.col("o"))
+        .select(
+            F.least("d", "o").alias("a"), F.greatest("d", "o").alias("b")
+        )
+        .distinct()
+    )
+    return verify_pairs_jaccard(
+        candidates, all_sh, id_col=id_col, threshold=threshold
+    )
+
+
 def near_dup_pairs_exact(
     docs: DataFrame,
     id_col: str = "doc_id",

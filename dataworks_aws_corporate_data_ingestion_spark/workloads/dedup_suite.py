@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     near_dup_pairs_exact,
     near_dup_pairs_minhash,
+    near_dup_pairs_minhash_incremental,
     simhash_near_dup_pairs,
 )
 from ..sources.tables import load_table
@@ -58,6 +59,65 @@ def near_dup_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator that survives a 100x corpus, where near_dup_pairs_exact's
     cross join cannot."""
     return near_dup_pairs_minhash(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "near_dup_pairs_incremental",
+    tags=("dedup", "minhash", "lsh", "incremental"),
+    oracle=_PAIRS_JACCARD_ORACLE
+    + """
+      AND (x.doc_id % 10 = 0 OR y.doc_id % 10 = 0)
+    """,
+)
+def near_dup_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-delta dedup: docs with doc_id % 10 == 0 play the incoming
+    batch, the rest the standing corpus.  Output = every >=0.9 pair
+    TOUCHING the delta (delta-vs-corpus + delta-vs-delta); the oracle is
+    the exact-jaccard pair set restricted to pairs with a delta side --
+    corpus-internal pairs must NOT appear, which is the point: admitting
+    a 1% delta does not re-pay the corpus self-join."""
+    d = load_table(spark, "documents", sf_dir)
+    return near_dup_pairs_minhash_incremental(
+        corpus=d.filter(F.col("doc_id") % 10 != 0),
+        delta=d.filter(F.col("doc_id") % 10 == 0),
+    )
+
+
+@register(
+    "benchmark_contamination",
+    tags=("decontamination", "training-data", "ngram"),
+    oracle="""
+        WITH s AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(toks)-3),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                  FROM documents)
+        ), bench AS (
+            SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id % 7 = 0
+        ), corpus AS (
+            SELECT doc_id, unnest(sh) AS shingle FROM s WHERE doc_id % 7 <> 0
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM corpus JOIN bench USING (shingle)
+        GROUP BY doc_id
+    """,
+)
+def benchmark_contamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set leakage check: docs with doc_id % 7 == 0 play the
+    benchmark, the rest the training corpus; a corpus doc is flagged
+    with the count of distinct 5-gram shingles it shares with ANY
+    benchmark doc (operators/contamination.py).  Exact string collision,
+    no hashing -- a flag is a proof of verbatim overlap."""
+    from ..operators.contamination import contamination_hits
+
+    d = load_table(spark, "documents", sf_dir)
+    return contamination_hits(
+        docs=d.filter(F.col("doc_id") % 7 != 0),
+        benchmark=d.filter(F.col("doc_id") % 7 == 0),
+        n=5,
+    )
 
 
 @register(

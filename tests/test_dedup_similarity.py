@@ -147,3 +147,72 @@ class TestShingleFrequencyCap:
             for r in near_dup_pairs_exact(docs, threshold=0.8, max_shingle_freq=10).collect()
         }
         assert uncapped == capped == {(1, 2)}
+
+
+class TestIncrementalMinhash:
+    def test_only_delta_touching_pairs(self, spark):
+        """Corpus-internal near-dups must NOT surface; delta-vs-corpus
+        and delta-vs-delta must."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.dedup import (
+            near_dup_pairs_minhash_incremental,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 12
+        rows = [
+            (1, base),                      # corpus
+            (2, base),                      # corpus: dup of 1 (internal pair)
+            (3, "totally different words " * 30),  # corpus, unique
+            (10, base),                     # delta: dup of 1 and 2
+            (11, "another unrelated doc " * 30),   # delta, unique
+            (12, "another unrelated doc " * 30),   # delta: dup of 11
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = near_dup_pairs_minhash_incremental(
+            corpus=docs.filter("doc_id < 10"),
+            delta=docs.filter("doc_id >= 10"),
+        )
+        pairs = sorted((r.a, r.b) for r in got.collect())
+        assert pairs == [(1, 10), (2, 10), (11, 12)]
+
+
+class TestContamination:
+    def _docs(self, spark):
+        leak = "the quick brown fox jumps over the lazy dog tonight"
+        rows = [
+            (1, f"prefix words here {leak} and trailing text follows now"),
+            (2, "completely clean document with no overlap at all present"),
+            (100, f"benchmark question {leak} benchmark answer text"),
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_hits_flag_verbatim_overlap_only(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.contamination import (
+            contamination_hits,
+        )
+
+        d = self._docs(spark)
+        got = {
+            r.doc_id: r.n_hits
+            for r in contamination_hits(
+                docs=d.filter("doc_id < 100"),
+                benchmark=d.filter("doc_id >= 100"),
+                n=5,
+            ).collect()
+        }
+        # the 10-token leak yields 6 shared 5-grams; doc 2 never appears
+        assert set(got) == {1}
+        assert got[1] == 6
+
+    def test_decontaminate_drops_flagged_keeps_columns(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.contamination import (
+            decontaminate,
+        )
+
+        d = self._docs(spark)
+        kept = decontaminate(
+            docs=d.filter("doc_id < 100"),
+            benchmark=d.filter("doc_id >= 100"),
+            n=5,
+        )
+        assert kept.columns == ["doc_id", "text"]
+        assert [r.doc_id for r in kept.collect()] == [2]
