@@ -112,3 +112,55 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.size(F.array_intersect(a, b)).cast("double") / F.size(
         F.array_union(a, b)
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction (training-data scrubbing)
+# --------------------------------------------------------------------------
+
+# Patterns chosen to behave IDENTICALLY under Java regex (Spark) and RE2
+# (DuckDB oracles): no backreferences, no lookaround, explicit classes.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+_PII_ORDER = ("email", "phone", "ssn")  # phone (3-3-4) before ssn (3-2-4)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII occurrence counts as JVM expressions (regexp_count,
+    no Python).  Count BEFORE redacting -- replacement tokens must not
+    shadow later patterns."""
+    return {
+        kind: F.regexp_count(text, F.lit(pat))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """All PII spans replaced with typed tokens ([EMAIL], [PHONE],
+    [SSN]) -- pure regexp_replace chain inside WholeStageCodegen, zero
+    Python.  Order matters: phone's 3-3-4 shape is matched before ssn's
+    3-2-4 so neither digit run is half-eaten by the other (the two are
+    mutually exclusive on the middle group, but a fixed order keeps the
+    output deterministic and oracle-reproducible)."""
+    out = text
+    for kind in _PII_ORDER:
+        out = F.regexp_replace(
+            out, PII_PATTERNS[kind], f"[{kind.upper()}]"
+        )
+    return out
+
+
+def raw_ngrams(text: Column, k: int = 2) -> Column:
+    """Token n-grams WITH multiplicity (word_shingles minus the distinct)
+    -- the unit for repetition scoring, where how often an n-gram repeats
+    is the signal."""
+    toks = tokens(text)
+    n = F.greatest(F.lit(0), F.size(toks) - F.lit(k - 1))
+    parts = [F.slice(toks, F.lit(j + 1), n) for j in range(k)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.zip_with(out, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return out

@@ -425,3 +425,129 @@ def bigram_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("bigram").asc())
         .limit(100)
     )
+
+
+@register(
+    "pii_redaction_stats",
+    tags=("text", "pii", "redaction", "training-data"),
+    oracle=r"""
+        WITH injected AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' reach me at user' || CAST(doc_id AS VARCHAR)
+                                || '@example.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' or call 555-867-5309' ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' ssn 123-45-6789' ELSE '' END AS t
+            FROM documents
+        ), redacted AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t,
+                       '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT)
+                       AS n_phones,
+                   CAST(len(regexp_extract_all(t,
+                       '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssns,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                       '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g'),
+                       '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g') AS rt
+            FROM injected
+        )
+        SELECT doc_id, n_emails, n_phones, n_ssns,
+               substr(md5(rt), 1, 16) AS redacted_md5
+        FROM redacted
+    """,
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus: deterministic synthetic PII
+    (emails/phones/SSNs keyed off doc_id -- the raw corpus is word soup
+    with none) is injected, counted per kind (regexp_count, pre-
+    redaction), and redacted to typed tokens (functions/text.py
+    redact_pii).  The whole chain is JVM regexp work in one codegen
+    stage; the md5 prefix of the redacted text proves byte-identical
+    replacement cross-engine.
+
+    Scale notes: zero shuffles, zero Python -- a pure scan-stage map at
+    any corpus size; patterns are Java-regex/RE2-portable by
+    construction."""
+    from ..functions.text import pii_counts, redact_pii
+
+    d = load_table(spark, "documents", sf_dir)
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" reach me at user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" or call 555-867-5309")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+            F.lit("")
+        ),
+    )
+    t = d.select("doc_id", injected.alias("t"))
+    counts = pii_counts(F.col("t"))
+    return t.select(
+        "doc_id",
+        counts["email"].cast("bigint").alias("n_emails"),
+        counts["phone"].cast("bigint").alias("n_phones"),
+        counts["ssn"].cast("bigint").alias("n_ssns"),
+        F.substring(F.md5(redact_pii(F.col("t")).cast("binary")), 1, 16).alias(
+            "redacted_md5"
+        ),
+    )
+
+
+@register(
+    "doc_repetition_stats",
+    tags=("text", "quality", "repetition", "aggregation"),
+    oracle="""
+        WITH bg AS (
+            SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS bigram
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                  FROM documents)
+        ), c AS (
+            SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+               CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_share
+        FROM c GROUP BY doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: the share of a document's bigrams
+    taken by its single most frequent bigram.  High top_share means
+    template/boilerplate text (the strongest of the Rae et al. repetition
+    filters expressible without line structure).
+
+    Scale notes: explode -> (doc, bigram) count -> per-doc max/sum; both
+    aggregates are map-side combined and keyed on doc_id-dominated keys,
+    so the shuffle carries distinct (doc, bigram) rows -- already far
+    smaller than token volume -- then one row per doc."""
+    from ..functions.text import raw_ngrams
+
+    d = load_table(spark, "documents", sf_dir)
+    bg = d.select(
+        "doc_id", F.explode(raw_ngrams(F.col("text"), 2)).alias("bigram")
+    )
+    counts = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.max("c").cast("bigint").alias("top_bigram_count"),
+        (F.max("c").cast("double") / F.sum("c").cast("bigint")).alias("top_share"),
+    )
