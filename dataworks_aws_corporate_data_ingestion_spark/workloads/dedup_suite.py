@@ -63,6 +63,7 @@ def near_dup_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "near_dup_pairs_incremental",
+    bench=True,
     tags=("dedup", "minhash", "lsh", "incremental"),
     oracle=_PAIRS_JACCARD_ORACLE
     + """
@@ -85,6 +86,7 @@ def near_dup_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "benchmark_contamination",
+    bench=True,
     tags=("decontamination", "training-data", "ngram"),
     oracle="""
         WITH s AS (

@@ -26,6 +26,10 @@ SHOWCASE = [
     ("q22_lapsed_balance_report", "broadcast scalar aggregate + anti join"),
     ("bm25_top_docs", "JVM lambda tf/dl + one broadcast stats row + TakeOrdered"),
     ("curation_pipeline", "filter/grade/cluster/sample chain, one corpus shuffle"),
+    ("near_dup_pairs_incremental", "delta buckets vs union buckets; no corpus self-join"),
+    ("benchmark_contamination", "corpus shingle explode semi-joins benchmark universe"),
+    ("pii_redaction_stats", "pure regexp codegen chain, zero shuffles"),
+    ("doc_repetition_stats", "two map-side-combined aggregates over bigrams"),
 ]
 
 
