@@ -256,6 +256,90 @@ def near_dup_pairs_minhash_incremental(
     )
 
 
+def materialize_minhash_index(
+    spark,
+    docs: DataFrame,
+    prefix: str,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    bands: int = 16,
+    rows: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Persist the corpus side of incremental dedup as catalog tables:
+    `{prefix}_shingles` (doc_id, shingles -- the verification side) and
+    `{prefix}_buckets` (doc_id, band_id, band_hash) BUCKETED BY the band
+    keys, so admitting a delta pays zero recomputation over the corpus:
+    candidates join the delta's buckets against a pre-shuffled layout
+    (exchange only on the delta side at worst; broadcast of the delta at
+    best) and verification reads stored shingle arrays.
+
+    This is the bm25 materialize_search_index trade applied to dedup:
+    the corpus-sized shingle+signature+banding cost moves to a one-time
+    index build; daily admission cost scales with the delta."""
+    from ..sinks.bucketing import _clear_orphan_location, write_bucketed
+
+    sh = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    ).select(F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles"))
+    _clear_orphan_location(spark, f"{prefix}_shingles")
+    sh.write.mode("overwrite").saveAsTable(f"{prefix}_shingles")
+    stored = spark.table(f"{prefix}_shingles")
+    buckets = lsh_band_buckets(
+        minhash_signatures(stored), id_col=id_col, bands=bands, rows=rows
+    )
+    write_bucketed(buckets, f"{prefix}_buckets", ["band_id", "band_hash"], n_buckets)
+    return stored, spark.table(f"{prefix}_buckets")
+
+
+def near_dup_pairs_against_index(
+    spark,
+    delta: DataFrame,
+    prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    k: int = 3,
+    bands: int = 16,
+    rows: int = 4,
+) -> DataFrame:
+    """Incremental near-dup pairs against a materialised corpus index
+    (see materialize_minhash_index): only the DELTA is shingled/signed in
+    flight; corpus buckets and shingles come off the stored tables.
+    Output matches near_dup_pairs_minhash_incremental bit-for-bit."""
+    delta_sh = tracked_persist(
+        delta.repartition(
+            delta.sparkSession.sparkContext.defaultParallelism
+        ).select(F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles"))
+    )
+    delta_buckets = tracked_persist(
+        lsh_band_buckets(
+            minhash_signatures(delta_sh), id_col=id_col, bands=bands, rows=rows
+        )
+    )
+    corpus_buckets = spark.table(f"{prefix}_buckets")
+    cross = (
+        corpus_buckets.select(
+            F.col(id_col).alias("o"), "band_id", "band_hash"
+        )
+        .join(
+            delta_buckets.select(
+                F.col(id_col).alias("d"), "band_id", "band_hash"
+            ),
+            ["band_id", "band_hash"],
+        )
+        .filter(F.col("d") != F.col("o"))
+        .select(F.least("d", "o").alias("a"), F.greatest("d", "o").alias("b"))
+    )
+    within = lsh_candidate_pairs(delta_buckets, id_col=id_col)
+    candidates = cross.unionByName(within).distinct()
+    all_sh = spark.table(f"{prefix}_shingles").unionByName(delta_sh)
+    return verify_pairs_jaccard(
+        candidates, all_sh, id_col=id_col, threshold=threshold
+    )
+
+
 def near_dup_pairs_exact(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -85,6 +85,34 @@ def near_dup_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_pairs_indexed",
+    tags=("dedup", "minhash", "lsh", "incremental", "bucketing"),
+    oracle=_PAIRS_JACCARD_ORACLE
+    + """
+      AND (x.doc_id % 10 = 0 OR y.doc_id % 10 = 0)
+    """,
+)
+def near_dup_indexed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The steady-state form of near_dup_pairs_incremental: the corpus
+    shingles + band buckets are MATERIALISED catalog tables (buckets
+    bucketed by the band keys), so admitting the delta shingles/signs
+    only the delta and joins against the stored layout.  Same delta
+    split, same oracle, bit-identical output to the in-flight form."""
+    from ..operators.dedup import (
+        materialize_minhash_index,
+        near_dup_pairs_against_index,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    materialize_minhash_index(
+        spark, d.filter(F.col("doc_id") % 10 != 0), "minhash_index", n_buckets=8
+    )
+    return near_dup_pairs_against_index(
+        spark, d.filter(F.col("doc_id") % 10 == 0), "minhash_index"
+    )
+
+
+@register(
     "benchmark_contamination",
     bench=True,
     tags=("decontamination", "training-data", "ngram"),

@@ -135,3 +135,75 @@ class TestBucketedSearchIndex:
         assert [(r.doc_id, r.bm25) for r in got] == [
             (r.doc_id, r.bm25) for r in want
         ]
+
+
+class TestMinhashIndex:
+    @pytest.fixture()
+    def index(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.dedup import (
+            materialize_minhash_index,
+        )
+        from dataworks_aws_corporate_data_ingestion_spark.sources.tables import (
+            load_table,
+        )
+
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+        corpus = docs.filter("doc_id % 10 != 0")
+        materialize_minhash_index(spark, corpus, "t_mh", n_buckets=4)
+        yield docs
+        for t in ("t_mh_shingles", "t_mh_buckets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_indexed_matches_inflight_incremental(self, spark, index):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.dedup import (
+            near_dup_pairs_against_index,
+            near_dup_pairs_minhash_incremental,
+        )
+
+        docs = index
+        got = sorted(
+            (r.a, r.b, round(r.jaccard_sim, 12))
+            for r in near_dup_pairs_against_index(
+                spark, docs.filter("doc_id % 10 = 0"), "t_mh"
+            ).collect()
+        )
+        want = sorted(
+            (r.a, r.b, round(r.jaccard_sim, 12))
+            for r in near_dup_pairs_minhash_incremental(
+                corpus=docs.filter("doc_id % 10 != 0"),
+                delta=docs.filter("doc_id % 10 = 0"),
+            ).collect()
+        )
+        assert got == want
+
+    def test_corpus_bucket_side_has_no_exchange(self, spark, index):
+        """The point of the bucketed layout: with broadcast disabled, the
+        candidate join must exchange ONLY the delta side -- the stored
+        corpus buckets are already partitioned on the band keys."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.dedup import (
+            lsh_band_buckets,
+            minhash_signatures,
+        )
+        from dataworks_aws_corporate_data_ingestion_spark.functions.text import (
+            word_shingles,
+        )
+        from pyspark.sql import functions as F
+
+        docs = index
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            delta_sh = docs.filter("doc_id % 10 = 0").select(
+                "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
+            )
+            delta_buckets = lsh_band_buckets(minhash_signatures(delta_sh))
+            joined = spark.table("t_mh_buckets").join(
+                delta_buckets.select(
+                    F.col("doc_id").alias("d"), "band_id", "band_hash"
+                ),
+                ["band_id", "band_hash"],
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            n_band_exchanges = plan.count("Exchange hashpartitioning(band_id")
+            assert n_band_exchanges == 1, plan  # delta side only
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

@@ -216,3 +216,48 @@ class TestContamination:
         )
         assert kept.columns == ["doc_id", "text"]
         assert [r.doc_id for r in kept.collect()] == [2]
+
+    def test_empty_delta_yields_no_pairs(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.dedup import (
+            near_dup_pairs_minhash_incremental,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "some words " * 20), (2, "some words " * 20)],
+            "doc_id bigint, text string",
+        )
+        got = near_dup_pairs_minhash_incremental(
+            corpus=docs, delta=docs.filter("doc_id > 99")
+        )
+        assert got.count() == 0
+
+    def test_redaction_edge_cases(self, spark):
+        """Adjacent punctuation, multiple spans, phone-vs-ssn shapes."""
+        from dataworks_aws_corporate_data_ingestion_spark.functions.text import (
+            pii_counts,
+            redact_pii,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, "mail a@b.io, then c.d+e@f-g.co.uk!"),        # 2 emails
+            (2, "call 555-123-4567 or 555-999-0000 now"),     # 2 phones
+            (3, "ssn 123-45-6789. phone 123-456-7890."),      # 1 each
+            (4, "no pii here at all"),
+        ]
+        df = spark.createDataFrame(rows, "i bigint, t string")
+        c = pii_counts(F.col("t"))
+        got = {
+            r.i: (r.e, r.p, r.s, r.rt)
+            for r in df.select(
+                "i",
+                c["email"].alias("e"),
+                c["phone"].alias("p"),
+                c["ssn"].alias("s"),
+                redact_pii(F.col("t")).alias("rt"),
+            ).collect()
+        }
+        assert got[1][:3] == (2, 0, 0) and got[1][3] == "mail [EMAIL], then [EMAIL]!"
+        assert got[2][:3] == (0, 2, 0) and got[2][3] == "call [PHONE] or [PHONE] now"
+        assert got[3][:3] == (0, 1, 1) and got[3][3] == "ssn [SSN]. phone [PHONE]."
+        assert got[4] == (0, 0, 0, "no pii here at all")
