@@ -131,3 +131,83 @@ def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and 0 observed on this corpus)."""
     emb = load_table(spark, "embeddings", sf_dir)
     return lsh_near_dup_pairs(emb, dim=64, threshold=0.4)
+
+
+@register(
+    "hybrid_search_rerank",
+    tags=("search", "similarity", "rerank", "composition", "topk"),
+    oracle=None,  # assigned below: composes the bm25 oracle builder
+)
+def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval, the standard RAG/search shape: BM25 recalls
+    the top-100 lexical candidates from the postings index, then a dense
+    cosine rerank against a query embedding orders them and keeps 20.
+
+    Both stages are individually oracle-proven (bm25_search_postings,
+    ann_cosine_topk); this registration certifies the COMPOSITION --
+    including that the candidate cut happens at the lexical stage, so
+    the dense side scores 100 rows, not the corpus.
+
+    Scale notes: stage 1 is the inverted-index search (shuffle ~ matched
+    postings); stage 2 joins 100 ids against the embeddings table (AQE
+    broadcasts the 100-row side) and the query vector is a broadcast
+    single row -- the rerank is a scan-free, corpus-size-independent
+    tail."""
+    from ..workloads.text_analysis import _SEARCH_TERMS
+    from ..operators.search import (
+        bm25_search,
+        build_postings,
+        corpus_stats,
+        term_stats,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    postings = build_postings(docs)
+    top100 = bm25_search(
+        postings, term_stats(postings), corpus_stats(postings), _SEARCH_TERMS, k=100
+    )
+    qv = emb.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("qv"))
+    cand = top100.join(
+        emb, top100["doc_id"] == emb["vec_id"]
+    ).crossJoin(F.broadcast(qv))
+    return (
+        cand.select(
+            "doc_id",
+            "bm25",
+            cosine(F.col("embedding"), F.col("qv")).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def _install_hybrid_oracle() -> None:
+    """The oracle composes the parameterised bm25 builder (limit=100)
+    with the proven cosine formula; installed post-registration so the
+    builder import cannot cycle at module-import time."""
+    from ..workload import QUERIES, QuerySpec
+    from .text_analysis import _SEARCH_TERMS_SQL, _bm25_postings_oracle
+
+    spec = QUERIES["hybrid_search_rerank"]
+    oracle = f"""
+        WITH top100 AS (
+            {_bm25_postings_oracle(_SEARCH_TERMS_SQL, limit=100)}
+        ), q AS (
+            SELECT embedding AS qv FROM embeddings WHERE vec_id = 1
+        ), cand AS (
+            SELECT t.doc_id, t.bm25, e.embedding AS ev
+            FROM top100 t JOIN embeddings e ON e.vec_id = t.doc_id
+        )
+        SELECT doc_id, bm25,
+               {_COS_SQL.format(a="ev", b="qv")} AS cosine_sim
+        FROM cand, q
+        ORDER BY cosine_sim DESC, doc_id ASC
+        LIMIT 20
+    """
+    QUERIES["hybrid_search_rerank"] = QuerySpec(
+        fn=spec.fn, oracle=oracle, bench=spec.bench, tags=spec.tags
+    )
+
+
+_install_hybrid_oracle()

@@ -272,10 +272,11 @@ _SEARCH_TERMS = ("dup", "join", "stream", "vector", "window")
 _SEARCH_TERMS_SQL = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
 
 
-def _bm25_postings_oracle(terms_sql: str) -> str:
-    """The postings-index BM25 oracle, parameterised on the term list --
-    shared by the ad-hoc and the bucketed-index registrations (identical
-    semantics; only the physical layout differs)."""
+def _bm25_postings_oracle(terms_sql: str, limit: int = 20) -> str:
+    """The postings-index BM25 oracle, parameterised on the term list and
+    result size -- shared by the ad-hoc and bucketed-index registrations
+    (identical semantics; only the physical layout differs) and reused as
+    the first stage of the hybrid rerank oracle."""
     return f"""
         WITH d AS (
             SELECT doc_id, string_split(lower(text), ' ') AS toks
@@ -313,7 +314,7 @@ def _bm25_postings_oracle(terms_sql: str) -> str:
                ) AS bm25
         FROM scored GROUP BY doc_id
         ORDER BY bm25 DESC, doc_id ASC
-        LIMIT 20
+        LIMIT {limit}
     """
 
 
