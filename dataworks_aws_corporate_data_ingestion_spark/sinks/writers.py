@@ -15,30 +15,63 @@ from pyspark.sql import DataFrame
 DAILY_PARTITIONS = ("export_year", "export_month", "export_day", "id_part")
 
 
+def _has_python_stage(df: DataFrame) -> bool:
+    try:
+        return "EvalPython" in df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return False
+
+
 def write_daily(
     df: DataFrame,
     path: str,
     fmt: str = "orc",
     compression: str = "zlib",
     num_partitions: int | None = None,
-) -> None:
+    stabilize: bool | None = None,
+) -> bool:
     """Daily-delta write (reference steps/ingesters.py:534-538):
     repartitionByRange(id_part, id) + sortWithinPartitions(id) + dynamic
-    partition overwrite, so re-runs replace only the day they touch."""
-    cluster = (
-        df.repartitionByRange(num_partitions, "id_part", "id")
-        if num_partitions
-        else df.repartitionByRange("id_part", "id")
-    )
-    (
-        cluster.sortWithinPartitions("id")
-        .write.option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*DAILY_PARTITIONS)
-        .format(fmt)
-        .option("compression", compression)
-        .mode("overwrite")
-        .save(path)
-    )
+    partition overwrite, so re-runs replace only the day they touch.
+
+    ``stabilize``: the range partitioner runs a boundary-SAMPLING job
+    over its child before the write job, i.e. the input chain executes
+    TWICE.  For the real ingest pipeline that child contains the crypto
+    pandas UDFs -- re-decrypting the whole day to learn range bounds is
+    the single most expensive hidden cost of this write shape (it also
+    double-counts any accumulators riding the UDFs).  True persists the
+    input (memory-then-disk) across the two executions and unpersists
+    after the write; None (default) auto-detects: persist iff the plan
+    contains a Python stage, since a pure-columnar chain usually rescans
+    cheaper than it spills.  Returns the resolved decision (useful for
+    tests/observability)."""
+    if stabilize is None:
+        stabilize = _has_python_stage(df)
+    handle = None
+    if stabilize:
+        from pyspark.storagelevel import StorageLevel
+
+        handle = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df = handle
+    try:
+        cluster = (
+            df.repartitionByRange(num_partitions, "id_part", "id")
+            if num_partitions
+            else df.repartitionByRange("id_part", "id")
+        )
+        (
+            cluster.sortWithinPartitions("id")
+            .write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*DAILY_PARTITIONS)
+            .format(fmt)
+            .option("compression", compression)
+            .mode("overwrite")
+            .save(path)
+        )
+    finally:
+        if handle is not None:
+            handle.unpersist()
+    return stabilize
 
 
 def write_snapshot(

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import json
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -167,3 +168,38 @@ class TestObserveIngest:
         assert got["n_rows"] == 3
         assert got["n_deletes"] == 1
         assert got["n_buckets"] == 2
+
+
+class TestWriteStabilize:
+    def test_udf_input_is_stabilized_and_columnar_is_not(self, spark, tmp_path):
+        """The range sampler executes the write input twice; write_daily
+        must persist across that iff the chain contains a Python stage
+        (re-running crypto UDFs to learn range bounds is the hidden 2x)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import StringType
+
+        from dataworks_aws_corporate_data_ingestion_spark.sinks.writers import write_daily
+
+        base = spark.range(50).select(
+            F.lpad(F.col("id").cast("string"), 4, "0").alias("id"),
+            F.lit(2024).alias("export_year"),
+            F.lit(1).alias("export_month"),
+            F.lit(2).alias("export_day"),
+            F.lit("INSERT").alias("db_type"),
+            F.col("id").cast("string").alias("val"),
+        ).withColumn("id_part", F.substring("id", 1, 2))
+
+        assert write_daily(base, str(tmp_path / "plain")) is False
+
+        @pandas_udf(StringType())
+        def _shout(v: pd.Series) -> pd.Series:
+            return v.str.upper()
+
+        with_udf = base.withColumn("val", _shout(F.col("val")))
+        assert write_daily(with_udf, str(tmp_path / "udf")) is True
+        # both layouts readable and complete
+        assert spark.read.orc(str(tmp_path / "plain")).count() == 50
+        got = spark.read.orc(str(tmp_path / "udf"))
+        assert got.count() == 50
+        assert got.filter(F.col("val") == "0007").count() == 0  # uppercased... digits unchanged
