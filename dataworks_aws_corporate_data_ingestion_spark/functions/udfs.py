@@ -149,7 +149,11 @@ def decrypt_udf(key_service: KeyService, hit_acc=None, miss_acc=None):
             dtype="object",
         )
 
-    return _decrypt
+    # optimizer barrier, same rationale as envelope_udf: a deterministic
+    # alias gets inlined into pushable predicates (filter on the
+    # decrypted column) and the decrypt -- and its accumulator
+    # accounting -- runs twice
+    return _decrypt.asNondeterministic()
 
 
 def payload_udf(audit: bool = False):
@@ -175,7 +179,8 @@ def payload_udf(audit: bool = False):
             deletes.append(is_delete)
         return pd.DataFrame({"val": vals, "is_delete": deletes})
 
-    return _process
+    # optimizer barrier (see envelope_udf)
+    return _process.asNondeterministic()
 
 
 def decrypt_process_udf(
@@ -212,7 +217,8 @@ def decrypt_process_udf(
             deletes.append(is_delete)
         return pd.DataFrame({"val": vals, "is_delete": deletes})
 
-    return _process
+    # optimizer barrier (see envelope_udf)
+    return _process.asNondeterministic()
 
 
 def canonical_json_udf():
