@@ -293,6 +293,52 @@ def materialize_minhash_index(
     return stored, spark.table(f"{prefix}_buckets")
 
 
+def _table_bucket_count(spark, table: str) -> int | None:
+    """Num Buckets of an existing bucketed table, from the catalog."""
+    try:
+        for row in spark.sql(f"DESCRIBE TABLE FORMATTED {table}").collect():
+            if row.col_name.strip() == "Num Buckets":
+                return int(row.data_type)
+    except Exception:
+        pass
+    return None
+
+
+def append_to_minhash_index(
+    spark,
+    docs: DataFrame,
+    prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    bands: int = 16,
+    rows: int = 4,
+) -> None:
+    """Admit new docs into a materialised minhash index: append their
+    shingle rows and band-bucket rows to the existing tables.  The
+    bucket append re-declares the table's OWN bucketBy spec (read from
+    the catalog -- a mismatched count is an AnalysisException), so new
+    files land bucketed and later candidate joins keep the
+    delta-side-only exchange.  Caller is responsible for having deduped
+    `docs` first (admission order: check, then append)."""
+    n_buckets = _table_bucket_count(spark, f"{prefix}_buckets") or 32
+    sh = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    ).select(F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles"))
+    sh.write.mode("append").saveAsTable(f"{prefix}_shingles")
+    # buckets derive from the SAME frame we just appended (recomputing
+    # from the table would re-shingle the whole corpus)
+    buckets = lsh_band_buckets(
+        minhash_signatures(sh), id_col=id_col, bands=bands, rows=rows
+    )
+    (
+        buckets.write.mode("append")
+        .bucketBy(n_buckets, "band_id", "band_hash")
+        .sortBy("band_id", "band_hash")
+        .saveAsTable(f"{prefix}_buckets")
+    )
+
+
 def near_dup_pairs_against_index(
     spark,
     delta: DataFrame,

@@ -332,3 +332,105 @@ class TestStatefulAnomaly:
             not files
             or spark.read.parquet(str(tmp_path / "a2")).count() == 0
         )
+
+
+class TestDedupAdmission:
+    BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 12
+    OTHER = "totally different unrelated words here " * 15
+    THIRD = "yet another fully distinct document body " * 15
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_cross_batch_admission(self, spark):
+        """Batch 2 must dedup against batch 1's admitted docs (the index
+        is the cross-batch state), and within a batch the smallest id
+        survives."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.dedup import (
+            materialize_minhash_index,
+        )
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.dedup_admission import (
+            admit_batch,
+        )
+
+        try:
+            corpus = self._docs(spark, [(1, self.BASE)])
+            materialize_minhash_index(spark, corpus, "t_adm", n_buckets=4)
+
+            batch1 = self._docs(
+                spark,
+                [
+                    (10, self.BASE),    # dup of indexed corpus -> reject
+                    (11, self.OTHER),   # new -> admit
+                    (12, self.OTHER),   # dup of batchmate 11 -> reject
+                ],
+            )
+            got1 = sorted(
+                r.doc_id for r in admit_batch(spark, batch1, "t_adm").collect()
+            )
+            assert got1 == [11]
+
+            batch2 = self._docs(
+                spark,
+                [
+                    (20, self.OTHER),   # dup of batch-1 admit -> reject
+                    (21, self.THIRD),   # new -> admit
+                ],
+            )
+            got2 = sorted(
+                r.doc_id for r in admit_batch(spark, batch2, "t_adm").collect()
+            )
+            assert got2 == [21]
+            # index now holds corpus + both admissions
+            ids = sorted(
+                r.doc_id
+                for r in spark.table("t_adm_shingles").select("doc_id").collect()
+            )
+            assert ids == [1, 11, 21]
+        finally:
+            for t in ("t_adm_shingles", "t_adm_buckets"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_foreachbatch_stream_end_to_end(self, spark, tmp_path):
+        """The real streaming surface: a file stream of document batches
+        through foreachBatch admission; admitted output and final index
+        match the sequential-batch semantics."""
+        import time
+
+        from dataworks_aws_corporate_data_ingestion_spark.operators.dedup import (
+            materialize_minhash_index,
+        )
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.dedup_admission import (
+            dedup_admission_applier,
+        )
+
+        src = tmp_path / "src"
+        out = tmp_path / "admitted"
+        try:
+            materialize_minhash_index(
+                spark, self._docs(spark, [(1, self.BASE)]), "t_adm2", n_buckets=4
+            )
+            self._docs(
+                spark, [(10, self.BASE), (11, self.OTHER), (12, self.OTHER)]
+            ).write.parquet(str(src), mode="append")
+            stream = (
+                spark.readStream.schema("doc_id bigint, text string")
+                .option("maxFilesPerTrigger", "1000")
+                .parquet(str(src))
+            )
+            q = (
+                stream.writeStream.foreachBatch(
+                    dedup_admission_applier(spark, "t_adm2", str(out))
+                )
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            admitted = sorted(
+                r.doc_id for r in spark.read.parquet(str(out)).collect()
+            )
+            assert admitted == [11]
+        finally:
+            for t in ("t_adm2_shingles", "t_adm2_buckets"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
