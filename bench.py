@@ -37,7 +37,11 @@ import tempfile
 
 from dataworks_aws_corporate_data_ingestion_spark.caching import release_tracked
 from dataworks_aws_corporate_data_ingestion_spark.session import get_session
-from dataworks_aws_corporate_data_ingestion_spark.workload import QUERIES, WRITE_BENCHES
+from dataworks_aws_corporate_data_ingestion_spark.workload import (
+    QUERIES,
+    WRITE_BENCH_PLAN_PROBES,
+    WRITE_BENCHES,
+)
 
 # strip per-session noise from plan strings so the sha is stable across
 # runs: expression ids (#123L), plan/codegen/subquery ids, object
@@ -122,17 +126,23 @@ def main() -> None:
                 fn(spark, sf_dir, out_dir)
                 times.append(time.perf_counter() - start)
                 _end_repeat(spark)
+            probe = WRITE_BENCH_PLAN_PROBES.get(name)
             timings[name] = round(min(times), 3)
             details[name] = {
                 "best": round(min(times), 3),
                 "median": round(statistics.median(times), 3),
-                # sinks produce files, not plans; no stable fingerprint
-                "plan_sha": None,
+                # fingerprint the DataFrame the sink consumes; benches
+                # without a cheap probe (mor: stateful table) stay null
+                "plan_sha": plan_sha(probe(spark, sf_dir, out_dir)) if probe else None,
             }
         total = round(sum(timings.values()), 3)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
+    # headline line FIRST and kept small (metric/value/queries only): the
+    # driver parses the tail of stdout and a single long line gets
+    # truncated (round-3 BENCH had parsed:null).  The details map goes on
+    # its own second line.
     print(
         json.dumps(
             {
@@ -140,11 +150,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "details": details,
                 "sf": sf,
             }
         )
     )
+    print(json.dumps({"metric": "headline_query_details", "details": details, "sf": sf}))
     spark.stop()
 
 

@@ -178,14 +178,30 @@ def ingest_daily(
     audit: bool = False,
     hit_acc=None,
     miss_acc=None,
+    observation=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full daily pipeline; returns (rows, quarantined_envelopes).
 
     For audit collections the caller writes `val` as JSONL
     (reference steps/ingesters.py:116-119); for keyed collections the
     caller feeds the rows to sinks.writers.write_daily (reference
-    steps/ingesters.py:526-539)."""
+    steps/ingesters.py:526-539).
+
+    ``observation``: a pyspark.sql.Observation attached BELOW the
+    good/quarantine split, so the caller's single write action also yields
+    `n_envelopes` and `n_quarantined` counts -- no second scan of the
+    day's input to count the (near-empty) quarantine branch.  At 100 TB
+    the alternative -- an action on the quarantine DataFrame -- re-reads
+    and re-parses every record for a counter."""
     env = read_envelopes(spark, source_path, collection, expand=False)
+    if observation is not None:
+        env = env.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_envelopes"),
+            F.count(F.when(F.col("env.db_object").isNull(), 1)).alias(
+                "n_quarantined"
+            ),
+        )
     good, quarantined = quarantine_missing_db_object(env)
     processed = decrypt_and_process(good, key_service, audit=audit, hit_acc=hit_acc, miss_acc=miss_acc)
     return to_daily_rows(processed, export_date), quarantined

@@ -1,10 +1,15 @@
-"""Collection pipeline runner: config, registry, date-range driver loop.
+"""Collection pipeline runner: config, registry, date-range driver loop,
+and the weekly snapshot-update lifecycle.
 
 The engine's generalisation of the reference's hard-coded collection
 dispatch (steps/corporate_data_ingestion.py:80-117 + the ingesters_map at
 :95-98): collections are *configs*, not subclasses, and a day-range run is
 one status-tracked `run_day` per date, fail-fast, idempotent re-runs via
-dynamic partition overwrite.
+dynamic partition overwrite.  `run_update` composes the weekly merge the
+reference runs behind --force_collection_update
+(steps/ingesters.py:273-281, 341-460): state-store lookup -> dailies-since
+partition prune -> union+window merge -> snapshot write -> record the new
+export prefix.
 """
 
 from __future__ import annotations
@@ -13,12 +18,15 @@ import argparse
 import datetime as dt
 from dataclasses import dataclass, field
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.crypto import IdentityKeyService, KeyService
 from ..operators.ingest import ingest_daily
-from ..sinks.writers import write_daily, write_jsonl
+from ..operators.merge import merge_snapshot
+from ..sinks.writers import write_daily, write_jsonl, write_snapshot
 from . import state as state_mod
+from .publish import TableSpec, publish_snapshot_tables
 from .state import JobStatus, LocalStateStore, StateStore
 
 
@@ -35,6 +43,18 @@ class CollectionSpec:
     sink: str = "keyed"  # "keyed" (partitioned columnar) | "jsonl"
     sink_format: str = "parquet"
     compression: str = "snappy"
+    # weekly-update lifecycle (reference CalculationPartsIngester):
+    # snapshot exports land under {exports_root}/{date}; MUST be disjoint
+    # from output_root (the dailies read scans output_root recursively).
+    # Empty -> "<output_root>_exports" (the reference used sibling
+    # prefixes daily/ vs exports/, steps/ingesters.py:270-271).
+    exports_root: str = ""
+    # tables published by the export-to-hive phase (reference
+    # steps/ingesters.py:283-339); empty tuple -> phase is a no-op
+    hive_tables: tuple[TableSpec, ...] = ()
+
+    def resolved_exports_root(self) -> str:
+        return self.exports_root or f"{self.output_root}_exports"
 
     def source_for(self, date: str) -> str:
         y, m, d = date.split("-")
@@ -53,6 +73,12 @@ class EngineConfig:
     collection: CollectionSpec
     state_path: str
     key_service: KeyService = field(default_factory=IdentityKeyService)
+    # conditional phases (reference steps/corporate_data_ingestion.py:64-71,
+    # consumed at steps/ingesters.py:273-281): collection-update runs the
+    # weekly merge then publishes; export-to-hive publishes the latest
+    # completed export without merging
+    force_collection_update: bool = False
+    force_export_to_hive: bool = False
 
 
 def date_range(start: str, end: str) -> list[str]:
@@ -64,15 +90,23 @@ def date_range(start: str, end: str) -> list[str]:
 
 
 def run_day(spark: SparkSession, cfg: EngineConfig, date: str) -> int:
-    """One day's ingest; returns quarantined-row count."""
+    """One day's ingest; returns quarantined-row count.
+
+    The quarantine count rides the write pass as an observed metric
+    (Observation below the good/bad split), so the day's input is scanned
+    and envelope-parsed exactly ONCE.  Counting the quarantine DataFrame
+    with an action instead would re-read and re-run the Python chain over
+    the whole day for a counter that is ~zero rows."""
     spec = cfg.collection
-    rows, quarantined = ingest_daily(
+    obs = Observation()
+    rows, _ = ingest_daily(
         spark,
         spec.source_for(date),
         spec.name,
         cfg.key_service,
         date,
         audit=spec.audit,
+        observation=obs,
     )
     if spec.sink == "jsonl":
         write_jsonl(
@@ -82,12 +116,120 @@ def run_day(spark: SparkSession, cfg: EngineConfig, date: str) -> int:
         write_daily(
             rows, spec.output_root, fmt=spec.sink_format, compression=spec.compression
         )
-    return quarantined.count()
+    return int(obs.get["n_quarantined"])
+
+
+def read_dailies_since(
+    spark: SparkSession,
+    daily_root: str,
+    cutoff_date: str,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Daily deltas newer than the last snapshot, partition-pruned.
+
+    The reference spells the cutoff as a 3-clause OR over the partition
+    columns (steps/ingesters.py:429-438); `make_date(y,m,d) > cutoff` is
+    the same predicate and still references only partition columns, so
+    FileSourceStrategy prunes whole day directories -- no data files for
+    already-merged days are opened (assert via .inputFiles() in tests)."""
+    schema = (
+        "id string, db_type string, val string, export_year int,"
+        " export_month int, export_day int, id_part string"
+    )
+    return (
+        spark.read.schema(schema)
+        .format(fmt)
+        .load(daily_root)
+        .filter(
+            F.make_date("export_year", "export_month", "export_day")
+            > F.lit(cutoff_date).cast("date")
+        )
+        .select("id", "db_type", "val", "id_part")
+    )
+
+
+def run_update(spark: SparkSession, cfg: EngineConfig, as_of: str | None = None) -> str:
+    """The weekly snapshot-update lifecycle, end-to-end (reference
+    CalculationPartsIngester.update, steps/ingesters.py:341-460):
+
+      1. locate the newest COMPLETED export via the state store
+         (steps/ingesters.py:343-370)
+      2. read dailies written after that export's date, partition-pruned
+         (:429-438), and the previous snapshot (:441-445)
+      3. union + window-dedup merge (:448-455)
+      4. write the new snapshot under {exports_root}/{as_of} (:456-457)
+      5. record the new export prefix in the state store (:391-395)
+
+    Returns the new export prefix.  Divergence from the reference: with no
+    previous export it bootstraps from an empty snapshot (first export)
+    instead of a hard-coded fallback prefix (:368-370); and the COMPLETED
+    status carrying the new prefix is written after the snapshot write
+    lands, not before the merge starts, so a crashed merge can never be
+    picked up as "latest completed" by the next cycle."""
+    spec = cfg.collection
+    store: StateStore = LocalStateStore(cfg.state_path)
+    product = f"CDI-{spec.name}"
+    as_of = as_of or cfg.end_date
+    new_prefix = f"{spec.resolved_exports_root()}/{as_of}"
+    base = dict(correlation_id=cfg.correlation_id, data_product=product, date=as_of)
+
+    prev = store.latest_completed_export(product)
+    snap_schema = "id string, db_type string, val string, id_part string"
+    if prev is not None:
+        dailies = read_dailies_since(
+            spark, spec.output_root, prev.date, fmt=spec.sink_format
+        )
+        snapshot = (
+            spark.read.schema(snap_schema)
+            .format(spec.sink_format)
+            .load(prev.export_prefix)
+            .select("id", "db_type", "val", "id_part")
+        )
+    else:
+        dailies = read_dailies_since(
+            spark, spec.output_root, "1970-01-01", fmt=spec.sink_format
+        )
+        snapshot = spark.createDataFrame([], snap_schema)
+
+    store.put(JobStatus(status=state_mod.IN_PROGRESS, export_prefix=new_prefix, **base))
+    try:
+        merged = merge_snapshot(snapshot, dailies)
+        write_snapshot(
+            merged, new_prefix, fmt=spec.sink_format, compression=spec.compression
+        )
+    except Exception:
+        store.put(JobStatus(status=state_mod.FAILED, **base))
+        raise
+    store.put(JobStatus(status=state_mod.COMPLETED, export_prefix=new_prefix, **base))
+    return new_prefix
+
+
+def export_to_hive(
+    spark: SparkSession, cfg: EngineConfig, export_prefix: str | None = None
+) -> None:
+    """Publish the (given or latest completed) snapshot export as
+    schema-applied managed tables (reference steps/ingesters.py:283-339)."""
+    spec = cfg.collection
+    if not spec.hive_tables:
+        return
+    if export_prefix is None:
+        prev = LocalStateStore(cfg.state_path).latest_completed_export(
+            f"CDI-{spec.name}"
+        )
+        if prev is None:
+            raise ValueError(f"no completed export to publish for {spec.name}")
+        export_prefix = prev.export_prefix
+    publish_snapshot_tables(
+        spark, export_prefix, list(spec.hive_tables), snapshot_format=spec.sink_format
+    )
 
 
 def run_range(spark: SparkSession, cfg: EngineConfig) -> None:
     """Per-day loop with fail-fast status tracking (reference
-    steps/corporate_data_ingestion.py:100-117)."""
+    steps/corporate_data_ingestion.py:100-117), then the conditional
+    merge/publish phases (reference steps/ingesters.py:273-281: a forced
+    collection update merges AND publishes; force-export-to-hive publishes
+    the latest export without merging)."""
     store: StateStore = LocalStateStore(cfg.state_path)
     product = f"CDI-{cfg.collection.name}"
     for date in date_range(cfg.start_date, cfg.end_date):
@@ -101,6 +243,11 @@ def run_range(spark: SparkSession, cfg: EngineConfig) -> None:
             store.put(JobStatus(status=state_mod.FAILED, **base))
             raise
         store.put(JobStatus(status=state_mod.COMPLETED, **base))
+    if cfg.force_collection_update:
+        new_prefix = run_update(spark, cfg)
+        export_to_hive(spark, cfg, new_prefix)
+    if cfg.force_export_to_hive:
+        export_to_hive(spark, cfg)
 
 
 def build_arg_parser() -> argparse.ArgumentParser:
@@ -114,6 +261,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--state-path", default="./job_state.jsonl")
     p.add_argument("--audit", action="store_true")
     p.add_argument("--sink", choices=["keyed", "jsonl"], default="keyed")
+    # reference steps/corporate_data_ingestion.py:64-71
+    p.add_argument("--force-collection-update", action="store_true")
+    p.add_argument("--force-export-to-hive", action="store_true")
+    p.add_argument("--exports-root", default="")
+    p.add_argument(
+        "--hive-table",
+        action="append",
+        default=[],
+        metavar="NAME=DDL",
+        help="table to publish as name=json-ddl, e.g."
+        " staging.src_parts='a INT, b STRING'; repeatable",
+    )
     return p
 
 
@@ -121,12 +280,18 @@ def main(argv: list[str] | None = None) -> int:
     from ..session import get_session
 
     args = build_arg_parser().parse_args(argv)
+    tables = tuple(
+        TableSpec(name, ddl)
+        for name, _, ddl in (t.partition("=") for t in args.hive_table)
+    )
     spec = CollectionSpec(
         name=args.collection,
         source_root=args.source_root,
         output_root=args.output_root,
         audit=args.audit,
         sink=args.sink,
+        exports_root=args.exports_root,
+        hive_tables=tables,
     )
     cfg = EngineConfig(
         correlation_id=args.correlation_id,
@@ -134,6 +299,8 @@ def main(argv: list[str] | None = None) -> int:
         end_date=args.end_date,
         collection=spec,
         state_path=args.state_path,
+        force_collection_update=args.force_collection_update,
+        force_export_to_hive=args.force_export_to_hive,
     )
     spark = get_session(app_name=f"cdi-{args.collection}")
     run_range(spark, cfg)

@@ -403,9 +403,97 @@ def _bench_mor_cycle(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     mor.clear_deltas(table)
 
 
+def _bench_update_cycle(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """The full weekly lifecycle via plans.runner.run_update against
+    LocalStateStore (reference steps/ingesters.py:341-460): state lookup ->
+    partition-pruned dailies read -> previous-snapshot read -> union+window
+    merge -> snapshot write -> new export prefix recorded.  Each repeat
+    resets the state file so best-of-N times the same incremental cycle
+    (previous export = the merge bench's snapshot, dailies = the daily
+    dataset, all newer than the seeded export date)."""
+    import os
+    import shutil
+
+    from .plans.runner import CollectionSpec, EngineConfig, run_update
+    from .plans.state import COMPLETED, JobStatus, LocalStateStore
+
+    state_path = f"{out_dir}/update_state.jsonl"
+    exports_root = f"{out_dir}/update_exports"
+    shutil.rmtree(exports_root, ignore_errors=True)
+    if os.path.exists(state_path):
+        os.remove(state_path)
+    LocalStateStore(state_path).put(
+        JobStatus(
+            correlation_id="bench",
+            data_product="CDI-calculator:calculationParts",
+            date="2024-01-10",
+            status=COMPLETED,
+            export_prefix=f"{out_dir}/snapshot",
+        )
+    )
+    cfg = EngineConfig(
+        correlation_id="bench",
+        start_date="2024-01-15",
+        end_date="2024-01-15",
+        collection=CollectionSpec(
+            name="calculator:calculationParts",
+            source_root="unused",
+            output_root=f"{out_dir}/daily",
+            exports_root=exports_root,
+            sink_format="orc",
+            compression="zlib",
+        ),
+        state_path=state_path,
+    )
+    run_update(spark, cfg, as_of="2024-01-16")
+
+
 WRITE_BENCHES["write_daily_clustered_orc"] = _bench_write_daily
 WRITE_BENCHES["merge_and_write_snapshot"] = _bench_merge_write
 WRITE_BENCHES["mor_append_and_read_merged"] = _bench_mor_cycle
+WRITE_BENCHES["snapshot_update_cycle"] = _bench_update_cycle
+
+
+# Plan-fingerprint probes for the write benches: each returns the DataFrame
+# the sink consumes, so bench.py can record a plan_sha for write paths too
+# (round-3 verdict: the write benches had no fingerprint, leaving a +22%
+# write_daily regression unexplainable).  Probes must be cheap to build and
+# must NOT execute jobs.
+WRITE_BENCH_PLAN_PROBES: dict[str, Callable[[SparkSession, str, str], DataFrame]] = {}
+
+
+def _probe_write_daily(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    return (
+        _daily_rows_from_events(spark, sf_dir)
+        .repartitionByRange("id_part", "id")
+        .sortWithinPartitions("id")
+    )
+
+
+def _probe_merge_write(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    from .operators.merge import merge_snapshot
+
+    daily = spark.read.orc(f"{out_dir}/daily")
+    cols = ("id", "db_type", "val", "id_part")
+    return merge_snapshot(daily.select(*cols), daily.select(*cols))
+
+
+def _probe_update_cycle(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    from .operators.merge import merge_snapshot
+    from .plans.runner import read_dailies_since
+
+    dailies = read_dailies_since(spark, f"{out_dir}/daily", "2024-01-10", fmt="orc")
+    snapshot = (
+        spark.read.schema("id string, db_type string, val string, id_part string")
+        .orc(f"{out_dir}/snapshot")
+        .select("id", "db_type", "val", "id_part")
+    )
+    return merge_snapshot(snapshot, dailies)
+
+
+WRITE_BENCH_PLAN_PROBES["write_daily_clustered_orc"] = _probe_write_daily
+WRITE_BENCH_PLAN_PROBES["merge_and_write_snapshot"] = _probe_merge_write
+WRITE_BENCH_PLAN_PROBES["snapshot_update_cycle"] = _probe_update_cycle
 
 
 # Extension modules register additional queries on import; this must stay at

@@ -20,7 +20,10 @@ from dataworks_aws_corporate_data_ingestion_spark.plans.runner import (
     EngineConfig,
     date_range,
     main as runner_main,
+    read_dailies_since,
+    run_day,
     run_range,
+    run_update,
 )
 from dataworks_aws_corporate_data_ingestion_spark.plans.sqlrunner import (
     SqlRunner,
@@ -165,6 +168,43 @@ class TestRunner:
             "2023-05-02": state_mod.COMPLETED,
         }
 
+    def test_run_day_counts_quarantine_in_the_write_pass(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The quarantine count is an observed metric on the single write
+        action -- run_day must never fire a second action (the round-3
+        verdict's 100x-scale wart: counting the quarantine branch re-read
+        and re-parsed the whole day).  Any .count() call here fails."""
+        lines, _ = make_batch(6, seed=33)
+        broken = json.loads(lines[0])
+        broken["message"]["dbObject"] = None
+        lines[0] = json.dumps(broken)
+        y, m, d = "2023-05-01".split("-")
+        day_dir = tmp_path / "landing" / y / m / d
+        day_dir.mkdir(parents=True)
+        (day_dir / "batch.jsonl").write_text("\n".join(lines))
+        cfg = EngineConfig(
+            correlation_id="t-obs",
+            start_date="2023-05-01",
+            end_date="2023-05-01",
+            collection=CollectionSpec(
+                name="calculator:calculationParts",
+                source_root=str(tmp_path / "landing"),
+                output_root=str(tmp_path / "out"),
+            ),
+            state_path=str(tmp_path / "state.jsonl"),
+        )
+        from pyspark.sql import DataFrame
+
+        def _no_second_action(self):
+            raise AssertionError("run_day fired a counting action")
+
+        monkeypatch.setattr(DataFrame, "count", _no_second_action)
+        assert run_day(spark, cfg, "2023-05-01") == 1
+        monkeypatch.undo()
+        out = spark.read.parquet(str(tmp_path / "out"))
+        assert out.count() == 5
+
     def test_failure_marks_failed_and_raises(self, spark, tmp_path):
         # no landing data -> the read fails -> FAILED status then raise
         cfg = EngineConfig(
@@ -182,6 +222,113 @@ class TestRunner:
             run_range(spark, cfg)
         store = LocalStateStore(cfg.state_path)
         assert store.entries()[0].status == state_mod.FAILED
+
+
+class TestUpdateLifecycle:
+    """The weekly snapshot-update cycle end-to-end against LocalStateStore
+    (reference steps/ingesters.py:273-281, 341-460): dailies -> bootstrap
+    merge -> export recorded -> new dailies -> pruned incremental merge."""
+
+    def _land(self, tmp_path, date: str, n: int, seed: int, delete_every: int = 0):
+        y, m, d = date.split("-")
+        day_dir = tmp_path / "landing" / y / m / d
+        day_dir.mkdir(parents=True, exist_ok=True)
+        lines, _ = make_batch(n, seed=seed, delete_every=delete_every)
+        (day_dir / "batch.jsonl").write_text("\n".join(lines))
+
+    def _cfg(self, tmp_path, start: str, end: str, corr: str, **flags):
+        return EngineConfig(
+            correlation_id=corr,
+            start_date=start,
+            end_date=end,
+            collection=CollectionSpec(
+                name="calculator:calculationParts",
+                source_root=str(tmp_path / "landing"),
+                output_root=str(tmp_path / "daily"),
+                exports_root=str(tmp_path / "exports"),
+                hive_tables=(TableSpec("t_update_pub", "amount INT"),),
+            ),
+            state_path=str(tmp_path / "state.jsonl"),
+            **flags,
+        )
+
+    def test_update_cycle_end_to_end(self, spark, tmp_path):
+        self._land(tmp_path, "2023-05-01", 8, seed=11)
+        self._land(tmp_path, "2023-05-02", 9, seed=22)
+        cfg = self._cfg(
+            tmp_path, "2023-05-01", "2023-05-02", "w1", force_collection_update=True
+        )
+        run_range(spark, cfg)
+
+        # bootstrap merge: no previous export -> snapshot = all dailies
+        store = LocalStateStore(cfg.state_path)
+        latest = store.latest_completed_export("CDI-calculator:calculationParts")
+        assert latest is not None
+        assert latest.export_prefix == str(tmp_path / "exports" / "2023-05-02")
+        snap = spark.read.parquet(latest.export_prefix)
+        assert snap.count() == 17
+        assert set(snap.columns) == {"id", "db_type", "val", "id_part"}
+        # the forced update also published the hive tables
+        assert spark.table("t_update_pub").count() == 17
+
+        # second cycle: day 3 re-lands the day-1 ids as DELETEs
+        self._land(tmp_path, "2023-05-03", 8, seed=11, delete_every=1)
+        cfg2 = self._cfg(
+            tmp_path, "2023-05-03", "2023-05-03", "w2", force_collection_update=True
+        )
+        run_range(spark, cfg2)
+
+        latest2 = store.latest_completed_export("CDI-calculator:calculationParts")
+        assert latest2.export_prefix == str(tmp_path / "exports" / "2023-05-03")
+        snap2 = spark.read.parquet(latest2.export_prefix)
+        # same 17 keys; the 8 day-1 ids now carry the DELETE tombstone
+        assert snap2.count() == 17
+        assert snap2.filter(F.col("db_type") == "DELETE").count() == 8
+        day1_ids = {r["id"] for r in snap.filter(F.col("id_part").isNotNull()).collect()} - {
+            r["id"] for r in snap2.filter(F.col("db_type") == "INSERT").collect()
+        }
+        assert len(day1_ids) == 8
+
+    def test_incremental_merge_prunes_merged_days(self, spark, tmp_path):
+        """The dailies-since filter must prune whole day partitions at the
+        file-listing level (reference steps/ingesters.py:429-438): after a
+        snapshot at day 2, the day-3 merge opens NO day-1/day-2 files."""
+        self._land(tmp_path, "2023-05-01", 5, seed=1)
+        self._land(tmp_path, "2023-05-02", 5, seed=2)
+        self._land(tmp_path, "2023-05-03", 5, seed=3)
+        cfg = self._cfg(tmp_path, "2023-05-01", "2023-05-03", "w1")
+        run_range(spark, cfg)
+
+        pruned = read_dailies_since(
+            spark, cfg.collection.output_root, "2023-05-02", fmt="parquet"
+        )
+        # the executed query must open only day-3 files (file-level pruning;
+        # the plan string truncates its PartitionFilters field, so the IO
+        # observed via input_file_name is the assertion)
+        files = {
+            r["f"]
+            for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+        }
+        assert files, "day-3 files expected"
+        assert all("export_day=3" in f for f in files)
+        assert pruned.count() == 5
+
+    def test_export_only_phase_requires_an_export(self, spark, tmp_path):
+        self._land(tmp_path, "2023-05-01", 4, seed=5)
+        cfg = self._cfg(
+            tmp_path, "2023-05-01", "2023-05-01", "w1", force_export_to_hive=True
+        )
+        with pytest.raises(ValueError, match="no completed export"):
+            run_range(spark, cfg)
+        # after an update exists, export-only succeeds against the latest
+        run_update(spark, cfg)
+        run_range(
+            spark,
+            self._cfg(
+                tmp_path, "2023-05-01", "2023-05-01", "w2", force_export_to_hive=True
+            ),
+        )
+        assert spark.table("t_update_pub").count() == 4
 
 
 class StubDynamoClient:
