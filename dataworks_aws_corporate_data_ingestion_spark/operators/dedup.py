@@ -290,6 +290,14 @@ def materialize_minhash_index(
         minhash_signatures(stored), id_col=id_col, bands=bands, rows=rows
     )
     write_bucketed(buckets, f"{prefix}_buckets", ["band_id", "band_hash"], n_buckets)
+    # pin the minhash parameters ON the table: the append/query paths read
+    # them back, so a caller can never silently mix k/bands/rows with an
+    # index built differently (mismatched params destroy recall, not error)
+    spark.sql(
+        f"ALTER TABLE {prefix}_buckets SET TBLPROPERTIES ("
+        f"'minhash.k'='{k}', 'minhash.bands'='{bands}', "
+        f"'minhash.rows'='{rows}', 'minhash.n_buckets'='{n_buckets}')"
+    )
     return stored, spark.table(f"{prefix}_buckets")
 
 
@@ -304,24 +312,79 @@ def _table_bucket_count(spark, table: str) -> int | None:
     return None
 
 
+_MINHASH_DEFAULTS = {"k": 3, "bands": 16, "rows": 4}
+
+
+def index_params(
+    spark, prefix: str, k: int | None, bands: int | None, rows: int | None
+) -> tuple[int, int, int, int]:
+    """Resolve (k, bands, rows, n_buckets) for an existing index: table
+    properties written at materialize time are authoritative; explicit
+    caller values that disagree raise instead of silently destroying
+    recall.  Pre-properties tables (or external catalogs that drop them)
+    fall back to DESCRIBE for n_buckets and the module defaults."""
+    props: dict[str, str] = {}
+    try:
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {prefix}_buckets").collect()
+        }
+    except Exception:
+        pass
+    stored = (
+        {
+            "k": int(props["minhash.k"]),
+            "bands": int(props["minhash.bands"]),
+            "rows": int(props["minhash.rows"]),
+            "n_buckets": int(props["minhash.n_buckets"]),
+        }
+        if "minhash.k" in props
+        else None
+    )
+    resolved = {}
+    for name, given in (("k", k), ("bands", bands), ("rows", rows)):
+        if stored is not None:
+            if given is not None and given != stored[name]:
+                raise ValueError(
+                    f"minhash index {prefix!r} was built with {name}="
+                    f"{stored[name]}, caller passed {name}={given}; "
+                    "mismatched parameters silently destroy recall"
+                )
+            resolved[name] = stored[name]
+        else:
+            resolved[name] = given if given is not None else _MINHASH_DEFAULTS[name]
+    n_buckets = (
+        stored["n_buckets"]
+        if stored is not None
+        else _table_bucket_count(spark, f"{prefix}_buckets")
+    )
+    if n_buckets is None:
+        raise ValueError(
+            f"cannot determine bucket count for {prefix}_buckets: no "
+            "minhash table properties and DESCRIBE gave no Num Buckets; "
+            "rebuild the index with materialize_minhash_index"
+        )
+    return resolved["k"], resolved["bands"], resolved["rows"], n_buckets
+
+
 def append_to_minhash_index(
     spark,
     docs: DataFrame,
     prefix: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    k: int = 3,
-    bands: int = 16,
-    rows: int = 4,
+    k: int | None = None,
+    bands: int | None = None,
+    rows: int | None = None,
 ) -> None:
     """Admit new docs into a materialised minhash index: append their
     shingle rows and band-bucket rows to the existing tables.  The
-    bucket append re-declares the table's OWN bucketBy spec (read from
-    the catalog -- a mismatched count is an AnalysisException), so new
-    files land bucketed and later candidate joins keep the
-    delta-side-only exchange.  Caller is responsible for having deduped
-    `docs` first (admission order: check, then append)."""
-    n_buckets = _table_bucket_count(spark, f"{prefix}_buckets") or 32
+    minhash parameters and bucketBy spec come from the index's OWN table
+    properties (see index_params; explicit mismatching arguments raise),
+    so new files land bucketed identically and later candidate joins keep
+    the delta-side-only exchange.  Caller is responsible for having
+    deduped `docs` first (admission order: check, then append)."""
+    k, bands, rows, n_buckets = index_params(spark, prefix, k, bands, rows)
     sh = docs.repartition(
         docs.sparkSession.sparkContext.defaultParallelism
     ).select(F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles"))
@@ -346,14 +409,17 @@ def near_dup_pairs_against_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.9,
-    k: int = 3,
-    bands: int = 16,
-    rows: int = 4,
+    k: int | None = None,
+    bands: int | None = None,
+    rows: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup pairs against a materialised corpus index
     (see materialize_minhash_index): only the DELTA is shingled/signed in
     flight; corpus buckets and shingles come off the stored tables.
-    Output matches near_dup_pairs_minhash_incremental bit-for-bit."""
+    Output matches near_dup_pairs_minhash_incremental bit-for-bit.
+    Minhash parameters resolve from the index's table properties;
+    explicit mismatching arguments raise (see index_params)."""
+    k, bands, rows, _ = index_params(spark, prefix, k, bands, rows)
     delta_sh = tracked_persist(
         delta.repartition(
             delta.sparkSession.sparkContext.defaultParallelism

@@ -22,18 +22,58 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+_SPARK_OUTPUT_PREFIXES = ("part-", "_SUCCESS", "_committed", "_started", "_temporary", ".")
+
+
+def _looks_like_table_dir(loc: str) -> bool:
+    """True iff `loc` is a directory containing only Spark table-output
+    artifacts (part files, commit markers, crc files) or nothing -- the
+    signature of a table a previous session left behind.  Anything else
+    (user files, nested dirs that are partition values are fine too --
+    they start with '<col>=' only; be conservative and recurse one level)
+    is NOT removable."""
+    try:
+        entries = os.listdir(loc)
+    except (FileNotFoundError, NotADirectoryError):
+        return False
+    for e in entries:
+        if e.startswith(_SPARK_OUTPUT_PREFIXES):
+            continue
+        # partition subdirectory: <column>=<value>
+        sub = os.path.join(loc, e)
+        if "=" in e and os.path.isdir(sub) and _looks_like_table_dir(sub):
+            continue
+        return False
+    return True
+
+
 def _clear_orphan_location(spark: SparkSession, table: str) -> None:
     """A fresh session's catalog does not know tables a PREVIOUS session
     wrote into the same warehouse dir, so CREATE fails with
     LOCATION_ALREADY_EXISTS on the leftover directory.  Drop the catalog
-    entry if present, then remove an orphaned file-scheme location."""
+    entry if present, then remove an orphaned file-scheme location.
+
+    The managed-table layout is <warehouse>/<table> for the default
+    database and <warehouse>/<db>.db/<table> otherwise; and the rmtree
+    only fires when the directory actually looks like leftover Spark
+    table output, so a name collision with unrelated files is surfaced
+    by the subsequent CREATE instead of silently deleting them."""
     import shutil
     from urllib.parse import urlparse
 
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
-    if warehouse.scheme in ("", "file"):
-        loc = os.path.join(warehouse.path, table.split(".")[-1].lower())
+    if warehouse.scheme not in ("", "file"):
+        return
+    parts = table.lower().split(".")
+    db = parts[0] if len(parts) == 2 else spark.catalog.currentDatabase().lower()
+    name = parts[-1]
+    loc = (
+        os.path.join(warehouse.path, name)
+        if db == "default"
+        else os.path.join(warehouse.path, f"{db}.db", name)
+    )
+    if _looks_like_table_dir(loc):
         shutil.rmtree(loc, ignore_errors=True)
 
 

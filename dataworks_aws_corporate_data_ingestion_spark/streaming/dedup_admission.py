@@ -11,20 +11,30 @@ corpus admission gate runs (the reference's daily cadence, tightened to
 micro-batches).
 
 Admission policy per batch:
-  * a batch doc near-dup of an ALREADY-INDEXED doc is rejected;
+  * docs already IN the index (an at-least-once replay of an admitted
+    doc) pass straight through -- they were admitted before, and are
+    neither re-checked nor re-appended;
+  * a fresh doc near-dup of an already-indexed doc is rejected;
   * within a batch, near-dup groups keep the smallest id (the same
     representative rule as the batch curation collapse);
   * survivors append to the index inside the same foreachBatch call, so
     the check-then-append pair is ordered per batch (foreachBatch runs
     batches sequentially).
 
+Replay idempotence (at-least-once delivery): the admitted set is a pure,
+replay-stable function of (batch, index) -- already-indexed batch docs
+are exactly the survivors of the previous attempt, fresh docs re-derive
+the same verdicts -- and the admitted sink writes each batch to its own
+`batch_id=N` subdirectory with overwrite, so a replay converges to the
+same files instead of appending duplicates.  The index append only ever
+receives fresh survivors, so index rows never duplicate either.
+
 Scale notes: per batch the cost is the incremental shape -- candidates
 scale with the batch, never the corpus; the index append is a bucketed
-write of batch-sized data.  At-least-once caveat: a replayed batch
-re-checks against an index that already contains its docs, so its docs
-collide with themselves by id-inequality pairs -- the `a < b` keep-min
-rule makes the replay a no-op for survivors (their smaller ids are
-already present), which is the idempotence a foreachBatch sink needs.
+write of batch-sized data.  Two batch-sized localCheckpoints pin the
+fresh split and the survivor set BEFORE the index append mutates the
+tables their lineage reads (lazy re-evaluation after the append would
+otherwise see the batch's own rows in the corpus).
 """
 
 from __future__ import annotations
@@ -32,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import release_tracked
 from ..operators.dedup import (
     append_to_minhash_index,
     near_dup_pairs_against_index,
@@ -47,35 +58,44 @@ def admit_batch(
     threshold: float = 0.9,
 ) -> DataFrame:
     """One admission round: returns the admitted rows (all batch columns)
-    and appends them to the index.  Pure function of (batch, index
-    state); used directly by tests and wrapped by the foreachBatch
-    applier."""
+    and appends the fresh survivors to the index.  Replay-stable: see
+    module docstring.  Used directly by tests and wrapped by the
+    foreachBatch applier."""
+    indexed_ids = spark.table(f"{prefix}_shingles").select(F.col(id_col))
+    # pin the fresh/replayed split before the index append below changes
+    # what "indexed" means for this batch's rows
+    fresh = batch_df.join(indexed_ids, id_col, "left_anti").localCheckpoint(eager=True)
+    previously_admitted = batch_df.join(
+        fresh.select(F.col(id_col)), id_col, "left_anti"
+    )
+
     pairs = near_dup_pairs_against_index(
-        spark, batch_df, prefix, id_col=id_col, text_col=text_col,
+        spark, fresh, prefix, id_col=id_col, text_col=text_col,
         threshold=threshold,
     )
-    batch_ids = batch_df.select(F.col(id_col).alias("x"))
+    fresh_ids = fresh.select(F.col(id_col).alias("x"))
     links = pairs.select(F.col("a").alias("x"), F.col("b").alias("partner")).unionByName(
         pairs.select(F.col("b").alias("x"), F.col("a").alias("partner"))
     )
-    in_batch = links.join(batch_ids, "x")
-    partner_is_batch = in_batch.join(
-        batch_df.select(F.col(id_col).alias("partner")), "partner", "left_semi"
+    in_batch = links.join(fresh_ids, "x")
+    partner_is_fresh = in_batch.join(
+        fresh.select(F.col(id_col).alias("partner")), "partner", "left_semi"
     )
     partner_is_corpus = in_batch.join(
-        batch_df.select(F.col(id_col).alias("partner")), "partner", "left_anti"
+        fresh.select(F.col(id_col).alias("partner")), "partner", "left_anti"
     )
-    # reject: duplicate of anything indexed, or of a smaller-id batchmate
+    # reject: duplicate of anything indexed, or of a smaller-id fresh
+    # batchmate
     rejected = partner_is_corpus.select("x").unionByName(
-        partner_is_batch.filter(F.col("partner") < F.col("x")).select("x")
+        partner_is_fresh.filter(F.col("partner") < F.col("x")).select("x")
     ).distinct()
-    admitted = batch_df.join(
+    survivors = fresh.join(
         rejected.select(F.col("x").alias(id_col)), id_col, "left_anti"
-    )
+    ).localCheckpoint(eager=True)
     append_to_minhash_index(
-        spark, admitted, prefix, id_col=id_col, text_col=text_col
+        spark, survivors, prefix, id_col=id_col, text_col=text_col
     )
-    return admitted
+    return survivors.unionByName(previously_admitted)
 
 
 def dedup_admission_applier(
@@ -87,13 +107,24 @@ def dedup_admission_applier(
     threshold: float = 0.9,
 ):
     """foreachBatch hook: admit the micro-batch against the index and
-    append survivors to `admitted_dir` (parquet)."""
+    write survivors to `{admitted_dir}/batch_id=N` (parquet, overwrite --
+    a replayed batch converges instead of appending duplicates).  Each
+    batch drains the tracked-persist registry it registered (delta
+    shingles/buckets inside near_dup_pairs_against_index); without the
+    drain a long-running stream accumulates leaked cached blocks."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        admitted = admit_batch(
-            spark, batch_df, prefix, id_col=id_col, text_col=text_col,
-            threshold=threshold,
-        )
-        admitted.write.mode("append").parquet(admitted_dir)
+        try:
+            admitted = admit_batch(
+                spark, batch_df, prefix, id_col=id_col, text_col=text_col,
+                threshold=threshold,
+            )
+            admitted.write.mode("overwrite").parquet(
+                f"{admitted_dir}/batch_id={batch_id}"
+            )
+        finally:
+            # safe here: the write action above has completed (or failed);
+            # nothing downstream re-reads the batch's tracked frames
+            release_tracked()
 
     return _apply

@@ -44,11 +44,22 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_byte_features",
     tags=("multimodal", "mapinpandas"),
     oracle="""
-        WITH ch AS (
-            SELECT doc_id, ascii(c) // 16 AS nib
+        WITH hx AS (
+            -- bin UTF-8 BYTES, exactly as the Spark side does over
+            -- encode(text): each byte's high nibble is the first hex
+            -- digit of its pair in hex(encode(text)) (DuckDB hex is
+            -- uppercase).  Binning per-CHARACTER code points instead
+            -- diverges on any non-ASCII character.
+            SELECT doc_id, hex(encode(text)) AS h FROM documents
+        ), idx AS (
+            SELECT doc_id, h, unnest(range(length(h) // 2)) AS i FROM hx
+        ), ch AS (
+            SELECT doc_id,
+                   CASE WHEN hc BETWEEN 'A' AND 'F' THEN ascii(hc) - 55
+                        ELSE ascii(hc) - 48 END AS nib
             FROM (
-                SELECT doc_id, unnest(string_split(text, '')) AS c
-                FROM documents
+                SELECT doc_id, substring(h, CAST(2 * i + 1 AS INT), 1) AS hc
+                FROM idx
             )
         ), nibs AS (
             SELECT unnest(range(16)) AS nib

@@ -176,6 +176,24 @@ class TestMinhashIndex:
         )
         assert got == want
 
+    def test_mismatched_minhash_params_fail_loudly(self, spark, index):
+        """The index pins (k, bands, rows, n_buckets) as table properties
+        at materialize time; query/append paths that pass different
+        explicit values must raise, not silently destroy recall."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.dedup import (
+            append_to_minhash_index,
+            index_params,
+            near_dup_pairs_against_index,
+        )
+
+        docs = index
+        assert index_params(spark, "t_mh", None, None, None) == (3, 16, 4, 4)
+        delta = docs.filter("doc_id % 10 = 0")
+        with pytest.raises(ValueError, match="bands=16, caller passed bands=8"):
+            near_dup_pairs_against_index(spark, delta, "t_mh", bands=8)
+        with pytest.raises(ValueError, match="k=3, caller passed k=5"):
+            append_to_minhash_index(spark, delta, "t_mh", k=5)
+
     def test_corpus_bucket_side_has_no_exchange(self, spark, index):
         """The point of the bucketed layout: with broadcast disabled, the
         candidate join must exchange ONLY the delta side -- the stored

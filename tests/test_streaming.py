@@ -391,6 +391,52 @@ class TestDedupAdmission:
             for t in ("t_adm_shingles", "t_adm_buckets"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
 
+    def test_replay_idempotence(self, spark, tmp_path):
+        """At-least-once replay of an applied batch must converge: same
+        admitted files (per-batch overwrite), no duplicate index rows,
+        previously-admitted docs pass through instead of colliding with
+        their own indexed copies."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.dedup import (
+            materialize_minhash_index,
+        )
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.dedup_admission import (
+            dedup_admission_applier,
+        )
+
+        out = tmp_path / "admitted"
+        try:
+            materialize_minhash_index(
+                spark, self._docs(spark, [(1, self.BASE)]), "t_adm3", n_buckets=4
+            )
+            apply_ = dedup_admission_applier(spark, "t_adm3", str(out))
+            batch = self._docs(
+                spark, [(10, self.BASE), (11, self.OTHER), (12, self.OTHER)]
+            )
+            apply_(batch, 0)
+            assert sorted(
+                r.doc_id for r in spark.read.parquet(str(out)).collect()
+            ) == [11]
+
+            apply_(batch, 0)  # redelivery of the same micro-batch
+            assert sorted(
+                r.doc_id for r in spark.read.parquet(str(out)).collect()
+            ) == [11]
+            shingle_ids = sorted(
+                r.doc_id for r in spark.table("t_adm3_shingles").collect()
+            )
+            assert shingle_ids == [1, 11]  # no duplicate index rows
+            dup_buckets = (
+                spark.table("t_adm3_buckets")
+                .groupBy("doc_id", "band_id")
+                .count()
+                .filter("count > 1")
+                .count()
+            )
+            assert dup_buckets == 0
+        finally:
+            for t in ("t_adm3_shingles", "t_adm3_buckets"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
     def test_foreachbatch_stream_end_to_end(self, spark, tmp_path):
         """The real streaming surface: a file stream of document batches
         through foreachBatch admission; admitted output and final index
