@@ -21,8 +21,58 @@ import json
 import re
 from dataclasses import dataclass
 
+try:  # optional fast path; every use falls back to stdlib semantics
+    import orjson as _orjson
+except ImportError:  # pragma: no cover - present in the target container
+    _orjson = None
+
 # JSON primitive types, as the reference defines them (steps/data.py:7).
 JSON_PRIMITIVES = (int, float, complex, bool, str)
+
+
+# orjson.loads silently LOSES >64-bit integers to float (measured:
+# 2**70 -> 1.1805916207174113e+21); the stdlib keeps them exact.  2**63
+# is 19 digits, so any 19+ digit run routes to the stdlib.  The run scan
+# stays C-speed: fold digits to '0' with bytes.translate, then substring
+# membership (~0.5 us/record vs 4.5 us for a \d{19} regex, whose engine
+# starts a match attempt at every digit).  Digit runs inside strings
+# false-positive, costing only the fast path, never correctness.
+_DIGIT_FOLD = bytes.maketrans(b"123456789", b"000000000")
+_RUN_19 = b"0" * 19
+
+
+def loads_fast(s: str):
+    """orjson-accelerated json.loads with stdlib-compatible semantics:
+    orjson rejects non-standard JSON the stdlib accepts (NaN/Infinity
+    literals, >1024 nesting) -- those fall back -- and inputs that might
+    carry >64-bit integers (see _DIGIT_FOLD gate) skip orjson entirely.
+    Truly invalid input raises the stdlib's ValueError subclass either
+    way."""
+    if _orjson is not None:
+        b = s.encode("utf-8", "surrogatepass")
+        if _RUN_19 not in b.translate(_DIGIT_FOLD):
+            try:
+                return _orjson.loads(b)
+            except _orjson.JSONDecodeError:
+                pass
+    return json.loads(s)
+
+
+def dumps_intermediate(obj) -> str:
+    """Fast serialise for INTERMEDIATE strings only -- ones that are
+    re-parsed before leaving the pipeline (validate -> sanitise ->
+    finalise), where formatting differences wash out because the value,
+    not the bytes, is what survives.  orjson's compact form differs from
+    json.dumps defaults (no separator spaces, raw UTF-8, `1e16` not
+    `1e+16`) but is value-preserving round-trip; >64-bit ints (which
+    orjson rejects) fall back to stdlib.  NEVER use for canonical_json:
+    the final golden bytes must match json.dumps exactly."""
+    if _orjson is not None:
+        try:
+            return _orjson.dumps(obj).decode("utf-8")
+        except TypeError:
+            pass
+    return json.dumps(obj)
 
 EPOCH_FALLBACK = "1980-01-01T00:00:00.000Z"
 
@@ -193,7 +243,7 @@ def validate_record(record: str) -> tuple[str, bool]:
     sanitise_text operates on that representation, exactly as the
     reference pipes validate into sanitise.
     """
-    obj = json.loads(record)
+    obj = loads_fast(record)
     is_delete = "_removedDateTime" in obj
 
     last_modified = prioritised_last_modified(obj)
@@ -209,7 +259,7 @@ def validate_record(record: str) -> tuple[str, bool]:
     if isinstance(_id, JSON_PRIMITIVES):
         obj["_id"] = {"$oid": str(_id)}
 
-    return json.dumps(obj), is_delete
+    return dumps_intermediate(obj), is_delete
 
 
 # Collections whose sanitisation rules were never implemented upstream;
@@ -249,7 +299,7 @@ def audit_transform(record: str, envelope_last_modified) -> str:
         stamp = str(envelope_last_modified)
     else:
         stamp = ""
-    obj = json.loads(record)
+    obj = loads_fast(record)
     context = obj.get("context")
     audit_type = obj.get("auditType")
     if not audit_type or not context:
@@ -257,13 +307,13 @@ def audit_transform(record: str, envelope_last_modified) -> str:
     context["AUDIT_EVENT"] = audit_type
     context["TIME_STAMP"] = stamp
     context["TIME_STAMP_ORIG"] = stamp
-    return json.dumps(context)
+    return dumps_intermediate(context)
 
 
 def finalise_record(record: str) -> str:
     """Re-parse and emit the canonical form (reference steps/data.py:163-165
     `utf8_decrypted_record`)."""
-    return canonical_json(json.loads(record))
+    return canonical_json(loads_fast(record))
 
 
 @dataclass(frozen=True)
@@ -287,7 +337,7 @@ def parse_envelope(line: str, configured_collection: str | None = None) -> Parse
     db/collection fall back to the configured "db:collection" when either
     is missing; _id objects are canonicalised (sorted keys, compact) so the
     id is byte-stable (reference steps/data.py:72-77)."""
-    message = json.loads(line)["message"]
+    message = loads_fast(line)["message"]
     db = message.get("db")
     collection = message.get("collection")
     if (not db or not collection) and configured_collection:

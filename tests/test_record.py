@@ -311,3 +311,54 @@ class TestTimestampFastPath:
         assert record._FAST_TS.match("2019-07-04T07:27:35.104+0000")
         assert record._FAST_TS.match("2019-07-04T07:27:35.104Z")
         assert not record._FAST_TS.match("2019-07-04T07:27:35.1044+0000")
+
+
+class TestOrjsonParity:
+    """The orjson fast path must be value- and byte-equivalent to the
+    stdlib route through the whole validate->sanitise->finalise chain.
+    The dangerous cases: >64-bit integers (orjson loses them to float --
+    the digit-run gate must route those to the stdlib), float exponent
+    formats, unicode, NUL escapes, and stray spacing."""
+
+    CASES = [
+        {"a": 1e16, "b": 0.1, "c": [1.5, -2.25e-8], "d": "é $  text", "_id": 5},
+        {"_removedDateTime": "2023-05-01T00:00:00.000Z", "n": 2**63 - 1, "big": 2**70},
+        {"neg_big": -(2**69), "in_string": "id=12345678901234567890123 ok"},
+        {"nested": {"$date": "2023-01-02T03:04:05.678+0100"},
+         "l": ["2023-01-02T03:04:05.678Z"]},
+        {"nul": "a" + chr(0) + "b", "sp": "  spaces  ", "neg": -0.0},
+    ]
+
+    def _chain(self, raw: str) -> tuple[str, bool]:
+        rec, is_delete = record.validate_record(raw)
+        return record.finalise_record(record.sanitise_text(rec)), is_delete
+
+    def test_chain_matches_stdlib_byte_for_byte(self):
+        import json as _json
+
+        for case in self.CASES:
+            raw = _json.dumps(case)
+            fast = self._chain(raw)
+            saved = record._orjson
+            record._orjson = None
+            try:
+                slow = self._chain(raw)
+            finally:
+                record._orjson = saved
+            assert fast == slow
+
+    def test_big_int_survives_exactly(self):
+        import json as _json
+
+        out, _ = self._chain(_json.dumps({"big": 2**70, "_id": {"x": 1}}))
+        assert str(2**70) in out  # not 1.1805916207174113e+21
+
+    def test_gate_is_conservative_not_lossy(self):
+        # 18 digits: orjson-safe, should NOT trip the gate
+        assert record._RUN_19 not in (
+            b'{"n": 123456789012345678}'.translate(record._DIGIT_FOLD)
+        )
+        # 19 digits anywhere (even inside a string) trips it
+        assert record._RUN_19 in (
+            b'{"s": "9999999999999999999"}'.translate(record._DIGIT_FOLD)
+        )
