@@ -31,3 +31,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         name: spec.oracle for name, spec in QUERIES.items() if spec.oracle
     }
+
+
+def query_tags() -> dict[str, tuple[str, ...]]:
+    """Registry metadata: per-query tags.  Notably `small-scale-only` /
+    `ground-truth-twin` mark exact O(n^2)-ish oracle twins kept for
+    correctness certification -- their scale-path counterparts are the
+    product operators (see README 'Ground-truth twins')."""
+    return {name: spec.tags for name, spec in QUERIES.items()}

@@ -86,11 +86,39 @@ def _signature(nbrs: DataFrame) -> tuple:
     return tuple(row)
 
 
+def _union_find_components(pairs) -> dict:
+    """Driver-side union-find with union-by-min and path compression:
+    the tree root of every component is its minimum node id, so labels
+    match the distributed algorithm's exactly."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in pairs:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "a",
     dst: str = "b",
     max_rounds: int = 50,
+    local_edge_threshold: int | None = 2_000_000,
 ) -> DataFrame:
     """Cluster assignment for every node that appears in `edges`:
     returns (node, component) where component is the smallest node id in
@@ -98,10 +126,37 @@ def connected_components(
     callers union singletons back if the policy needs them.
 
     Deterministic: component ids are graph minima, independent of
-    partitioning or round count."""
-    star = _symmetrize(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    partitioning, round count, or which execution path ran.
+
+    Scale-adaptive (the AQE-broadcast decision applied to graphs): the
+    near-dup PAIR set is orders of magnitude smaller than the corpus
+    that produced it, and an edge set below `local_edge_threshold` is
+    union-found on the driver in one collect -- O(n alpha(n)) in C-speed
+    Python -- instead of paying O(log n) contraction rounds of 2 shuffles
+    + a checkpoint job each (measured: ~5 rounds of fixed job latency
+    dominated curation_pipeline at small scale).  Bigger graphs take the
+    star-contraction path unchanged; the threshold (default 2M edges,
+    ~100 MB of driver rows) is the caller's knob, None disables the
+    local path entirely.  The input pairs are pinned with one eager
+    localCheckpoint so the threshold count never re-runs the (expensive)
+    pair-producing lineage."""
+    pair_df = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=True)
+    if local_edge_threshold and pair_df.count() <= local_edge_threshold:
+        comp = _union_find_components(
+            (r[0], r[1]) for r in pair_df.collect()
+        )
+        from pyspark.sql.types import StructField, StructType
+
+        node_t = pair_df.schema[0].dataType
+        schema = StructType(
+            [StructField("node", node_t), StructField("component", node_t)]
+        )
+        return pair_df.sparkSession.createDataFrame(
+            list(comp.items()), schema
+        )
+    star = _symmetrize(pair_df).localCheckpoint(eager=True)
     prev_sig = None
     for _ in range(max_rounds):
         star = _small_star(_large_star(_symmetrize(star))).localCheckpoint(

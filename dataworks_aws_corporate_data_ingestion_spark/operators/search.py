@@ -109,6 +109,13 @@ def materialize_search_index(
 
     postings = build_postings(docs, id_col=id_col, text_col=text_col)
     write_bucketed(postings, f"{prefix}_postings", ["term"], n_buckets)
+    # pin the layout on the table so the append path can re-declare the
+    # same bucket spec without the caller carrying it (cf. the minhash
+    # index's parameter pinning, operators/dedup.py)
+    spark.sql(
+        f"ALTER TABLE {prefix}_postings SET TBLPROPERTIES"
+        f" ('bm25.n_buckets'='{n_buckets}')"
+    )
     indexed = spark.table(f"{prefix}_postings")
     # dims derive from the materialised postings (not the source corpus):
     # one bucketed-scan pass, and bit-identical to what searches will read
@@ -120,6 +127,84 @@ def materialize_search_index(
         spark.table(f"{prefix}_dfs"),
         spark.table(f"{prefix}_stats"),
     )
+
+
+def _index_bucket_count(spark, prefix: str) -> int:
+    try:
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {prefix}_postings").collect()
+        }
+        if "bm25.n_buckets" in props:
+            return int(props["bm25.n_buckets"])
+        for row in spark.sql(
+            f"DESCRIBE TABLE FORMATTED {prefix}_postings"
+        ).collect():
+            if row.col_name.strip() == "Num Buckets":
+                return int(row.data_type)
+    except Exception:
+        pass
+    raise ValueError(
+        f"cannot determine bucket count for {prefix}_postings; rebuild the"
+        " index with materialize_search_index"
+    )
+
+
+def append_to_search_index(
+    spark,
+    docs: DataFrame,
+    prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Admit new documents into a materialised search index WITHOUT a
+    corpus rebuild -- the BM25 twin of the minhash index's append path
+    (operators/dedup.py::append_to_minhash_index):
+
+      * delta postings append to `{prefix}_postings` under the table's
+        own bucketBy(term) spec (read from its properties), so new files
+        land bucketed and repeat searches keep the exchange-free
+        postings side;
+      * `{prefix}_dfs` becomes old + delta document frequencies -- a
+        vocabulary-sized merge, never a corpus scan;
+      * `{prefix}_stats` adds the delta's (n_docs, sum_dl) to the stored
+        single row.
+
+    Every frame that reads a table being overwritten is pinned with an
+    eager localCheckpoint first (self-referencing overwrite is an
+    analysis error, and lazy re-reads after the write would double
+    count).  Caller contract: `docs` must be NEW doc_ids (dedup first --
+    appending an existing doc double-counts its df/tf).  Cost scales
+    with the delta: the corpus-sized postings table is written to, never
+    read."""
+    n_buckets = _index_bucket_count(spark, prefix)
+    delta = build_postings(docs, id_col=id_col, text_col=text_col).localCheckpoint(
+        eager=True
+    )
+    (
+        delta.write.mode("append")
+        .bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .saveAsTable(f"{prefix}_postings")
+    )
+    merged_dfs = (
+        spark.table(f"{prefix}_dfs")
+        .unionByName(term_stats(delta))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .localCheckpoint(eager=True)
+    )
+    merged_dfs.write.mode("overwrite").saveAsTable(f"{prefix}_dfs")
+    merged_stats = (
+        spark.table(f"{prefix}_stats")
+        .unionByName(corpus_stats(delta))
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merged_stats.write.mode("overwrite").saveAsTable(f"{prefix}_stats")
 
 
 def bm25_search(

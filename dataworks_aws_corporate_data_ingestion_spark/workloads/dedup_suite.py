@@ -37,11 +37,16 @@ _PAIRS_JACCARD_ORACLE = """
 
 @register(
     "near_dup_pairs_exact",
-    tags=("dedup", "jaccard"),
+    tags=("dedup", "jaccard", "small-scale-only", "ground-truth-twin"),
     oracle=_PAIRS_JACCARD_ORACLE,
 )
 def near_dup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ground-truth 3-word-shingle jaccard pairs at >=0.9 (O(n^2) path)."""
+    """Ground-truth 3-word-shingle jaccard pairs at >=0.9 via the
+    inverted-index join, run here WITHOUT a shingle-frequency cap so its
+    output is the exact oracle twin.  SMALL-SCALE ONLY in this form: a
+    boilerplate shingle in f docs puts f^2 candidate pairs on one shuffle
+    key.  The 100 TB paths are near_dup_pairs_minhash (sub-quadratic) or
+    the same operator with max_shingle_freq set (bounded hot keys)."""
     return near_dup_pairs_exact(load_table(spark, "documents", sf_dir))
 
 

@@ -72,23 +72,58 @@ def dataset_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "packed_training_sequences",
-    tags=("packing", "training-data", "applyInPandas", "non-sql"),
+    tags=("packing", "training-data", "applyInPandas", "invariant-oracle"),
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_packed,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct_docs,
+               CAST(SUM(CAST(len(string_split(lower(text), ' ')) AS BIGINT))
+                   AS BIGINT) AS total_tokens,
+               CAST(0 AS BIGINT) AS n_multi_doc_packs_over_budget
+        FROM documents
+    """,
 )
 def packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into 512-token training sequences via bucketed
-    first-fit-decreasing (operators/packing.py).  No SQL oracle --
-    ordering-dependent greedy packing is not relational; pytest pins the
-    invariants (every doc exactly once, no pack over budget,
-    determinism).
+    first-fit-decreasing (operators/packing.py), registered as the
+    packing's INVARIANT CERTIFICATE: the greedy pack assignment itself is
+    ordering-dependent (and bucket-count-dependent), so its rows have no
+    relational oracle -- but its conservation laws do.  The oracle states
+    them over the raw corpus: every doc packed exactly once (n_docs_packed
+    == n_distinct_docs == corpus count), token mass conserved
+    (sum of pack totals == sum of per-doc whitespace token counts), and
+    no multi-doc pack exceeds the 512 budget (single oversized docs get
+    their own pack by design -- truncation is the tokeniser's job).  Any
+    packing bug -- dropped doc, double placement, over-stuffed pack,
+    token miscount -- flips a column and hash-mismatches.  Consumers of
+    the actual pack rows call operators/packing.pack_sequences; the
+    per-bucket fill-ratio quality bar lives in pytest
+    (test_packing_sampling.py)."""
+    from ..caching import tracked_persist
 
-    The operator API returns doc_ids as array<bigint>; the registered
-    surface serialises it to a JSON string so the driver's canonicaliser
-    (pandas sort over object columns) can hash it."""
     d = load_table(spark, "documents", sf_dir).select(
         "doc_id", token_count(F.col("text")).alias("n_tokens")
     )
-    packed = pack_sequences(d, budget=512, residual_threshold=0.85)
-    return packed.withColumn("doc_ids", F.to_json("doc_ids")).drop("doc_tokens")
+    packed = tracked_persist(
+        pack_sequences(d, budget=512, residual_threshold=0.85)
+    )
+    pack_stats = packed.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs_packed"),
+        F.sum("total_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(
+            ((F.col("n_docs") >= 2) & (F.col("total_tokens") > 512)).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_multi_doc_packs_over_budget"),
+    )
+    distinct_docs = packed.select(F.explode("doc_ids").alias("d")).agg(
+        F.count_distinct("d").cast("bigint").alias("n_distinct_docs")
+    )
+    return pack_stats.crossJoin(distinct_docs).select(
+        "n_docs_packed",
+        "n_distinct_docs",
+        "total_tokens",
+        "n_multi_doc_packs_over_budget",
+    )
 
 
 @register(

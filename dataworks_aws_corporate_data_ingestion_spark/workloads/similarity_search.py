@@ -25,7 +25,7 @@ _COS_SQL = (
 @register(
     "ann_cosine_topk",
     bench=True,
-    tags=("similarity", "topk", "vectors"),
+    tags=("similarity", "topk", "vectors", "small-scale-only", "ground-truth-twin"),
     oracle=f"""
         SELECT query_id, neighbor_id, cosine_sim FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -42,7 +42,9 @@ _COS_SQL = (
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbours for the first 10 vectors: the
-    brute-force ANN baseline.
+    brute-force ANN baseline and GROUND-TRUTH TWIN.  Small-scale only:
+    cost is |queries| x corpus; at 100 TB use ann_lsh_topk / ann_ivf_topk
+    (both recall-certified against this baseline).
 
     Scale notes: broadcast queries + corpus linear scan; dot products are
     sequential folds (bit-identical to the oracle), ranked per query with
@@ -51,27 +53,78 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def _recall_certificate(
+    exact: DataFrame, approx: DataFrame, recall_pct: int
+) -> DataFrame:
+    """One-row recall certificate comparing an approximate top-k against
+    the exact baseline: (n_queries, n_exact_pairs, recall_ok).  The
+    threshold compare is cross-multiplied INTEGER counts (hits*100 >=
+    exact*pct), so the claim is bit-stable cross-engine -- this is how an
+    approximate operator gets a driver-checkable value-hash oracle: the
+    oracle states the contract (all queries present, k pairs each,
+    recall holds), and a recall regression flips recall_ok to false and
+    hash-mismatches."""
+    ex = exact.select("query_id", "neighbor_id")
+    hits = approx.select("query_id", "neighbor_id").join(
+        ex, ["query_id", "neighbor_id"]
+    )
+    return (
+        ex.agg(
+            F.count_distinct("query_id").cast("bigint").alias("n_queries"),
+            F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("__n_hits")))
+        .select(
+            "n_queries",
+            "n_exact_pairs",
+            (
+                F.col("__n_hits") * 100 >= F.col("n_exact_pairs") * recall_pct
+            ).alias("recall_ok"),
+        )
+    )
+
+
+_RECALL_ORACLE = """
+        SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+               CAST(COUNT(DISTINCT vec_id) * 5 AS BIGINT) AS n_exact_pairs,
+               TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < 10
+"""
+
+
 @register(
     "ann_lsh_topk",
-    tags=("similarity", "lsh", "approximate", "non-sql"),
+    tags=("similarity", "lsh", "approximate", "recall-certificate"),
+    oracle=_RECALL_ORACLE,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-5 for the first 10 vectors.  No SQL
-    oracle (approximate by construction); pytest asserts recall >= 0.8
-    against the brute-force baseline."""
+    """Hyperplane-LSH approximate top-5 for the first 10 vectors,
+    registered as its RECALL CERTIFICATE against the (hash-matched green)
+    brute-force baseline: the oracle-checkable claim is `recall >= 0.85
+    over all queries at k=5` (the same bound the pytest pins), because
+    the approximate result rows themselves have no cross-engine oracle
+    by construction.  Consumers of the actual neighbour rows call
+    operators/similarity.lsh_topk."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return _recall_certificate(
+        brute_force_topk(emb, queries, k=5),
+        lsh_topk(emb, queries, dim=64, k=5),
+        recall_pct=85,
+    )
 
 
 @register(
     "ann_ivf_topk",
-    tags=("similarity", "ivf", "approximate", "non-sql"),
+    tags=("similarity", "ivf", "approximate", "recall-certificate"),
+    oracle=_RECALL_ORACLE,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 for the first 10 vectors: spherical-k-means
-    inverted lists, n_probe-list candidate generation, exact re-rank.  No
-    SQL oracle (approximate by construction); pytest asserts recall
-    against the brute-force baseline.
+    """IVF approximate top-5 for the first 10 vectors (spherical-k-means
+    inverted lists, n_probe candidate lists, exact re-rank), registered
+    as its RECALL CERTIFICATE >= 0.70 against the brute-force baseline
+    (see ann_lsh_topk for the pattern; consumers of neighbour rows call
+    operators/similarity.ivf_topk).
 
     The synthetic embeddings are nearly isotropic (top-1 cosine ~0.35),
     the worst case for IVF -- n_probe=8 of 16 lists reaches ~0.78 recall
@@ -79,14 +132,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The LSH variant is the better fit for this corpus (see
     operators/similarity.ivf_topk scale notes)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_lists=16, n_probe=8
+    queries = emb.filter(F.col("vec_id") < 10)
+    return _recall_certificate(
+        brute_force_topk(emb, queries, k=5),
+        ivf_topk(emb, queries, dim=64, k=5, n_lists=16, n_probe=8),
+        recall_pct=70,
     )
 
 
 @register(
     "embedding_cosine_near_dups",
-    tags=("dedup", "vectors"),
+    tags=("dedup", "vectors", "small-scale-only", "ground-truth-twin"),
     oracle=f"""
         SELECT a.vec_id AS a, b.vec_id AS b,
                {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cosine_sim
@@ -98,8 +154,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-duplicate pairs (cosine >= 0.4).
 
-    Scale notes: the exact all-pairs form, kept as the ground-truth
-    oracle twin; the 100 TB path is embedding_near_dups_lsh below."""
+    SMALL-SCALE ONLY (tagged): the exact all-pairs O(n^2) form, kept as
+    the ground-truth oracle twin; the 100 TB path is
+    embedding_near_dups_lsh below, which hash-matches this output."""
     emb = load_table(spark, "embeddings", sf_dir)
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))

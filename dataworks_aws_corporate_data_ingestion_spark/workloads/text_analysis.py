@@ -381,6 +381,44 @@ def bm25_search_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bm25_search_appended",
+    tags=("text", "relevance", "search", "inverted-index", "bucketing",
+          "index-maintenance", "topk"),
+    oracle=_bm25_postings_oracle(_BUCKETED_TERMS_SQL),
+)
+def bm25_search_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE certification: build the bucketed index from 90%
+    of the corpus, append the remaining 10% via
+    operators/search.py::append_to_search_index (delta-only postings
+    append under the stored bucket spec + vocabulary-sized df merge +
+    single-row stats update -- the corpus postings are never re-read),
+    then search.  The oracle is the FULL-corpus search: a hash match
+    proves append == rebuild, bit for bit, the same certification shape
+    as near_dup_pairs_indexed.  Daily corpus growth at 100 TB costs a
+    delta-sized write, not an index rebuild."""
+    from ..operators.search import (
+        append_to_search_index,
+        bm25_search,
+        materialize_search_index,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    materialize_search_index(
+        spark, docs.filter(F.col("doc_id") % 10 != 0), "bm25_append_index",
+        n_buckets=8,
+    )
+    append_to_search_index(
+        spark, docs.filter(F.col("doc_id") % 10 == 0), "bm25_append_index"
+    )
+    return bm25_search(
+        spark.table("bm25_append_index_postings"),
+        spark.table("bm25_append_index_dfs"),
+        spark.table("bm25_append_index_stats"),
+        _BUCKETED_TERMS,
+    )
+
+
+@register(
     "bigram_vocabulary",
     tags=("text", "vocabulary", "aggregation", "topk"),
     oracle="""

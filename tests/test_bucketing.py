@@ -137,6 +137,102 @@ class TestBucketedSearchIndex:
         ]
 
 
+class TestSearchIndexAppend:
+    @pytest.fixture()
+    def split_index(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.search import (
+            materialize_search_index,
+        )
+        from dataworks_aws_corporate_data_ingestion_spark.sources.tables import (
+            load_table,
+        )
+
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+        corpus = docs.filter("doc_id % 10 != 0")
+        delta = docs.filter("doc_id % 10 = 0")
+        materialize_search_index(spark, corpus, "t_bm25a", n_buckets=4)
+        yield docs, delta
+        for t in ("t_bm25a_postings", "t_bm25a_dfs", "t_bm25a_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_append_matches_full_rebuild(self, spark, split_index):
+        """Appending a delta must leave the index bit-identical (search
+        results AND stats) to rebuilding from the full corpus -- df/tf
+        accounting, dl sums, and layout all preserved."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.search import (
+            append_to_search_index,
+            bm25_search,
+            build_postings,
+            corpus_stats,
+            term_stats,
+        )
+
+        docs, delta = split_index
+        append_to_search_index(spark, delta, "t_bm25a")
+
+        terms = ["filter", "merge", "sort", "query"]
+        got = bm25_search(
+            spark.table("t_bm25a_postings"),
+            spark.table("t_bm25a_dfs"),
+            spark.table("t_bm25a_stats"),
+            terms,
+        ).collect()
+        full_p = build_postings(docs)
+        want = bm25_search(
+            full_p, term_stats(full_p), corpus_stats(full_p), terms
+        ).collect()
+        assert [(r.doc_id, r.bm25) for r in got] == [
+            (r.doc_id, r.bm25) for r in want
+        ]
+        # stats row matches the full corpus exactly
+        stored = spark.table("t_bm25a_stats").collect()[0]
+        rebuilt = corpus_stats(full_p).collect()[0]
+        assert (stored.n_docs, stored.sum_dl) == (rebuilt.n_docs, rebuilt.sum_dl)
+
+    def test_append_preserves_bucketed_search_plan(self, spark, split_index):
+        """The reason append re-declares the bucket spec: post-append
+        searches must still plan bucketed -- one exchange total (the
+        per-doc fold), term filter pushed to parquet."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.search import (
+            append_to_search_index,
+            bm25_search,
+        )
+
+        _, delta = split_index
+        append_to_search_index(spark, delta, "t_bm25a")
+        plan = (
+            bm25_search(
+                spark.table("t_bm25a_postings"),
+                spark.table("t_bm25a_dfs"),
+                spark.table("t_bm25a_stats"),
+                ["filter", "merge"],
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n_exchanges = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert n_exchanges == 1, plan
+        assert "PushedFilters: [In(term" in plan, plan
+        # layout metadata intact
+        from dataworks_aws_corporate_data_ingestion_spark.operators.search import (
+            _index_bucket_count,
+        )
+
+        assert _index_bucket_count(spark, "t_bm25a") == 4
+
+    def test_append_to_missing_index_fails_loudly(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.search import (
+            append_to_search_index,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "hello world")], "doc_id bigint, text string"
+        )
+        with pytest.raises(ValueError, match="cannot determine bucket count"):
+            append_to_search_index(spark, docs, "t_bm25_missing")
+
+
 class TestMinhashIndex:
     @pytest.fixture()
     def index(self, spark):

@@ -1,12 +1,22 @@
-"""Connected components: star-contraction correctness and round bound."""
+"""Connected components: star-contraction correctness and round bound.
+
+Both execution paths are exercised: the driver union-find fast path
+(default for small edge sets) and the distributed star contraction
+(forced with local_edge_threshold=None)."""
 
 from __future__ import annotations
 
 import random
 
+import pytest
+
 from dataworks_aws_corporate_data_ingestion_spark.operators.graph import (
     connected_components,
     flag_oversize_components,
+)
+
+BOTH_PATHS = pytest.mark.parametrize(
+    "threshold", [2_000_000, None], ids=["local-union-find", "star-contraction"]
 )
 
 
@@ -19,16 +29,27 @@ def _cc(spark, pairs, **kw):
 
 
 class TestConnectedComponents:
-    def test_two_components_and_cycle(self, spark):
+    @BOTH_PATHS
+    def test_two_components_and_cycle(self, spark, threshold):
         # component {1,2,3,4} contains a cycle; {10,11} is separate
-        got = _cc(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (10, 11)])
+        got = _cc(
+            spark,
+            [(1, 2), (2, 3), (3, 1), (3, 4), (10, 11)],
+            local_edge_threshold=threshold,
+        )
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
-    def test_duplicate_and_reversed_edges(self, spark):
-        got = _cc(spark, [(2, 1), (1, 2), (2, 3), (3, 2)])
+    @BOTH_PATHS
+    def test_duplicate_and_reversed_edges(self, spark, threshold):
+        got = _cc(
+            spark,
+            [(2, 1), (1, 2), (2, 3), (3, 2)],
+            local_edge_threshold=threshold,
+        )
         assert got == {1: 1, 2: 1, 3: 1}
 
-    def test_long_chain_converges_in_log_rounds(self, spark):
+    @BOTH_PATHS
+    def test_long_chain_converges_in_log_rounds(self, spark, threshold):
         """A 200-node path is the adversary for min-label propagation
         (O(diameter) rounds); star contraction must finish it within
         max_rounds=10 ~ O(log n).  Shuffled edge order exercises
@@ -36,22 +57,35 @@ class TestConnectedComponents:
         n = 200
         edges = [(i, i + 1) for i in range(1, n)]
         random.Random(3).shuffle(edges)
-        got = _cc(spark, edges, max_rounds=10)
+        got = _cc(spark, edges, max_rounds=10, local_edge_threshold=threshold)
         assert got == {i: 1 for i in range(1, n + 1)}
 
-    def test_component_id_is_graph_minimum(self, spark):
-        got = _cc(spark, [(7, 9), (9, 5), (20, 30)])
+    @BOTH_PATHS
+    def test_component_id_is_graph_minimum(self, spark, threshold):
+        got = _cc(spark, [(7, 9), (9, 5), (20, 30)], local_edge_threshold=threshold)
         assert got == {5: 5, 7: 5, 9: 5, 20: 20, 30: 20}
 
-    def test_pathological_clique_converges_immediately(self, spark):
+    @BOTH_PATHS
+    def test_pathological_clique_converges_immediately(self, spark, threshold):
         """The 'everything similar to everything' adversary: a K30 clique
         must collapse within 3 star rounds (density is the EASY case for
         star contraction -- the guard concern is policy, not compute)."""
         n = 30
         edges = [(i, j) for i in range(1, n + 1) for j in range(i + 1, n + 1)]
         random.Random(7).shuffle(edges)
-        got = _cc(spark, edges, max_rounds=3)
+        got = _cc(spark, edges, max_rounds=3, local_edge_threshold=threshold)
         assert got == {i: 1 for i in range(1, n + 1)}
+
+    def test_paths_agree_on_random_graph(self, spark):
+        """Label-for-label equivalence of the two paths on a random
+        multi-component graph."""
+        rng = random.Random(11)
+        edges = [
+            (rng.randrange(500), rng.randrange(500)) for _ in range(300)
+        ]
+        local = _cc(spark, edges, local_edge_threshold=10**9)
+        dist = _cc(spark, edges, local_edge_threshold=None)
+        assert local == dist
 
 
 class TestOversizeGuard:
