@@ -113,8 +113,15 @@ def run_day(spark: SparkSession, cfg: EngineConfig, date: str) -> int:
             rows.select("val"), f"{spec.output_root}/{date}", compression=spec.compression
         )
     else:
+        # ingest_daily output always carries the crypto/envelope pandas
+        # UDFs: persist across the range-sampler's double execution,
+        # stated explicitly so the writer skips its plan probe
         write_daily(
-            rows, spec.output_root, fmt=spec.sink_format, compression=spec.compression
+            rows,
+            spec.output_root,
+            fmt=spec.sink_format,
+            compression=spec.compression,
+            stabilize=True,
         )
     return int(obs.get["n_quarantined"])
 

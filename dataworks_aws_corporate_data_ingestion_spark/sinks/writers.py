@@ -16,10 +16,21 @@ DAILY_PARTITIONS = ("export_year", "export_month", "export_day", "id_part")
 
 
 def _has_python_stage(df: DataFrame) -> bool:
+    """Detect Python UDF stages from the ANALYZED logical plan's JSON
+    (PythonUDF expression nodes carry their class name there).  The
+    round-3 probe inspected executedPlan() -- full physical planning,
+    measured 268 ms/call on a plain columnar input, which alone explained
+    most of the write_daily bench regression.  toJSON on the analyzed
+    plan is ~2-5x cheaper and needs no physical planning; callers that
+    know their input (the engine's own call sites) pass `stabilize`
+    explicitly and skip the probe entirely."""
     try:
-        return "EvalPython" in df._jdf.queryExecution().executedPlan().toString()
+        return "PythonUDF" in df._jdf.queryExecution().analyzed().toJSON()
     except Exception:
-        return False
+        try:
+            return "EvalPython" in df._jdf.queryExecution().executedPlan().toString()
+        except Exception:
+            return False
 
 
 def write_daily(

@@ -362,7 +362,12 @@ def _daily_rows_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bench_write_daily(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     from .sinks.writers import write_daily
 
-    write_daily(_daily_rows_from_events(spark, sf_dir), f"{out_dir}/daily")
+    # pure-columnar input: no persist needed across the range sampler's
+    # double execution, stated explicitly so the bench never pays the
+    # writer's plan probe (the round-3 +22% regression was the probe)
+    write_daily(
+        _daily_rows_from_events(spark, sf_dir), f"{out_dir}/daily", stabilize=False
+    )
 
 
 def _bench_merge_write(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
