@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from ..functions.vectors import cosine
 
@@ -251,6 +251,166 @@ def ivf_topk(
     )
     return (
         scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 4096,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = _SEED,
+) -> np.ndarray:
+    """Product-quantization codebooks, shape (m, n_codes, dim/m): the
+    vector space splits into m subspaces; each gets an independent
+    k-means codebook over L2-normalised sample vectors.  Same bounded
+    deterministic driver-sample pattern as train_ivf_centroids (smallest
+    md5(id) rows; the corpus is never collected)."""
+    assert dim % m == 0, "dim must divide evenly into m subspaces"
+    sub = dim // m
+    h = F.md5(F.concat(F.lit("pq"), F.col(id_col).cast("string")).cast("binary"))
+    rows = (
+        corpus.select(F.col(vec_col), h.alias("__h"), F.col(id_col))
+        .orderBy("__h", id_col)
+        .limit(sample_size)
+        .select(vec_col)
+        .collect()
+    )
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, sub))
+    for j in range(m):
+        part = mat[:, j * sub : (j + 1) * sub]
+        centers = part[rng.choice(len(part), size=n_codes, replace=False)]
+        for _ in range(iters):
+            d2 = ((part[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                members = part[assign == c]
+                if len(members):
+                    centers[c] = members.mean(axis=0)
+        books[j] = centers
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Assign each (L2-normalised) vector its m nearest-codeword ids --
+    the compressed representation ANN scans instead of raw vectors.  At
+    dim=64/m=8 the code is 8 small ints vs 256 bytes of floats: the 100
+    TB win is bandwidth, the scan reads ~1/30 the bytes."""
+    books = codebooks
+    m, n_codes, sub = books.shape
+
+    @pandas_udf(ArrayType(LongType()))
+    def _encode(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(mat), m), dtype=np.int64)
+        for j in range(m):
+            part = mat[:, j * sub : (j + 1) * sub]
+            d2 = ((part[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, _encode(F.col(vec_col)))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    n_candidates: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate top-k with asymmetric distance computation (ADC)
+    and exact re-rank: corpus vectors are scanned as m-byte codes; each
+    query precomputes an (m x n_codes) inner-product lookup table, so an
+    approximate cosine is m table lookups instead of dim multiplies; the
+    top n_candidates per query by ADC are re-ranked with true cosines.
+
+    Scale notes: the codebooks train on a bounded driver sample and ride
+    UDF closures; the corpus pass reads codes (1/30th the bytes of raw
+    vectors at dim=64/m=8 -- at 100 TB of embeddings the scan IS the
+    cost, so PQ's bandwidth compression is the win IVF/LSH don't give).
+    `queries` is collected to the driver to build the LUTs -- the small
+    side by contract, same as the broadcast in brute_force_topk.
+    Candidate generation never shuffles the corpus: ADC scores + per-query
+    top-n_candidates via window on (qidx), then only ~n_queries *
+    n_candidates rows join back for exact re-rank."""
+    books = train_pq_codebooks(
+        corpus, dim, m=m, n_codes=n_codes, vec_col=vec_col, id_col=id_col
+    )
+    sub = dim // m
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    # luts[j]: (n_codes, n_q) -- dot of each codeword with each query's
+    # j-th subvector; ADC score = sum_j luts[j][code_j]
+    luts = [
+        books[j] @ q_mat[:, j * sub : (j + 1) * sub].T for j in range(m)
+    ]
+    n_q = len(q_ids)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _adc(codes: pd.Series) -> pd.Series:
+        C = np.array(codes.tolist(), dtype=np.int64)
+        s = np.zeros((len(C), n_q))
+        for j in range(m):
+            s += luts[j][C[:, j]]
+        return pd.Series(list(s))
+
+    encoded = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    scored = encoded.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(_adc(F.col("pq_code"))).alias("qidx", "adc"),
+    )
+    w_adc = Window.partitionBy("qidx").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    qmap = corpus.sparkSession.createDataFrame(
+        list(enumerate(q_ids)), f"qidx int, query_id {queries.schema[id_col].dataType.simpleString()}"
+    )
+    cand = (
+        scored.withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= n_candidates)
+        .join(F.broadcast(qmap), "qidx")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    exact = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= k)
         .drop("__rank")
     )

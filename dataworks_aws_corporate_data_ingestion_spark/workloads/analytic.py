@@ -248,27 +248,74 @@ def price_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_percentiles_by_flag",
-    tags=("aggregation", "percentile", "sketch"),
-    oracle=None,  # sketch output is engine-specific by construction
+    tags=("aggregation", "percentile", "sketch", "invariant-oracle"),
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               TRUE AS p50_rank_ok,
+               TRUE AS p90_rank_ok,
+               TRUE AS p99_rank_ok,
+               TRUE AS distinct_ok
+        FROM lineitem GROUP BY l_returnflag
+    """,
 )
 def approx_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB percentile path: approx_percentile's mergeable sketch --
-    map-side partial aggregation, no per-group sort, error bounded by the
-    accuracy parameter (10000 -> ~0.01%).
+    """The 100 TB percentile path -- approx_percentile's mergeable sketch
+    (map-side partial aggregation, no per-group sort) -- registered as its
+    ERROR-BOUND CERTIFICATE, since sketch outputs are engine-specific by
+    construction.  Per flag the claim is integer-exact: the row count is
+    right, each approximate percentile's RANK lies within +/-1% of its
+    target (the sketch guarantees 1/accuracy = 0.01%; the margin covers
+    duplicate-value rank plateaus), and the HLL distinct estimate is
+    within 20% of exact (4x the default 5% rsd).  Any sketch regression
+    flips a boolean and hash-mismatches.  Raw sketch values come from the
+    operator API (F.approx_percentile / approx_count_distinct).
 
-    The sketch returns an array; the registered surface exposes one scalar
-    column per requested percentile (driver-canonicalisable)."""
+    Scale notes: two aggregates over the fact table (sketches, then rank
+    counts against the broadcast 3-row sketch results); both map-side
+    partial, no sort anywhere."""
     l = load_table(spark, "lineitem", sf_dir).select("l_returnflag", "l_extendedprice")
-    agg = l.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)).alias("approx_pcts"),
-        F.approx_count_distinct("l_extendedprice").alias("approx_distinct_prices"),
+    sk = l.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice",
+            F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+            F.lit(10000),
+        ).alias("aps"),
+        F.approx_count_distinct("l_extendedprice").alias("approx_d"),
+        F.count_distinct("l_extendedprice").alias("exact_d"),
     )
-    return agg.select(
+    price = F.col("l_extendedprice")
+    joined = l.join(F.broadcast(sk), "l_returnflag")
+    counts = joined.groupBy("l_returnflag", "approx_d", "exact_d").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            agg_
+            for i in (1, 2, 3)
+            for agg_ in (
+                F.sum(
+                    F.when(price <= F.element_at("aps", i), 1).otherwise(0)
+                ).alias(f"le{i}"),
+                F.sum(
+                    F.when(price < F.element_at("aps", i), 1).otherwise(0)
+                ).alias(f"lt{i}"),
+            )
+        ],
+    )
+    def rank_ok(i: int, pct: int):
+        # integer cross-multiplied: rank window [pct-1, pct+1]% of n
+        return (F.col(f"le{i}") * 100 >= (pct - 1) * F.col("n")) & (
+            F.col(f"lt{i}") * 100 <= (pct + 1) * F.col("n")
+        )
+
+    return counts.select(
         "l_returnflag",
-        F.element_at("approx_pcts", 1).alias("ap50"),
-        F.element_at("approx_pcts", 2).alias("ap90"),
-        F.element_at("approx_pcts", 3).alias("ap99"),
-        "approx_distinct_prices",
+        F.col("n").cast("bigint").alias("n"),
+        rank_ok(1, 50).alias("p50_rank_ok"),
+        rank_ok(2, 90).alias("p90_rank_ok"),
+        rank_ok(3, 99).alias("p99_rank_ok"),
+        (
+            F.abs(F.col("approx_d") - F.col("exact_d")) * 5 <= F.col("exact_d")
+        ).alias("distinct_ok"),
     )
 
 

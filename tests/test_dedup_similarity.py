@@ -71,6 +71,38 @@ class TestAnnLsh:
         assert recall >= 0.85, f"LSH recall too low: {recall}"
 
 
+class TestAnnPq:
+    def test_recall_against_brute_force(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.similarity import pq_topk
+
+        emb = load_table(spark, "embeddings", SF)
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = brute_force_topk(emb, queries, k=5)
+        approx = pq_topk(emb, queries, dim=64, k=5, n_candidates=256)
+        exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        recall = len(exact_set & approx_set) / len(exact_set)
+        # isotropic corpus is PQ's worst case (measured 0.88-0.94 across
+        # SFs at 256 candidates); 0.7 pins sane behavior
+        assert recall >= 0.7, f"PQ recall too low: {recall}"
+
+    def test_codes_and_codebooks_deterministic(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.similarity import (
+            pq_encode,
+            train_pq_codebooks,
+        )
+
+        emb = load_table(spark, "embeddings", SF)
+        b1 = train_pq_codebooks(emb, dim=64)
+        b2 = train_pq_codebooks(emb, dim=64)
+        assert (b1 == b2).all()
+        c1 = {r.vec_id: list(r.pq_code) for r in pq_encode(emb, b1).collect()}
+        c2 = {r.vec_id: list(r.pq_code) for r in pq_encode(emb, b2).collect()}
+        assert c1 == c2
+        assert all(len(v) == 8 for v in c1.values())
+        assert all(0 <= code < 16 for v in c1.values() for code in v)
+
+
 class TestExactDedupByHash:
     def test_keeps_lowest_id_per_content(self, spark):
         df = spark.createDataFrame(
