@@ -67,6 +67,53 @@ def stratified_sample(
     return df.filter(_hash_prefix(key_col, salt) < threshold)
 
 
+def token_budget_mixture(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int,
+    key: str = "doc_id",
+    stratum: str = "source",
+    tokens_col: str = "n_tokens",
+    salt: str = "mix",
+) -> DataFrame:
+    """Data mixing: sample each source down to a TOKEN budget -- the
+    mixture-weighting step of training-corpus assembly ("this much web,
+    this much code"), expressed as deterministic per-row sampling whose
+    RATE is computed from the data.
+
+    Per stratum: rate = budget_tokens / total_tokens (capped at 1),
+    materialised as an integer threshold (budget * 65536) div total over
+    the md5 bucket space -- ALL integer arithmetic on exact bigint token
+    sums, so any engine recomputes the identical kept set (the
+
+    threshold's hex form compares against the row's md5 prefix exactly
+    like deterministic_sample).  Over-budget sources shrink, under-budget
+    sources pass through whole.
+
+    Scale notes: one per-stratum aggregate (tiny result, broadcast
+    back), then a per-row hash filter in the scan stage -- no
+    corpus-sized shuffle, no per-source passes.  Expected kept tokens
+    per source = budget +/- sampling noise; exact budgets need a
+    per-source pack/truncate pass downstream."""
+    totals = docs.groupBy(stratum).agg(
+        F.sum(F.col(tokens_col)).cast("bigint").alias("__toks")
+    )
+    budget: Column = F.lit(default_budget).cast("bigint")
+    for value, b in sorted(budgets.items()):
+        budget = F.when(
+            F.col(stratum) == F.lit(value), F.lit(b).cast("bigint")
+        ).otherwise(budget)
+    rates = totals.withColumn("__budget", budget).withColumn(
+        "__thr", F.expr("(__budget * 65536) div __toks")
+    )
+    joined = docs.join(F.broadcast(rates.select(stratum, "__thr")), stratum)
+    keep = (F.col("__thr") >= F.lit(65536)) | (
+        _hash_prefix(F.col(key) if isinstance(key, str) else key, salt)
+        < F.lpad(F.lower(F.hex(F.col("__thr"))), 4, "0")
+    )
+    return joined.filter(keep).drop("__thr")
+
+
 def assign_split(
     df: DataFrame,
     key: str | Column,

@@ -127,6 +127,51 @@ def packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_budget_mixture",
+    tags=("sampling", "mixture", "training-data", "tokens"),
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ), totals AS (
+            SELECT source, SUM(n_tokens) AS toks FROM d GROUP BY source
+        ), rates AS (
+            SELECT source,
+                   (CAST(CASE source
+                        WHEN 'src0' THEN 2000
+                        WHEN 'src1' THEN 800
+                        ELSE 500
+                    END AS BIGINT) * 65536) // toks AS thr
+            FROM totals
+        )
+        SELECT d.doc_id, d.source, d.n_tokens
+        FROM d JOIN rates r ON r.source = d.source
+        WHERE r.thr >= 65536
+           OR substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+              < lpad(lower(to_hex(r.thr)), 4, '0')
+    """,
+)
+def token_budget_mixture_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weighting by token budget (operators/sampling.py::
+    token_budget_mixture): src0 targets 2000 tokens (whole at small SFs, sampled at
+    sf0.1), src1 800, every other source 500 -- both the pass-through
+    and sampled branches are exercised at every SF.  The per-source sampling rate derives from exact bigint
+    token totals via integer division into the md5 bucket space, so the
+    oracle recomputes the identical kept set -- the whole mixing decision
+    is cross-engine auditable, not a black-box sampler."""
+    from ..operators.sampling import token_budget_mixture
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return token_budget_mixture(
+        d, budgets={"src0": 2000, "src1": 800}, default_budget=500
+    ).select("doc_id", "source", "n_tokens")
+
+
+@register(
     "documents_stratified_sample",
     tags=("sampling", "stratified", "training-data"),
     oracle="""

@@ -142,3 +142,53 @@ class TestSampling:
             ).collect()
         }
         assert strat == flat
+
+
+class TestTokenBudgetMixture:
+    def _docs(self, spark):
+        rows = [
+            (i, "src0" if i % 3 == 0 else "srcX", 10 + (i % 5))
+            for i in range(300)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id bigint, source string, n_tokens bigint"
+        )
+
+    def test_rates_derive_from_budgets(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.sampling import (
+            token_budget_mixture,
+        )
+
+        d = self._docs(spark)
+        totals = {
+            r["source"]: r["t"]
+            for r in d.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+        }
+        # src0 budget >= its total -> passes through whole;
+        # srcX sampled at ~budget/total
+        kept = token_budget_mixture(
+            d, budgets={"src0": totals["src0"]}, default_budget=totals["srcX"] // 4
+        )
+        by_src = {
+            r["source"]: (r["n"], r["toks"])
+            for r in kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("toks"))
+            .collect()
+        }
+        assert by_src["src0"][0] == 100  # every src0 doc kept
+        # sampled source: kept tokens within sampling noise of the budget
+        budget = totals["srcX"] // 4
+        assert 0.4 * budget <= by_src["srcX"][1] <= 1.8 * budget
+
+    def test_deterministic_and_subset(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.sampling import (
+            token_budget_mixture,
+        )
+
+        d = self._docs(spark)
+        a = {r["doc_id"] for r in token_budget_mixture(d, {}, 300).collect()}
+        b = {r["doc_id"] for r in token_budget_mixture(d, {}, 300).collect()}
+        assert a == b and 0 < len(a) < 300
+        # raising the budget only ADDS docs (thresholds are monotone)
+        bigger = {r["doc_id"] for r in token_budget_mixture(d, {}, 600).collect()}
+        assert a <= bigger
