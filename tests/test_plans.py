@@ -313,6 +313,32 @@ class TestUpdateLifecycle:
         assert all("export_day=3" in f for f in files)
         assert pruned.count() == 5
 
+    def test_cli_main_runs_update_phase(self, spark, tmp_path):
+        """The spark-submit surface end-to-end: runner main() with the
+        reference's conditional-phase flags (steps/corporate_data_ingestion.py:64-71)
+        lands dailies, merges, publishes, and records the export."""
+        self._land(tmp_path, "2023-05-01", 6, seed=9)
+        rc = runner_main(
+            [
+                "--collection", "calculator:calculationParts",
+                "--source-root", str(tmp_path / "landing"),
+                "--output-root", str(tmp_path / "daily"),
+                "--start-date", "2023-05-01",
+                "--end-date", "2023-05-01",
+                "--state-path", str(tmp_path / "state.jsonl"),
+                "--exports-root", str(tmp_path / "exports"),
+                "--force-collection-update",
+                "--hive-table", "t_cli_pub=amount INT",
+            ]
+        )
+        assert rc == 0
+        latest = LocalStateStore(str(tmp_path / "state.jsonl")).latest_completed_export(
+            "CDI-calculator:calculationParts"
+        )
+        assert latest.export_prefix == str(tmp_path / "exports" / "2023-05-01")
+        assert spark.read.parquet(latest.export_prefix).count() == 6
+        assert spark.table("t_cli_pub").count() == 6
+
     def test_export_only_phase_requires_an_export(self, spark, tmp_path):
         self._land(tmp_path, "2023-05-01", 4, seed=5)
         cfg = self._cfg(
