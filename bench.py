@@ -48,6 +48,10 @@ from dataworks_aws_corporate_data_ingestion_spark.workload import (
 # addresses, temp output dirs, and statistics annotations
 _PLAN_NOISE = [
     (re.compile(r"#\d+"), "#x"),
+    # higher-order-function lambda variables carry a session-global
+    # counter in their NAME (lambda x_1 / lambda y_10 vs x_15 / y_24),
+    # not just the expr id
+    (re.compile(r"(lambda [A-Za-z]+_)\d+"), r"\1N"),
     (re.compile(r"\b(plan_id|id)=\d+"), r"\1=x"),
     (re.compile(r"\[codegen id : \d+\]"), "[codegen id : x]"),
     (re.compile(r"@[0-9a-f]{6,}"), "@x"),
@@ -58,9 +62,34 @@ _PLAN_NOISE = [
 
 
 def plan_sha(df) -> str | None:
-    """16-hex-char fingerprint of the normalised initial physical plan."""
+    """16-hex-char fingerprint of the normalised initial physical plan.
+
+    Truncation is disabled while rendering: FileScan metadata lines cut
+    at a fixed WIDTH, and expression-id digit widths (#4 vs #103 --
+    session-history-dependent) shift the cut point, so two identical
+    plans could hash differently after #x normalisation depending on
+    what ran earlier in the session (diagnosed round 4: 10 of 21 shas
+    drifted between bench contexts).  With full metadata rendered, the
+    normalised string -- and the sha -- is context-free."""
     try:
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        conf = df.sparkSession.conf
+        saved = {
+            k: conf.get(k, None)
+            for k in (
+                "spark.sql.maxMetadataStringLength",
+                "spark.sql.debug.maxToStringFields",
+            )
+        }
+        conf.set("spark.sql.maxMetadataStringLength", "100000")
+        conf.set("spark.sql.debug.maxToStringFields", "10000")
+        try:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, v)
     except Exception:
         return None
     for pat, rep in _PLAN_NOISE:

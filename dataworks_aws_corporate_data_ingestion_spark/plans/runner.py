@@ -272,6 +272,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--force-collection-update", action="store_true")
     p.add_argument("--force-export-to-hive", action="store_true")
     p.add_argument("--exports-root", default="")
+    # real deployments decrypt against a remote key service (reference
+    # steps/dks.py); absent the flag, IdentityKeyService (test/local mode)
+    p.add_argument(
+        "--dks-url",
+        default="",
+        help="decrypt endpoint of a remote key service; empty = identity"
+        " key service (encryptedEncryptionKey IS the data key)",
+    )
     p.add_argument(
         "--hive-table",
         action="append",
@@ -300,12 +308,21 @@ def main(argv: list[str] | None = None) -> int:
         exports_root=args.exports_root,
         hive_tables=tables,
     )
+    if args.dks_url:
+        from ..functions.crypto import HttpKeyService
+
+        key_service: KeyService = HttpKeyService(
+            args.dks_url, correlation_id=args.correlation_id
+        )
+    else:
+        key_service = IdentityKeyService()
     cfg = EngineConfig(
         correlation_id=args.correlation_id,
         start_date=args.start_date,
         end_date=args.end_date,
         collection=spec,
         state_path=args.state_path,
+        key_service=key_service,
         force_collection_update=args.force_collection_update,
         force_export_to_hive=args.force_export_to_hive,
     )
