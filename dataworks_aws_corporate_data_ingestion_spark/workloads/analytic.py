@@ -514,3 +514,51 @@ def sessionization_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+def _zorder_oracle() -> str:
+    """DuckDB twin of operators/zorder.zvalue at bits=10 over
+    (user_id, value-bucket): generated bit-interleave expression."""
+    terms = " | ".join(
+        f"((({c} >> {b}) & 1) << {b * 2 + i})"
+        for b in range(10)
+        for i, c in enumerate(("zx", "zv"))
+    )
+    return f"""
+        WITH z AS (
+            SELECT event_id,
+                   GREATEST(0, LEAST(CAST(user_id AS BIGINT), 1023)) AS zx,
+                   GREATEST(0, LEAST(CAST(FLOOR(value) AS BIGINT), 1023)) AS zv
+            FROM events
+        )
+        SELECT event_id, CAST({terms} AS BIGINT) AS zval FROM z
+    """
+
+
+@register(
+    "zorder_cells",
+    tags=("layout", "zorder", "pruning"),
+    oracle=_zorder_oracle(),
+)
+def zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values over (user_id, value-bucket) -- the multi-dim
+    clustering key behind operators/zorder.write_zordered (files written
+    in z order carry tight min/max on EVERY interleaved column, so range
+    predicates on any of them prune files/row-groups; see
+    tests/test_zorder.py for the measured bounding-box shrink).  The
+    z-value itself is pure integer bit math, oracle-checked bit for bit.
+
+    Scale notes: a per-row projection inside the scan stage -- the
+    shift/and/or chain is one codegen expression, no shuffle, no
+    Python."""
+    from ..operators.zorder import zvalue
+
+    e = load_table(spark, "events", sf_dir)
+    return e.select(
+        "event_id",
+        zvalue(
+            # explicit floor: Spark CAST(double AS bigint) truncates while
+            # DuckDB rounds -- floor first makes both exact
+            [F.col("user_id"), F.floor("value").cast("bigint")], bits=10
+        ).alias("zval"),
+    )

@@ -616,3 +616,65 @@ def token_count_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.token_count(F.col("text")).alias("ws_tokens"),
         T.bpe_token_count(F.col("text")).alias("bpe_ish_tokens"),
     )
+
+
+@register(
+    "oov_token_stats",
+    tags=("text", "vocabulary", "quality", "training-data"),
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ), vocab AS (
+            SELECT token FROM (
+                SELECT token, COUNT(*) AS freq
+                FROM tok GROUP BY token
+                ORDER BY freq DESC, token ASC
+                LIMIT 1000
+            )
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (WHERE v.token IS NULL) AS BIGINT)
+                   AS n_oov,
+               CAST(COUNT(*) FILTER (WHERE v.token IS NULL) AS DOUBLE)
+                   / COUNT(*) AS oov_ratio
+        FROM tok t LEFT JOIN vocab v ON v.token = t.token
+        GROUP BY t.doc_id
+    """,
+)
+def oov_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-familiarity quality signal: per document, the count and
+    share of tokens OUTSIDE the corpus's own top-1000 vocabulary (freq
+    desc, token asc tiebreak).  High out-of-vocabulary share flags
+    gibberish, boilerplate encodings, and wrong-language residue -- the
+    integer-exact stand-in for perplexity scoring (log-prob models are
+    not cross-engine bit-stable; rare-token share is, and correlates).
+
+    Scale notes: two map-side-combined aggregates over the exploded
+    tokens (vocab build, per-doc counts) and a BROADCAST of the 1000-row
+    vocabulary into the per-token membership test -- the corpus-sized
+    shuffle is the per-doc count keyed by doc_id, rows ~ distinct (doc,
+    token) after partial aggregation.  The vocab top-k plans as
+    TakeOrderedAndProject, never a global sort."""
+    tok = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(1000)
+        .select("token", F.lit(True).alias("__in_vocab"))
+    )
+    joined = tok.join(F.broadcast(vocab), "token", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.count(F.when(F.col("__in_vocab").isNull(), 1))
+        .cast("bigint")
+        .alias("n_oov"),
+        (
+            F.count(F.when(F.col("__in_vocab").isNull(), 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("oov_ratio"),
+    )
