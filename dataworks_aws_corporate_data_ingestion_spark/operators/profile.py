@@ -1,0 +1,49 @@
+"""Column profiling: per-column null/distinct/min/max stats in one pass.
+
+The ANALYZE-style data-quality report every ingestion pipeline runs
+before trusting a new batch: row count, null count, exact distinct
+count, and min/max per column, emitted as one ROW PER COLUMN so the
+report is joinable/diffable against yesterday's.
+
+Scale notes: one aggregate pass over the input produces a single wide
+row (Catalyst plans the multiple COUNT DISTINCTs via Expand -- input
+rows duplicate x columns before the partial aggregate, so profile the
+columns you need, not *).  The wide row unpivots to the per-column
+report via stack() -- driver never sees data, only the final
+n_columns-row frame.  At 100 TB swap exact count_distinct for
+approx_count_distinct per column; exact is kept here because it is the
+cross-engine-checkable form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)
+    per requested column; min/max rendered as strings so one report
+    schema covers every column type."""
+    wide = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count(c).alias(f"nn_{c}") for c in cols],
+        *[F.count_distinct(c).alias(f"nd_{c}") for c in cols],
+        *[F.min(c).cast("string").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("string").alias(f"mx_{c}") for c in cols],
+    )
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args})"
+        " AS (column_name, __nn, n_distinct, min_value, max_value)",
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        (F.col("n_rows") - F.col("__nn")).cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )

@@ -202,3 +202,37 @@ def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         fractions={"src0": 0xE000, "src1": 0x8000},
         default_num=0x4000,
     )
+
+
+def _profile_oracle() -> str:
+    return " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM documents
+        """
+        for c in ("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@register(
+    "profile_documents",
+    tags=("profiling", "data-quality", "aggregation"),
+    oracle=_profile_oracle(),
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the documents table
+    (operators/profile.py): one pass, one row per column with
+    null/exact-distinct/min/max -- the report an ingestion gate diffs
+    against yesterday's batch to catch schema/content drift before it
+    reaches training."""
+    from ..operators.profile import profile_columns
+
+    return profile_columns(
+        load_table(spark, "documents", sf_dir),
+        ["doc_id", "lang", "source", "n_chars"],
+    )

@@ -192,3 +192,26 @@ class TestTokenBudgetMixture:
         # raising the budget only ADDS docs (thresholds are monotone)
         bigger = {r["doc_id"] for r in token_budget_mixture(d, {}, 600).collect()}
         assert a <= bigger
+
+
+class TestProfileColumns:
+    def test_nulls_distincts_minmax(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.profile import (
+            profile_columns,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "b"), (4, "a")], "k long, s string"
+        )
+        got = {
+            r["column_name"]: r.asDict()
+            for r in profile_columns(df, ["k", "s"]).collect()
+        }
+        assert got["k"] == {
+            "column_name": "k", "n_rows": 4, "n_nulls": 0, "n_distinct": 4,
+            "min_value": "1", "max_value": "4",
+        }
+        assert got["s"] == {
+            "column_name": "s", "n_rows": 4, "n_nulls": 1, "n_distinct": 2,
+            "min_value": "a", "max_value": "b",
+        }
