@@ -416,6 +416,155 @@ def pq_topk(
     )
 
 
+def materialize_pq_index(
+    spark,
+    corpus: DataFrame,
+    prefix: str,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the PQ index as catalog tables: `{prefix}_codes`
+    (vec_id, pq_code -- the m-byte scan side) and `{prefix}_codebooks`
+    (subspace, code, centroid array -- kilobytes), with (dim, m,
+    n_codes) pinned as table properties so the query/append paths can
+    never mix parameters (the minhash-index lesson).  The corpus-sized
+    encode pass is paid once; daily growth appends codes only."""
+    books = train_pq_codebooks(
+        corpus, dim, m=m, n_codes=n_codes, vec_col=vec_col, id_col=id_col
+    )
+    from ..sinks.bucketing import _clear_orphan_location
+
+    rows = [
+        (j, c, [float(v) for v in books[j, c]])
+        for j in range(m)
+        for c in range(n_codes)
+    ]
+    _clear_orphan_location(spark, f"{prefix}_codebooks")
+    spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    ).write.mode("overwrite").saveAsTable(f"{prefix}_codebooks")
+    _clear_orphan_location(spark, f"{prefix}_codes")
+    pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col), "pq_code"
+    ).write.mode("overwrite").saveAsTable(f"{prefix}_codes")
+    spark.sql(
+        f"ALTER TABLE {prefix}_codes SET TBLPROPERTIES ("
+        f"'pq.dim'='{dim}', 'pq.m'='{m}', 'pq.n_codes'='{n_codes}')"
+    )
+
+
+def _pq_index_params(spark, prefix: str) -> tuple[int, int, int]:
+    try:
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {prefix}_codes").collect()
+        }
+        return int(props["pq.dim"]), int(props["pq.m"]), int(props["pq.n_codes"])
+    except Exception as exc:
+        raise ValueError(
+            f"cannot read PQ parameters for {prefix}_codes; rebuild with"
+            " materialize_pq_index"
+        ) from exc
+
+
+def _load_codebooks(spark, prefix: str, m: int, n_codes: int, sub: int) -> np.ndarray:
+    books = np.empty((m, n_codes, sub))
+    for r in spark.table(f"{prefix}_codebooks").collect():
+        books[r["subspace"], r["code"]] = r["centroid"]
+    return books
+
+
+def append_to_pq_index(
+    spark,
+    new_vectors: DataFrame,
+    prefix: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Admit new vectors: encode with the STORED codebooks (no
+    retraining -- codebooks are a model, appends must not shift existing
+    codes) and append the code rows.  Cost scales with the delta."""
+    dim, m, n_codes = _pq_index_params(spark, prefix)
+    books = _load_codebooks(spark, prefix, m, n_codes, dim // m)
+    pq_encode(new_vectors, books, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col), "pq_code"
+    ).write.mode("append").saveAsTable(f"{prefix}_codes")
+
+
+def pq_topk_indexed(
+    spark,
+    corpus: DataFrame,
+    queries: DataFrame,
+    prefix: str,
+    k: int = 5,
+    n_candidates: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """pq_topk against the materialised index: the ADC scan reads the
+    stored m-byte codes (never re-encoding the corpus); `corpus` supplies
+    raw vectors ONLY for the exact re-rank of ~n_queries x n_candidates
+    survivors.  Output matches pq_topk over the same codebooks."""
+    dim, m, n_codes = _pq_index_params(spark, prefix)
+    sub = dim // m
+    books = _load_codebooks(spark, prefix, m, n_codes, sub)
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    luts = [books[j] @ q_mat[:, j * sub : (j + 1) * sub].T for j in range(m)]
+    n_q = len(q_ids)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _adc(codes: pd.Series) -> pd.Series:
+        C = np.array(codes.tolist(), dtype=np.int64)
+        s = np.zeros((len(C), n_q))
+        for j in range(m):
+            s += luts[j][C[:, j]]
+        return pd.Series(list(s))
+
+    scored = spark.table(f"{prefix}_codes").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(_adc(F.col("pq_code"))).alias("qidx", "adc"),
+    )
+    w_adc = Window.partitionBy("qidx").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    qmap = spark.createDataFrame(
+        list(enumerate(q_ids)),
+        f"qidx int, query_id {queries.schema[id_col].dataType.simpleString()}",
+    )
+    cand = (
+        scored.withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= n_candidates)
+        .join(F.broadcast(qmap), "qidx")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    exact = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

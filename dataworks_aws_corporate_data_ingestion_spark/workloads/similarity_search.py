@@ -165,6 +165,42 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_pq_indexed",
+    tags=("similarity", "pq", "approximate", "recall-certificate",
+          "index-maintenance"),
+    oracle=_RECALL_ORACLE,
+)
+def ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN in steady state: codebooks + m-byte codes live as catalog
+    tables (materialize_pq_index; parameters pinned as TBLPROPERTIES),
+    the ADC scan reads stored codes -- the corpus is never re-encoded --
+    and new vectors enter by append under the STORED codebooks
+    (append_to_pq_index; appending must not shift existing codes).  Here
+    the index is built from 90% of the corpus and the remaining 10%
+    appended before querying, so the registration certifies build +
+    append + query together under the same recall bound as ann_pq_topk
+    -- the third index family (minhash, BM25, PQ) with the same
+    delta-only maintenance story."""
+    from ..operators.similarity import (
+        append_to_pq_index,
+        materialize_pq_index,
+        pq_topk_indexed,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    materialize_pq_index(
+        spark, emb.filter(F.col("vec_id") % 10 != 0), "pq_index", dim=64
+    )
+    append_to_pq_index(spark, emb.filter(F.col("vec_id") % 10 == 0), "pq_index")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return _recall_certificate(
+        brute_force_topk(emb, queries, k=5),
+        pq_topk_indexed(spark, emb, queries, "pq_index", k=5, n_candidates=256),
+        recall_pct=70,
+    )
+
+
+@register(
     "embedding_cosine_near_dups",
     tags=("dedup", "vectors", "small-scale-only", "ground-truth-twin"),
     oracle=f"""

@@ -7,6 +7,8 @@ from __future__ import annotations
 import hashlib
 import struct
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from dataworks_aws_corporate_data_ingestion_spark.operators.dedup import (
@@ -293,3 +295,72 @@ class TestContamination:
         assert got[2][:3] == (0, 2, 0) and got[2][3] == "call [PHONE] or [PHONE] now"
         assert got[3][:3] == (0, 1, 1) and got[3][3] == "ssn [SSN]. phone [PHONE]."
         assert got[4] == (0, 0, 0, "no pii here at all")
+
+
+class TestPqIndex:
+    def test_indexed_matches_inflight(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.similarity import (
+            materialize_pq_index,
+            pq_topk,
+            pq_topk_indexed,
+        )
+
+        emb = load_table(spark, "embeddings", SF)
+        queries = emb.filter(F.col("vec_id") < 10)
+        try:
+            materialize_pq_index(spark, emb, "t_pq", dim=64)
+            got = sorted(
+                (r.query_id, r.neighbor_id, round(r.cosine_sim, 12))
+                for r in pq_topk_indexed(
+                    spark, emb, queries, "t_pq", k=5, n_candidates=64
+                ).collect()
+            )
+            want = sorted(
+                (r.query_id, r.neighbor_id, round(r.cosine_sim, 12))
+                for r in pq_topk(emb, queries, dim=64, k=5, n_candidates=64).collect()
+            )
+            assert got == want  # same deterministic codebooks -> same result
+        finally:
+            for t in ("t_pq_codes", "t_pq_codebooks"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_append_uses_stored_codebooks(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.similarity import (
+            append_to_pq_index,
+            materialize_pq_index,
+            pq_encode,
+            train_pq_codebooks,
+        )
+
+        emb = load_table(spark, "embeddings", SF)
+        corpus = emb.filter("vec_id % 10 != 0")
+        delta = emb.filter("vec_id % 10 = 0")
+        try:
+            materialize_pq_index(spark, corpus, "t_pq2", dim=64)
+            append_to_pq_index(spark, delta, "t_pq2")
+            stored = {
+                r.vec_id: list(r.pq_code)
+                for r in spark.table("t_pq2_codes").collect()
+            }
+            assert len(stored) == emb.count()  # every id admitted once
+            # appended codes must come from the CORPUS-trained books, not
+            # a retrain over the delta
+            books = train_pq_codebooks(corpus, dim=64)
+            want = {
+                r.vec_id: list(r.pq_code)
+                for r in pq_encode(delta, books).collect()
+            }
+            for vid, code in want.items():
+                assert stored[vid] == code
+        finally:
+            for t in ("t_pq2_codes", "t_pq2_codebooks"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_missing_index_fails_loudly(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.similarity import (
+            append_to_pq_index,
+        )
+
+        emb = load_table(spark, "embeddings", SF)
+        with pytest.raises(ValueError, match="cannot read PQ parameters"):
+            append_to_pq_index(spark, emb, "t_pq_missing")
