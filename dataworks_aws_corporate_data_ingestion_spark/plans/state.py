@@ -76,7 +76,11 @@ class LocalStateStore:
         ]
         if not candidates:
             return None
-        return max(candidates, key=lambda e: e.date)
+        # updated_at tie-break: a stream batch and a weekly merge can both
+        # export on the same DATE (streaming/merge.py handoff); the newer
+        # put is the newer snapshot.  The reference never hits this (one
+        # weekly export per date) so its scan orders by Date alone.
+        return max(candidates, key=lambda e: (e.date, e.updated_at))
 
     def entries(self, data_product: str | None = None) -> list[JobStatus]:
         out = self._entries()

@@ -480,3 +480,173 @@ class TestDedupAdmission:
         finally:
             for t in ("t_adm2_shingles", "t_adm2_buckets"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class TestStreamingBatchHandoff:
+    """Stream and weekly batch merge sharing one export lineage through the
+    state store (streaming/merge.py handoff <-> plans/runner.py run_update)."""
+
+    PRODUCT = "CDI-calculator:calculationParts"
+
+    def _rows(self, spark, *triples):
+        return spark.createDataFrame(
+            [(i, t, v, i[:2]) for i, t, v in triples],
+            "id string, db_type string, val string, id_part string",
+        )
+
+    def _run_stream(self, spark, tmp_path):
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.merge import (
+            streaming_handoff_query,
+        )
+
+        q = streaming_handoff_query(
+            spark,
+            str(tmp_path / "deltas"),
+            str(tmp_path / "ckpt"),
+            state_path=str(tmp_path / "state.jsonl"),
+            collection="calculator:calculationParts",
+            exports_root=str(tmp_path / "exports"),
+            as_of="2023-06-01",
+        )
+        q.awaitTermination(120)
+
+    def test_stream_batches_chain_through_state_store(self, spark, tmp_path):
+        from dataworks_aws_corporate_data_ingestion_spark.plans.state import (
+            LocalStateStore,
+        )
+
+        (tmp_path / "deltas").mkdir()
+        self._rows(
+            spark, ("aa1", "INSERT", "v1"), ("bb2", "INSERT", "v2")
+        ).write.mode("append").parquet(str(tmp_path / "deltas"))
+        self._run_stream(spark, tmp_path)
+
+        self._rows(
+            spark, ("aa1", "DELETE", "v1"), ("cc3", "INSERT", "v3")
+        ).write.mode("append").parquet(str(tmp_path / "deltas"))
+        self._run_stream(spark, tmp_path)
+
+        store = LocalStateStore(str(tmp_path / "state.jsonl"))
+        latest = store.latest_completed_export(self.PRODUCT)
+        assert latest is not None and latest.export_prefix.endswith(
+            "2023-06-01.b000001"
+        )
+        snap = {
+            r["id"]: r["db_type"]
+            for r in spark.read.parquet(latest.export_prefix).collect()
+        }
+        assert snap == {"aa1": "DELETE", "bb2": "INSERT", "cc3": "INSERT"}
+
+    def test_batch_run_update_builds_on_stream_export(self, spark, tmp_path):
+        from dataworks_aws_corporate_data_ingestion_spark.plans.runner import (
+            CollectionSpec,
+            EngineConfig,
+            run_update,
+        )
+        from dataworks_aws_corporate_data_ingestion_spark.plans.state import (
+            LocalStateStore,
+        )
+        from dataworks_aws_corporate_data_ingestion_spark.sinks.writers import (
+            write_daily,
+        )
+
+        (tmp_path / "deltas").mkdir()
+        self._rows(
+            spark, ("aa1", "INSERT", "v1"), ("bb2", "INSERT", "v2")
+        ).write.mode("append").parquet(str(tmp_path / "deltas"))
+        self._run_stream(spark, tmp_path)
+
+        # a daily lands AFTER the stream's as_of date, then the weekly merge.
+        # bb2 arrives as a DELETE: deterministic winner over the snapshot's
+        # INSERT (INSERT-vs-INSERT ties are reference-tolerated nondeterminism)
+        daily = self._rows(
+            spark, ("bb2", "DELETE", "v9"), ("dd4", "INSERT", "v4")
+        ).select(
+            "*",
+            F.lit(2023).alias("export_year"),
+            F.lit(6).alias("export_month"),
+            F.lit(2).alias("export_day"),
+        ).select(
+            "id", "db_type", "val", "export_year", "export_month",
+            "export_day", "id_part",
+        )
+        write_daily(
+            daily,
+            str(tmp_path / "daily"),
+            fmt="parquet",
+            compression="snappy",
+            stabilize=False,
+        )
+
+        cfg = EngineConfig(
+            correlation_id="weekly",
+            start_date="2023-06-02",
+            end_date="2023-06-02",
+            collection=CollectionSpec(
+                name="calculator:calculationParts",
+                source_root=str(tmp_path / "landing"),
+                output_root=str(tmp_path / "daily"),
+                exports_root=str(tmp_path / "exports"),
+            ),
+            state_path=str(tmp_path / "state.jsonl"),
+        )
+        new_prefix = run_update(spark, cfg, as_of="2023-06-02")
+        assert new_prefix == str(tmp_path / "exports") + "/2023-06-02"
+        snap = {
+            r["id"]: (r["db_type"], r["val"])
+            for r in spark.read.parquet(new_prefix).collect()
+        }
+        # stream-era keys survive; the daily's tombstone and new key land
+        assert snap == {
+            "aa1": ("INSERT", "v1"),
+            "bb2": ("DELETE", "v9"),
+            "dd4": ("INSERT", "v4"),
+        }
+        # and a FRESH stream bootstraps from the weekly export in turn
+        latest = LocalStateStore(str(tmp_path / "state.jsonl")).latest_completed_export(
+            self.PRODUCT
+        )
+        assert latest.export_prefix == new_prefix
+
+    def test_replay_is_noop_and_failure_keeps_pointer(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import dataworks_aws_corporate_data_ingestion_spark.streaming.merge as sm
+        from dataworks_aws_corporate_data_ingestion_spark.plans.state import (
+            LocalStateStore,
+        )
+
+        state = str(tmp_path / "state.jsonl")
+        kw = dict(
+            state_path=state,
+            collection="calculator:calculationParts",
+            exports_root=str(tmp_path / "exports"),
+            as_of="2023-06-01",
+        )
+        b0 = self._rows(spark, ("aa1", "INSERT", "v1"))
+        p0 = sm.apply_handoff_batch(spark, b0, 0, **kw)
+        store = LocalStateStore(state)
+        n_lines = len(open(state).readlines())
+
+        # replay of the same (batch_id, as_of): no merge, no state churn
+        assert sm.apply_handoff_batch(spark, b0, 0, **kw) == p0
+        assert len(open(state).readlines()) == n_lines
+
+        # a failing batch must NOT clobber the last COMPLETED pointer
+        def _boom(*a, **k):
+            raise RuntimeError("disk full")
+
+        monkeypatch.setattr(sm, "write_snapshot", _boom)
+        b1 = self._rows(spark, ("bb2", "INSERT", "v2"))
+        try:
+            sm.apply_handoff_batch(spark, b1, 1, **kw)
+            raise AssertionError("expected failure")
+        except RuntimeError:
+            pass
+        monkeypatch.undo()
+        assert store.latest_completed_export(self.PRODUCT).export_prefix == p0
+
+        # the retry lands batch 1 on top of batch 0
+        p1 = sm.apply_handoff_batch(spark, b1, 1, **kw)
+        snap = {r["id"] for r in spark.read.parquet(p1).collect()}
+        assert snap == {"aa1", "bb2"}

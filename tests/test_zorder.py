@@ -71,3 +71,95 @@ class TestZOrderedLayout:
         assert avg_span(zpath, "y") < side / 2
         assert avg_span(lpath, "y") > side * 0.8
         assert avg_span(zpath, "y") < avg_span(lpath, "y") / 2
+
+
+class TestFlatDailyZOrder:
+    """The measured decision on z-ordering the daily path (round-4 backlog):
+    directory partitioning stays the default; the flat z-layout is the
+    small-files-regime alternative, and these are the numbers."""
+
+    def _daily(self, spark, n_days=10, rows_per_day=320):
+        return (
+            spark.range(n_days * rows_per_day)
+            .select(
+                F.md5(F.col("id").cast("string")).alias("id"),
+                F.lit("INSERT").alias("db_type"),
+                F.concat(F.lit("v"), F.col("id")).alias("val"),
+                F.lit(2023).alias("export_year"),
+                F.lit(7).alias("export_month"),
+                (F.col("id") % n_days + 1).cast("int").alias("export_day"),
+            )
+            .withColumn("id_part", F.substring("id", 1, 1))
+        )
+
+    def test_lexical_rank_preserves_order(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.zorder import (
+            lexical_rank,
+        )
+
+        df = spark.createDataFrame(
+            [("00a",), ("0f",), ("9zz",), ("a",), ("ff0",)], "s string"
+        )
+        rows = df.select("s", lexical_rank(F.col("s")).alias("r")).collect()
+        by_string = [r["r"] for r in sorted(rows, key=lambda r: r["s"])]
+        assert by_string == sorted(by_string)
+
+    def test_flat_zorder_prunes_both_dims_and_avoids_slivers(
+        self, spark, tmp_path
+    ):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.zorder import (
+            file_clustering_stats,
+            files_opened_by,
+            write_daily_flat_zordered,
+        )
+        from dataworks_aws_corporate_data_ingestion_spark.sinks.writers import (
+            write_daily,
+        )
+
+        df = self._daily(spark)
+        dir_path = str(tmp_path / "dirs")
+        z_path = str(tmp_path / "flat_z")
+        lin_path = str(tmp_path / "flat_id")
+        write_daily(df, dir_path, fmt="parquet", compression="snappy",
+                    stabilize=False)
+        # bit widths matched to each dimension's REAL variation (10 days
+        # ~ 4 bits); an unbalanced split (e.g. id_bits=8) leaves id's high
+        # bits on top of the curve and day pruning decays to ~nothing
+        # (measured: 7/8 files opened vs 3/16 balanced)
+        write_daily_flat_zordered(
+            df, z_path, base_date="2023-07-01", day_bits=4, id_bits=4,
+            num_partitions=16,
+        )
+        (
+            df.repartitionByRange(8, "id")
+            .sortWithinPartitions("id")
+            .write.parquet(lin_path)
+        )
+
+        import glob
+
+        n_dir_files = len(glob.glob(f"{dir_path}/**/*.parquet", recursive=True))
+        n_z_files = len(glob.glob(f"{z_path}/*.parquet"))
+        # the sliver regime: ~days x id_parts leaf files vs data-sized files
+        assert n_dir_files >= 100 and n_z_files <= 16
+
+        zs = [r.asDict() for r in
+              file_clustering_stats(spark, z_path, ["export_day", "id"]).collect()]
+        ls = [r.asDict() for r in
+              file_clustering_stats(spark, lin_path, ["export_day", "id"]).collect()]
+
+        # a 2-day window: z-layout skips files, the id-sorted flat layout
+        # cannot (every file spans all days)
+        day_pred = {"export_day": (3, 4)}
+        assert files_opened_by(zs, day_pred) < len(zs)
+        assert files_opened_by(ls, day_pred) == len(ls)
+
+        # an id prefix range: both layouts skip (z keeps id clustering too)
+        id_pred = {"id": ("4", "5")}
+        assert files_opened_by(zs, id_pred) < len(zs)
+        assert files_opened_by(ls, id_pred) < len(ls)
+
+        # conjunctive day+id probe: the z-layout must beat its own
+        # day-only pruning (the second dimension adds real skipping)
+        both = {"export_day": (3, 4), "id": ("4", "5")}
+        assert files_opened_by(zs, both) <= files_opened_by(zs, day_pred)
