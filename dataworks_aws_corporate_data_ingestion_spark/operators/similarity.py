@@ -625,3 +625,88 @@ def lsh_topk(
         .filter(F.col("__rank") <= k)
         .drop("__rank")
     )
+
+
+def cluster_candidate_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    n_lists: int = 16,
+    n_assign: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style candidate generation (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with spherical
+    k-means, then look for near-duplicate pairs only WITHIN clusters.
+
+    Multi-assignment (`n_assign` nearest centroids per vector, the
+    paper's eps-ball-overlap mitigation) catches pairs that straddle a
+    cluster boundary; every candidate is exact-cosine verified, so
+    precision is exact and only recall depends on the clustering.
+    Companion of `lsh_near_dup_pairs`: the cluster route wins when the
+    corpus is cluster-structured (candidate count ~ sum of squared
+    CLUSTER sizes, far below LSH bucket collisions on clustered data);
+    LSH wins on isotropic corpora.  Recall at this corpus's settings is
+    driver-certified by semantic_dedup_recall_certificate.
+
+    Scale notes: centroids come from a bounded deterministic sample and
+    broadcast in the UDF closure (train_ivf_centroids); one Arrow
+    crossing assigns lists; the self-join shuffles on list_id and AQE
+    splits hot lists.  Bound per-list cost by raising n_lists with
+    corpus size (candidates ~ n^2/n_lists for balanced lists)."""
+    centroids = train_ivf_centroids(
+        corpus, dim, n_lists, vec_col=vec_col, id_col=id_col
+    )
+    probe = _nearest_lists_udf(centroids, n_assign)
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(probe(F.col(vec_col))).alias("list_id"),
+    )
+    left = assigned.select(
+        F.col("list_id"),
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("__va"),
+    )
+    right = assigned.select(
+        F.col("list_id"),
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    return (
+        left.join(right, "list_id")
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])  # a pair can share several lists
+        .select("a", "b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Collapse semantic near-duplicates to one representative: connect
+    the verified pair graph, keep the smallest id per component plus
+    every isolated row.  `pairs` is any (a, b) near-dup pair frame --
+    cluster_candidate_pairs for the SemDeDup shape, lsh_near_dup_pairs
+    when recall must not depend on cluster structure.
+
+    Scale notes: components run on the PAIR set (orders of magnitude
+    below corpus size); the survivors join is un-hinted so AQE
+    broadcasts the assignment only when it fits."""
+    from .graph import connected_components
+
+    clusters = connected_components(pairs.select("a", "b"), src="a", dst="b")
+    assignment = clusters.select(
+        F.col("node").alias(id_col), F.col("component").alias("__component")
+    )
+    return (
+        corpus.join(assignment, id_col, "left")
+        .filter(
+            F.col("__component").isNull() | (F.col("__component") == F.col(id_col))
+        )
+        .drop("__component")
+    )

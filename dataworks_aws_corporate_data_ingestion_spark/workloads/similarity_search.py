@@ -328,3 +328,93 @@ def _install_hybrid_oracle() -> None:
 
 
 _install_hybrid_oracle()
+
+
+@register(
+    "semantic_dedup_survivors",
+    tags=("dedup", "vectors", "semantic-dedup", "graph"),
+    oracle=f"""
+        WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.4
+        ), sym AS (
+            SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+        ), reach AS (
+            SELECT a AS node, b AS r FROM sym
+            UNION
+            SELECT reach.node, sym.b AS r FROM reach JOIN sym ON reach.r = sym.a
+        ), clusters AS (
+            SELECT node, LEAST(node, MIN(r)) AS component
+            FROM reach GROUP BY node
+        )
+        SELECT e.vec_id, e.label
+        FROM embeddings e
+        LEFT JOIN clusters c ON c.node = e.vec_id
+        WHERE c.node IS NULL OR c.component = e.vec_id
+    """,
+)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, arXiv:2303.09540): drop all but
+    one representative (smallest vec_id) of every embedding-space
+    near-duplicate component at cosine >= 0.4.
+
+    Engine path: LSH pair generation (hash-proven lossless vs the cross
+    join on this corpus) -> star-contraction connected components ->
+    keep-min survivors join.  The oracle recomputes survivors from the
+    exact all-pairs closure, so the hash match certifies pairs,
+    clustering, AND the keep policy end-to-end.
+
+    Scale notes: everything downstream of pair generation runs on the
+    PAIR set; the survivors join is un-hinted for AQE.  The
+    cluster-scoped SemDeDup candidate path (cheaper on cluster-shaped
+    corpora) is certified separately by semantic_dedup_recall_certificate."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    # 48 tables, not the default 32: the keep policy AMPLIFIES a missed
+    # pair into a wrongly-kept document, so the dedup path buys P[miss]
+    # ~1e-4/pair (0 observed through sf0.1) with 50% more signature work
+    pairs = lsh_near_dup_pairs(emb, dim=64, threshold=0.4, n_tables=48)
+    return semantic_dedup(emb, pairs).select("vec_id", "label")
+
+
+@register(
+    "semantic_dedup_recall_certificate",
+    tags=("dedup", "vectors", "semantic-dedup", "recall-certificate"),
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs, TRUE AS recall_ok
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.4
+    """,
+)
+def semantic_dedup_recall_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster-scoped (SemDeDup-proper) candidate path's
+    driver-checkable quality claim: within-cluster pairs at n_assign=4
+    of n_lists=16 must recover >= 80% of the exact cosine>=0.4 pair set
+    (measured 0.97-1.0 across sf0.001-0.1; this corpus's near-dup band
+    sits at cosine 0.4-0.6, well below SemDeDup's usual eps, so boundary
+    straddling is the worst case here).  The reference pair set is the
+    LSH generator, itself hash-proven equal to the cross join; the
+    oracle recomputes the exact pair count so a regression on either
+    side flips the certificate."""
+    from ..operators.similarity import cluster_candidate_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = lsh_near_dup_pairs(emb, dim=64, threshold=0.4, n_tables=48).select(
+        "a", "b"
+    )
+    clustered = cluster_candidate_pairs(emb, dim=64, threshold=0.4).select("a", "b")
+    hits = exact.join(clustered, ["a", "b"])
+    return (
+        exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("__n_hits")))
+        .select(
+            "n_exact_pairs",
+            (F.col("__n_hits") * 100 >= F.col("n_exact_pairs") * 80).alias(
+                "recall_ok"
+            ),
+        )
+    )

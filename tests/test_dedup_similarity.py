@@ -364,3 +364,43 @@ class TestPqIndex:
         emb = load_table(spark, "embeddings", SF)
         with pytest.raises(ValueError, match="cannot read PQ parameters"):
             append_to_pq_index(spark, emb, "t_pq_missing")
+
+
+class TestSemanticDedup:
+    def test_survivors_keep_min_per_component_and_isolated(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        corpus = spark.createDataFrame(
+            [(i, "x") for i in range(1, 8)], "vec_id long, payload string"
+        )
+        # components {1,2,3} (chained), {5,6}; 4 and 7 isolated
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "a long, b long"
+        )
+        kept = sorted(
+            r["vec_id"] for r in semantic_dedup(corpus, pairs).collect()
+        )
+        assert kept == [1, 4, 5, 7]
+
+    def test_clustered_candidates_are_verified_subset(self, spark):
+        """Every clustered-candidate pair must be exact-cosine >= t
+        (precision exact by construction) and recall vs the LSH
+        reference set must clear the certified 80% bar."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.similarity import (
+            cluster_candidate_pairs,
+            lsh_near_dup_pairs,
+        )
+
+        emb = load_table(spark, "embeddings", SF)
+        clustered = cluster_candidate_pairs(emb, dim=64, threshold=0.4)
+        assert clustered.filter(F.col("cosine_sim") < 0.4).count() == 0
+        ref = lsh_near_dup_pairs(emb, dim=64, threshold=0.4, n_tables=48).select(
+            "a", "b"
+        )
+        n_ref = ref.count()
+        n_hits = ref.join(clustered.select("a", "b"), ["a", "b"]).count()
+        assert n_ref > 0 and n_hits * 100 >= n_ref * 80
+        # candidates never invent pairs the exact set lacks
+        assert clustered.select("a", "b").exceptAll(ref).count() == 0
