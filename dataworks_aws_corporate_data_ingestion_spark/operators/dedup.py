@@ -655,3 +655,72 @@ def exact_dedup_by_hash(
         .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__row"))
         .select("__row.*")
     )
+
+
+def prune_frequent_segments(
+    docs: DataFrame,
+    delimiter: str = "\n",
+    max_doc_pct: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal, the CCNet/C4/RefinedWeb
+    line-dedup shape: split every document into segments, measure each
+    distinct segment's DOCUMENT frequency across the corpus, delete all
+    occurrences of segments present in more than `max_doc_pct`% of
+    documents, and reassemble each document's survivors in original
+    order.  delimiter="\\n" gives the classic repeated-line removal
+    (headers, cookie banners, nav bars); " " degrades to corpus-level
+    stop-term pruning.
+
+    Output: (id_col, text_pruned, n_segments bigint, n_removed bigint).
+
+    Scale notes: one shuffle keyed by segment for the frequency count
+    (vocabulary-sized result), one keyed by document for reassembly; the
+    hot set joins un-hinted so AQE broadcasts it when it fits (hot
+    segments are by definition FEW -- bounded by vocabulary, not corpus).
+    The frequency threshold compares exact integers cross-multiplied, so
+    the cut is reproducible cross-engine.  Reassembly sorts each
+    document's own segments only (array_sort over (pos, seg) structs
+    inside one group row) -- no global sort."""
+    segs = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(delimiter))).alias(
+            "__pos", "__seg"
+        ),
+    )
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("bigint").alias("__n_docs")
+    )
+    hot = (
+        segs.groupBy("__seg")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("__nd") * 100 > F.col("__n_docs") * max_doc_pct)
+        .select("__seg")
+    )
+    kept = segs.join(hot, "__seg", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
+                lambda x: x["__seg"],
+            ),
+            delimiter,
+        ).alias("text_pruned"),
+        F.count(F.lit(1)).cast("bigint").alias("__n_kept"),
+    )
+    totals = segs.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments")
+    )
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_pruned"), F.lit("")).alias("text_pruned"),
+            "n_segments",
+            (F.col("n_segments") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )

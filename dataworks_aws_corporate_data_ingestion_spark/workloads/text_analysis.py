@@ -678,3 +678,57 @@ def oov_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("oov_ratio"),
     )
+
+
+@register(
+    "boilerplate_segment_pruning",
+    tags=("training-data", "text", "dedup", "boilerplate"),
+    oracle="""
+        WITH sp AS (
+            SELECT doc_id, string_split(text, ' ') AS ls FROM documents
+        ), idx AS (
+            SELECT doc_id, ls, unnest(range(len(ls))) AS i FROM sp
+        ), segs AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   ls[CAST(i + 1 AS INT)] AS seg
+            FROM idx
+        ), df AS (
+            SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY seg
+        ), tot AS (
+            SELECT COUNT(*) AS n FROM documents
+        ), hot AS (
+            SELECT seg FROM df, tot WHERE nd * 100 > n * 40
+        ), kept AS (
+            SELECT s.doc_id, s.pos, s.seg
+            FROM segs s LEFT JOIN hot h USING (seg)
+            WHERE h.seg IS NULL
+        ), re AS (
+            SELECT doc_id,
+                   array_to_string(list(seg ORDER BY pos), ' ') AS text_pruned,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        ), totals AS (
+            SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_segments FROM sp
+        )
+        SELECT t.doc_id,
+               COALESCE(r.text_pruned, '') AS text_pruned,
+               t.n_segments,
+               CAST(t.n_segments - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+        FROM totals t LEFT JOIN re r USING (doc_id)
+    """,
+)
+def boilerplate_segment_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal over `documents`
+    (operators/dedup.prune_frequent_segments).  This corpus has no
+    repeated LINES, so the driver-checked instance runs at word
+    granularity -- segments in >40% of documents are scrubbed from every
+    document, survivors reassembled in order; the repeated-line form is
+    pinned on synthetic multi-line docs in tests/test_dedup_similarity.py.
+    The oracle replays split -> document-frequency -> cut -> ordered
+    rejoin, so the hash match certifies the reassembly byte-for-byte."""
+    from ..operators.dedup import prune_frequent_segments
+
+    docs = load_table(spark, "documents", sf_dir)
+    return prune_frequent_segments(
+        docs, delimiter=" ", max_doc_pct=40
+    )

@@ -404,3 +404,49 @@ class TestSemanticDedup:
         assert n_ref > 0 and n_hits * 100 >= n_ref * 80
         # candidates never invent pairs the exact set lacks
         assert clustered.select("a", "b").exceptAll(ref).count() == 0
+
+
+class TestPruneFrequentSegments:
+    def test_repeated_lines_scrubbed_order_preserved(self, spark):
+        """The CCNet/C4 shape: a boilerplate line present in most docs
+        disappears from all of them; unique lines keep their order."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.dedup import (
+            prune_frequent_segments,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "COOKIE BANNER\nalpha\nbeta"),
+                (2, "gamma\nCOOKIE BANNER\ndelta"),
+                (3, "epsilon\nzeta\nCOOKIE BANNER"),
+                (4, "COOKIE BANNER\nCOOKIE BANNER"),  # doc of pure boilerplate
+                (5, "unique only"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (r["text_pruned"], r["n_segments"], r["n_removed"])
+            for r in prune_frequent_segments(docs, max_doc_pct=40).collect()
+        }
+        assert out[1] == ("alpha\nbeta", 3, 1)
+        assert out[2] == ("gamma\ndelta", 3, 1)
+        assert out[3] == ("epsilon\nzeta", 3, 1)
+        assert out[4] == ("", 2, 2)  # fully scrubbed, still present
+        assert out[5] == ("unique only", 1, 0)
+
+    def test_threshold_is_document_frequency_not_occurrences(self, spark):
+        """A line repeated many times INSIDE one doc is not boilerplate:
+        the cut counts documents, not occurrences."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.dedup import (
+            prune_frequent_segments,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "x\nx\nx\nx\nx"), (2, "a\nb"), (3, "c\nd")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["text_pruned"]
+            for r in prune_frequent_segments(docs, max_doc_pct=40).collect()
+        }
+        assert out[1] == "x\nx\nx\nx\nx"  # 1 of 3 docs = 33% <= 40%
