@@ -13,6 +13,10 @@ name -> best seconds); a "details" map adds, per query:
             temp paths are normalised out; AQE's runtime re-plan is
             intentionally NOT captured -- the pre-execution plan is the
             stable fingerprint of what the code asked for)
+  stages    executor-side stage metrics for the final repeat (REST status
+            API): run/CPU ms, input + shuffle MB, task count.  Bytes and
+            task counts are repeat-invariant, so a diff can split "python
+            stage slower" from "shuffle grew" without plan spelunking
 
 Hygiene: every repeat ends by draining the tracked-cache registry
 (operators persist multi-consumer intermediates they cannot unpersist
@@ -97,6 +101,56 @@ def plan_sha(df) -> str | None:
     return hashlib.sha256(plan.encode("utf-8")).hexdigest()[:16]
 
 
+def _stages_json(spark) -> list[dict] | None:
+    """Completed-stage metrics from the local UI's REST status API --
+    the public, listener-free way to ask 'where did the time go'."""
+    import urllib.request
+
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=complete", timeout=5
+        ) as resp:
+            return json.loads(resp.read())
+    except Exception:
+        return None
+
+
+def _completed_stage_ids(spark) -> set[int]:
+    stages = _stages_json(spark)
+    return {s["stageId"] for s in stages} if stages else set()
+
+
+def _stage_metrics_since(spark, before_ids: set[int]) -> dict | None:
+    """Sum executor-side metrics over stages completed since `before_ids`
+    was snapshotted: splits a query's wall-clock into executor run/CPU
+    time and IO/shuffle volume, so a bench diff can tell 'python stage
+    got slower' from 'shuffle doubled' without re-deriving it from
+    plans.  Bytes and task counts are repeat-invariant; times belong to
+    the profiled repeat only."""
+    stages = _stages_json(spark)
+    if stages is None:
+        return None
+    new = [s for s in stages if s["stageId"] not in before_ids]
+    if not new:
+        return None
+    out = {
+        "n_stages": len(new),
+        "n_tasks": sum(s.get("numCompleteTasks", 0) for s in new),
+        "executor_run_ms": sum(s.get("executorRunTime", 0) for s in new),
+        "executor_cpu_ms": sum(s.get("executorCpuTime", 0) for s in new) // 1_000_000,
+        "input_mb": round(sum(s.get("inputBytes", 0) for s in new) / 1e6, 1),
+        "shuffle_read_mb": round(
+            sum(s.get("shuffleReadBytes", 0) for s in new) / 1e6, 1
+        ),
+        "shuffle_write_mb": round(
+            sum(s.get("shuffleWriteBytes", 0) for s in new) / 1e6, 1
+        ),
+    }
+    return out
+
+
 def _end_repeat(spark) -> None:
     """Free repeat-scoped state: tracked operator caches + catalog cache."""
     release_tracked()
@@ -135,25 +189,34 @@ def main() -> None:
     try:
         for name, spec in bench_queries.items():
             times: list[float] = []
-            for _ in range(repeats):
+            stage_metrics = None
+            for rep in range(repeats):
+                before = _completed_stage_ids(spark) if rep == repeats - 1 else None
                 start = time.perf_counter()
                 spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 times.append(time.perf_counter() - start)
+                if before is not None:
+                    stage_metrics = _stage_metrics_since(spark, before)
                 _end_repeat(spark)
             timings[name] = round(min(times), 3)
             details[name] = {
                 "best": round(min(times), 3),
                 "median": round(statistics.median(times), 3),
                 "plan_sha": plan_sha(spec.fn(spark, sf_dir)),
+                "stages": stage_metrics,
             }
             _end_repeat(spark)
         # write-path headline ops (ordered: merge reads write_daily's output)
         for name, fn in WRITE_BENCHES.items():
             times = []
-            for _ in range(repeats):
+            stage_metrics = None
+            for rep in range(repeats):
+                before = _completed_stage_ids(spark) if rep == repeats - 1 else None
                 start = time.perf_counter()
                 fn(spark, sf_dir, out_dir)
                 times.append(time.perf_counter() - start)
+                if before is not None:
+                    stage_metrics = _stage_metrics_since(spark, before)
                 _end_repeat(spark)
             probe = WRITE_BENCH_PLAN_PROBES.get(name)
             timings[name] = round(min(times), 3)
@@ -163,6 +226,7 @@ def main() -> None:
                 # fingerprint the DataFrame the sink consumes; benches
                 # without a cheap probe (mor: stateful table) stay null
                 "plan_sha": plan_sha(probe(spark, sf_dir, out_dir)) if probe else None,
+                "stages": stage_metrics,
             }
         total = round(sum(timings.values()), 3)
     finally:
