@@ -124,6 +124,65 @@ def user_value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_value_hourly_range",
+    tags=("window", "range-frame", "event-time"),
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_events_last_hour,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+                   AS value_last_hour
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY epoch_us(ts)
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+        )
+    """,
+)
+def user_value_hourly_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per user, the count and value-sum of
+    events in the trailing ONE HOUR -- the frame is bounded by the ORDER
+    key's VALUE, not a row count, so sparse and bursty users get the
+    correct window regardless of event density (the ROWS-frame twin,
+    user_value_moving_avg, cannot express this).
+
+    The ordering key is epoch MICROseconds as a bigint: events carry
+    sub-second timestamps, so an epoch-seconds key would truncate and
+    both engines must bound the frame over the identical integer (3.6e9
+    us == 1 hour).  Peers (equal timestamps) are in-frame in both
+    engines by RANGE semantics.
+
+    Scale notes: one shuffle on user_id, per-partition sort by time,
+    then a sliding two-pointer pass inside Spark's Window operator --
+    the frame never re-scans, it advances.  Decimal inside the frame
+    sum keeps cross-engine bit-equality (module convention)."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").cast("decimal(12,2)").alias("v"),
+        # ts is TIMESTAMP_NTZ: unix_micros() rejects it and a cast to
+        # TIMESTAMP would drag the session timezone in; pure NTZ
+        # arithmetic stays engine- and timezone-independent
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_events_last_hour"),
+        F.sum("v").over(w).cast("double").alias("value_last_hour"),
+    )
+
+
+@register(
     "rapid_repeat_event_pairs",
     tags=("join", "range-join", "self-join"),
     oracle="""

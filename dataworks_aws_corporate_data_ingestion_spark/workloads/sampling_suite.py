@@ -204,6 +204,51 @@ def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_SHARDS = 16
+
+
+@register(
+    "training_shards",
+    tags=("sharding", "shuffle", "training-data", "window"),
+    oracle=f"""
+        WITH k AS (
+            SELECT doc_id, source,
+                   md5('shard' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        )
+        SELECT doc_id, source,
+               CAST(CAST('0x' || substr(h, 1, 4) AS INTEGER) % {_N_SHARDS}
+                   AS INTEGER) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY CAST('0x' || substr(h, 1, 4) AS INTEGER)
+                       % {_N_SHARDS}
+                   ORDER BY h, doc_id
+               ) AS BIGINT) AS pos
+        FROM k
+    """,
+)
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 16 numbered shards
+    (operators/sharding.py::shuffle_shards): shard membership and
+    within-shard position are pure functions of md5('shard'||doc_id), so
+    the 'random' training order is stable across runs, partition
+    layouts, and engines -- the oracle recomputes the identical (shard,
+    pos) for every document.
+
+    Scale notes: ONE hash exchange on shard + per-shard local sorts; no
+    global sort ever (orderBy(rand()) would range-sort the world and be
+    unreproducible).  The writer twin (write_training_shards) gives each
+    shard its own reducer/output directory; at 100 TB, n_shards sized to
+    ~4 GB/shard keeps every sort local and every file training-loader
+    sized."""
+    from ..operators.sharding import shuffle_shards
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    return shuffle_shards(d, "doc_id", _N_SHARDS).select(
+        "doc_id", "source", "shard", "pos"
+    )
+
+
 def _profile_oracle() -> str:
     return " UNION ALL ".join(
         f"""

@@ -732,3 +732,83 @@ def boilerplate_segment_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prune_frequent_segments(
         docs, delimiter=" ", max_doc_pct=40
     )
+
+
+@register(
+    "quality_threshold_sweep",
+    tags=("text", "quality", "training-data", "threshold-curve"),
+    oracle=f"""
+        WITH tokd AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents
+        ), scored AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_distinct,
+                   len(list_filter(toks, t -> list_contains({_STOP_SQL}, t)))
+                       AS n_stop
+            FROM tokd
+        ), q AS (
+            SELECT n_tokens,
+                   (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.5
+                     + LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.3
+                     + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.2
+                       AS quality
+            FROM scored
+        ), b AS (
+            SELECT LEAST(19, CAST(FLOOR(quality * 20) AS INTEGER)) AS qbin,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+            FROM q GROUP BY 1
+        )
+        SELECT qbin, n_docs, bin_tokens,
+               CAST(SUM(n_docs) OVER w AS BIGINT) AS docs_retained,
+               CAST(SUM(bin_tokens) OVER w AS BIGINT) AS tokens_retained
+        FROM b
+        WINDOW w AS (ORDER BY qbin DESC)
+    """,
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-selection curve for quality filtering: documents binned
+    by quality score (20 bins), and for each bin the CUMULATIVE docs and
+    tokens that survive a 'keep quality >= bin' cutoff.  This is the
+    table a curation run reads to pick its threshold ('0.55 keeps 72% of
+    tokens') BEFORE committing to a full filter pass -- the decision
+    support step between scoring and filtering.
+
+    Scale notes: the corpus-sized work is one scan + hash aggregate down
+    to <= 20 rows; the cumulative window runs over those 20 rows only
+    (aggregate-then-window, never window-then-aggregate -- a global
+    window over raw documents would single-task the corpus).  The bin
+    edge is floor(quality*20) on doubles both engines compute
+    bit-identically (same formula shape as the hash-matched text_stats
+    quality column)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    q = d.select(
+        T.token_count(t).alias("n_tokens"),
+        T.quality_score(t).alias("quality"),
+    )
+    b = (
+        q.select(
+            F.least(F.lit(19), F.floor(F.col("quality") * 20))
+            .cast("int")
+            .alias("qbin"),
+            "n_tokens",
+        )
+        .groupBy("qbin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        )
+    )
+    w = Window.orderBy(F.desc("qbin"))
+    return b.select(
+        "qbin",
+        "n_docs",
+        "bin_tokens",
+        F.sum("n_docs").over(w).cast("bigint").alias("docs_retained"),
+        F.sum("bin_tokens").over(w).cast("bigint").alias("tokens_retained"),
+    )

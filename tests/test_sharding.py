@@ -1,0 +1,91 @@
+"""Deterministic training-shard shuffle (operators/sharding.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataworks_aws_corporate_data_ingestion_spark.operators.sharding import (
+    assign_shards,
+    shuffle_shards,
+    write_training_shards,
+)
+
+SF = "/root/testdata/sf0.001"
+N = 8
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "source")
+
+
+def test_assignment_is_layout_independent(spark, docs):
+    """Shard and pos must be pure functions of the key: recomputing over
+    a different partition layout yields the identical assignment."""
+    a = shuffle_shards(docs, "doc_id", N).select("doc_id", "shard", "pos")
+    b = shuffle_shards(docs.repartition(13), "doc_id", N).select(
+        "doc_id", "shard", "pos"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_positions_are_contiguous_per_shard(spark, docs):
+    """pos must be 1..count(shard) with no gaps: max == count == distinct."""
+    stats = (
+        shuffle_shards(docs, "doc_id", N)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("pos").alias("mx"),
+            F.count_distinct("pos").alias("nd"),
+        )
+    )
+    bad = stats.filter((F.col("mx") != F.col("n")) | (F.col("nd") != F.col("n")))
+    assert bad.count() == 0
+    assert stats.count() == N  # every shard is populated at 1000 rows
+
+
+def test_shards_are_balanced(spark, docs):
+    """md5-bucket assignment keeps shard sizes within sampling noise of
+    uniform regardless of key distribution."""
+    sizes = [
+        r["n"]
+        for r in assign_shards(docs, "doc_id", N)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    mean = sum(sizes) / len(sizes)
+    assert max(sizes) < mean * 1.5 and min(sizes) > mean * 0.5
+
+
+def test_plan_has_no_global_sort(spark, docs):
+    """The whole point: one hash exchange on shard + per-shard sorts.
+    A rangepartitioning exchange (global sort) or a single-partition
+    funnel would be the orderBy(rand()) anti-pattern."""
+    plan = (
+        shuffle_shards(docs, "doc_id", N)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_writer_round_trip(spark, docs, tmp_path):
+    """Shard directories partition the corpus; re-read rows per shard
+    match the computed assignment, and in-file order follows pos."""
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, "doc_id", N)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    expected = shuffle_shards(docs, "doc_id", N).select("doc_id", "shard")
+    got = back.select("doc_id", F.col("shard").cast("int").alias("shard"))
+    assert got.exceptAll(expected).count() == 0
+    # one output file per shard: each shard got its own reducer
+    files = back.select(F.input_file_name().alias("f"), "shard").distinct()
+    per_shard = files.groupBy("shard").count().agg(F.max("count")).first()[0]
+    assert per_shard == 1
