@@ -379,6 +379,107 @@ def approx_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "daily_new_users",
+    tags=("window", "distinct", "incremental-distinct", "aggregation"),
+    oracle="""
+        WITH first_seen AS (
+            SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS day
+            FROM events GROUP BY event_type, user_id
+        ), daily AS (
+            SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_new_users
+            FROM first_seen GROUP BY event_type, day
+        )
+        SELECT event_type, day, n_new_users,
+               CAST(SUM(n_new_users) OVER (
+                   PARTITION BY event_type ORDER BY day
+               ) AS BIGINT) AS cum_distinct_users
+        FROM daily
+    """,
+)
+def daily_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type by day -- the SCALE
+    REWRITE of COUNT(DISTINCT) OVER (which Spark refuses and which
+    would hold every group's full membership in window state anyway):
+    distinct-to-date == running sum of FIRST-SEEN counts.  One
+    (type, user) aggregate collapses the corpus to its user set, a
+    second to (type, day) new-user counts, and the cumulative window
+    runs over ~types x days rows only.
+
+    Scale notes: both aggregates are map-side partial; the window input
+    is days-sized, not events-sized.  Days with zero new users have no
+    row (join timeseries_ops.events_gap_filled_daily's spine for a
+    dense calendar).  CAST(ts AS DATE) is timezone-free on NTZ in both
+    engines."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    first_seen = e.groupBy("event_type", "user_id").agg(F.min("day").alias("day"))
+    daily = first_seen.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new_users")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type",
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("bigint").alias("cum_distinct_users"),
+    )
+
+
+@register(
+    "daily_user_sketch_rollup",
+    tags=("aggregation", "sketch", "hll", "rollup", "invariant-oracle"),
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS merged_estimate_ok
+        FROM events GROUP BY event_type
+    """,
+)
+def daily_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counting: per-day HLL sketches of user_id
+    (Datasketches hll_sketch_agg), merged per event type with
+    hll_union_agg -- the pattern that answers 'distinct users this
+    month/quarter/ever' from 30/90/N TINY stored sketches instead of
+    re-scanning raw events.  approx_count_distinct alone cannot do this:
+    its result is a number, not a mergeable state.
+
+    Registered as its ERROR-BOUND CERTIFICATE (sketch bytes are
+    engine-specific): per type, the day count and exact user count are
+    integer-exact, and the union-of-daily-sketches estimate lands within
+    10% of exact (default lgConfigK=12 gives ~1.6% rsd; the margin is
+    6x).  A broken merge -- dropped day, double-counted sketch, bad
+    union -- lands far outside it.
+
+    Scale notes: sketch aggregation is map-side partial (each task
+    sketches its rows, the shuffle carries kilobyte sketch states); the
+    daily sketch table is days x types rows, and every wider rollup is
+    an aggregate over THAT, never over events."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    daily_sk = e.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    rolled = daily_sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return rolled.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users")) * 10 <= F.col("exact_users")
+        ).alias("merged_estimate_ok"),
+    )
+
+
+@register(
     "q18_large_orders",
     tags=("join", "aggregation", "having", "top-k"),
     oracle="""
