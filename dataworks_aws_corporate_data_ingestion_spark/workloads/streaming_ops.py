@@ -114,3 +114,43 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("top_nibble"),
     )
+
+
+@register(
+    "purchases_attributed_views",
+    tags=("streaming", "stream-stream-join", "interval-join", "event-time"),
+    oracle="""
+        SELECT v.user_id,
+               v.event_id AS view_id,
+               v.ts AS view_ts,
+               p.event_id AS purchase_id,
+               p.ts AS purchase_ts,
+               CAST(CAST(p.value AS DECIMAL(12,2)) AS DOUBLE)
+                   AS purchase_value
+        FROM events v
+        JOIN events p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts
+         AND p.ts <= v.ts + INTERVAL 60 MINUTE
+        WHERE v.event_type = 'view'
+          AND p.event_type = 'purchase'
+    """,
+)
+def purchases_attributed_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View->purchase attribution within a 60-minute horizon
+    (streaming/joins.py::interval_join_attribution): the batch twin of
+    the watermarked stream-stream interval join, oracle-certified here;
+    tests prove the streaming execution emits the identical pair set
+    (state bounded by watermark + horizon instead of buffering forever).
+
+    Scale notes: equi-join on user_id (one exchange per side), the time
+    range applied inside the joined partition -- never a theta-only
+    cross product."""
+    from ..streaming.joins import interval_join_attribution
+
+    e = load_table(spark, "events", sf_dir)
+    return interval_join_attribution(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+        horizon_minutes=60,
+    )

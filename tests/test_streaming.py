@@ -650,3 +650,68 @@ class TestStreamingBatchHandoff:
         p1 = sm.apply_handoff_batch(spark, b1, 1, **kw)
         snap = {r["id"] for r in spark.read.parquet(p1).collect()}
         assert snap == {"aa1", "bb2"}
+
+
+class TestStreamStreamIntervalJoin:
+    def test_stream_equals_batch(self, spark, tmp_path):
+        """The watermarked stream-stream interval join must emit exactly
+        the pair set the batch twin (oracle-certified
+        purchases_attributed_views) computes."""
+        from dataworks_aws_corporate_data_ingestion_spark.sources.tables import load_table
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.joins import (
+            interval_join_attribution,
+        )
+
+        events = load_table(spark, "events", "/root/testdata/sf0.001")
+        path = str(tmp_path / "events_parquet")
+        events.write.parquet(path)
+
+        views_b = events.filter(F.col("event_type") == "view")
+        purch_b = events.filter(F.col("event_type") == "purchase")
+        batch = {
+            (r["view_id"], r["purchase_id"])
+            for r in interval_join_attribution(views_b, purch_b).collect()
+        }
+        assert len(batch) > 0
+
+        schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(schema).parquet(path)
+        sq = (
+            interval_join_attribution(
+                stream.filter(F.col("event_type") == "view"),
+                stream.filter(F.col("event_type") == "purchase"),
+            )
+            .writeStream.format("memory")
+            .queryName("attrib_pairs")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(120)
+        got = {
+            (r["view_id"], r["purchase_id"])
+            for r in spark.sql("select * from attrib_pairs").collect()
+        }
+        assert got == batch
+
+    def test_streaming_plan_has_bounded_state(self, spark, tmp_path):
+        """Both sides must carry watermarks into the stream-stream join
+        (the condition under which Spark can evict buffered rows); an
+        unwatermarked interval join would accumulate state forever."""
+        from dataworks_aws_corporate_data_ingestion_spark.sources.tables import load_table
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.joins import (
+            interval_join_attribution,
+        )
+
+        events = load_table(spark, "events", "/root/testdata/sf0.001")
+        path = str(tmp_path / "ev")
+        events.write.parquet(path)
+        stream = spark.readStream.schema(
+            spark.read.parquet(path).schema
+        ).parquet(path)
+        joined = interval_join_attribution(
+            stream.filter(F.col("event_type") == "view"),
+            stream.filter(F.col("event_type") == "purchase"),
+        )
+        plan = joined._jdf.queryExecution().analyzed().toString()
+        assert plan.count("EventTimeWatermark") == 2
