@@ -1,0 +1,72 @@
+"""CSV quarantine and schema-evolution sources (sources/text_formats.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataworks_aws_corporate_data_ingestion_spark.sources.text_formats import (
+    read_csv_quarantine,
+    read_evolving,
+)
+
+
+class TestCsvQuarantine:
+    def test_good_and_bad_split(self, spark, tmp_path):
+        p = tmp_path / "feed.csv"
+        p.write_text(
+            "id,name,amount\n"
+            "1,alice,10.50\n"
+            "2,bob,not_a_number\n"  # uncastable -> quarantine
+            "3,carol,7.25\n"
+            "4,dave\n"  # wrong arity -> quarantine
+        )
+        good, bad = read_csv_quarantine(
+            spark, str(p), "id INT, name STRING, amount DOUBLE"
+        )
+        assert good.count() == 2
+        assert {r["id"] for r in good.collect()} == {1, 3}
+        bad_rows = [r["raw_line"] for r in bad.collect()]
+        assert len(bad_rows) == 2
+        # the quarantine carries the raw line for forensic replay
+        assert any("not_a_number" in r for r in bad_rows)
+        assert any(r.startswith("4,dave") for r in bad_rows)
+
+    def test_clean_file_quarantines_nothing(self, spark, tmp_path):
+        p = tmp_path / "clean.csv"
+        p.write_text("id,name,amount\n1,a,1.0\n2,b,2.0\n")
+        good, bad = read_csv_quarantine(
+            spark, str(p), "id INT, name STRING, amount DOUBLE"
+        )
+        assert good.count() == 2 and bad.count() == 0
+
+
+class TestSchemaEvolution:
+    def _write_days(self, spark, root):
+        d1 = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id INT, name STRING"
+        )
+        d1.write.parquet(f"{root}/day=2024-01-01")
+        d2 = spark.createDataFrame(
+            [(3, "c", 9.5)], "id INT, name STRING, score DOUBLE"
+        )
+        d2.write.parquet(f"{root}/day=2024-01-02")
+
+    def test_merge_schema_unions_columns(self, spark, tmp_path):
+        root = str(tmp_path / "evolving")
+        self._write_days(spark, root)
+        df = read_evolving(spark, root)
+        assert set(df.columns) == {"id", "name", "score", "day"}
+        assert df.count() == 3
+        # pre-evolution rows read as null for the late column
+        assert df.filter(F.col("score").isNull()).count() == 2
+        assert df.filter(F.col("score") == 9.5).count() == 1
+
+    def test_contract_schema_needs_no_discovery(self, spark, tmp_path):
+        root = str(tmp_path / "evolving2")
+        self._write_days(spark, root)
+        df = read_evolving(
+            spark, root, schema_ddl="id INT, name STRING, score DOUBLE, day DATE"
+        )
+        assert df.count() == 3
+        assert df.filter(F.col("score").isNotNull()).count() == 1
+        assert df.schema["day"].dataType.simpleString() == "date"

@@ -715,3 +715,21 @@ class TestStreamStreamIntervalJoin:
         )
         plan = joined._jdf.queryExecution().analyzed().toString()
         assert plan.count("EventTimeWatermark") == 2
+
+    def test_left_outer_keeps_unattributed_views(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.sources.tables import load_table
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.joins import (
+            interval_join_attribution,
+        )
+
+        events = load_table(spark, "events", "/root/testdata/sf0.001")
+        views = events.filter(F.col("event_type") == "view")
+        out = interval_join_attribution(
+            views,
+            events.filter(F.col("event_type") == "purchase"),
+            how="leftOuter",
+        )
+        # every view appears; those without a purchase in the horizon
+        # carry nulls
+        assert out.select("view_id").distinct().count() == views.count()
+        assert out.filter(F.col("purchase_id").isNull()).count() > 0
