@@ -68,36 +68,52 @@ def _encrypt_fixture_udf():
     analogue of the reference's test-vector generator,
     steps/tests.py:23-46).
 
-    Hot-path shape: AES objects are cached per key, the IV is the
-    event_id as a 128-bit big-endian counter (unique per record, no hash
-    needed), and base64 is applied once on the way out -- fixture
+    Hot-path shape: records are grouped by key selector within each
+    Arrow batch and encrypted via the batched-keystream path (CTR mode
+    is symmetric, so aes_ctr_decrypt_batch IS the encryptor) -- one
+    cipher operation per data key per batch instead of one per record,
+    the same discipline the decrypt side uses.  The IV is the event_id
+    as a 128-bit big-endian counter (unique per record, no hash
+    needed); base64 is applied once on the way out -- fixture
     generation must not dominate the benchmark it feeds."""
 
     @pandas_udf(_MATERIALS_STRUCT)
     def _encrypt(payloads: pd.Series, event_ids: pd.Series) -> pd.DataFrame:
         # imported inside the batch fn: module objects in the closure are
         # not picklable
-        from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+        import numpy as np
+
+        from dataworks_aws_corporate_data_ingestion_spark.functions.crypto import (
+            aes_ctr_decrypt_batch,
+        )
 
         keys_raw = [_data_key_raw(i) for i in range(N_DATA_KEYS)]
         keys_b64 = [base64.b64encode(k).decode("ascii") for k in keys_raw]
-        algos = [algorithms.AES(k) for k in keys_raw]
         keks = [f"kek-{i}" for i in range(N_DATA_KEYS)]
         b64 = base64.b64encode
-        rows = []
-        for payload, event_id in zip(payloads, event_ids):
-            sel = int(event_id) % N_DATA_KEYS
-            iv_raw = int(event_id).to_bytes(16, "big")
-            enc = Cipher(algos[sel], modes.CTR(iv_raw)).encryptor()
-            ct = enc.update(payload.encode("utf8")) + enc.finalize()
-            rows.append(
-                (
-                    b64(ct).decode("ascii"),
-                    keys_b64[sel],
-                    b64(iv_raw).decode("ascii"),
-                    keks[sel],
-                )
+
+        n = len(payloads)
+        ids = event_ids.to_numpy(dtype=np.int64)
+        sels = ids % N_DATA_KEYS
+        ivs = [int(e).to_bytes(16, "big") for e in ids]
+        pts = [p.encode("utf8") for p in payloads]
+        cts: list[bytes | None] = [None] * n
+        for sel in np.unique(sels):
+            idx = np.nonzero(sels == sel)[0]
+            out = aes_ctr_decrypt_batch(
+                [pts[i] for i in idx], keys_raw[sel], [ivs[i] for i in idx]
             )
+            for i, ct in zip(idx, out):
+                cts[i] = ct
+        rows = [
+            (
+                b64(cts[i]).decode("ascii"),
+                keys_b64[sels[i]],
+                b64(ivs[i]).decode("ascii"),
+                keks[sels[i]],
+            )
+            for i in range(n)
+        ]
         return pd.DataFrame(rows, columns=[f.name for f in _MATERIALS_STRUCT.fields])
 
     return _encrypt

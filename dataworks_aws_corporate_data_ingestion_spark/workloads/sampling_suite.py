@@ -209,6 +209,7 @@ _N_SHARDS = 16
 
 @register(
     "training_shards",
+    bench=True,
     tags=("sharding", "shuffle", "training-data", "window"),
     oracle=f"""
         WITH k AS (
