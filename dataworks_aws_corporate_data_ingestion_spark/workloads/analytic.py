@@ -480,6 +480,69 @@ def daily_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "group_content_signature",
+    tags=("aggregation", "udaf", "pandas-grouped-agg", "drift-detection"),
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                        AS BIGINT)) % 2147483647 AS BIGINT) AS content_sig
+        FROM events GROUP BY event_type
+    """,
+)
+def group_content_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive per-group content checksum (sum of per-row md5
+    prefixes mod a prime) -- the signature an ingestion gate compares
+    across batches to detect silent membership drift without storing
+    members.  Registered as the GROUPED-AGGREGATE pandas UDF surface
+    (the one pandas-UDF variant the other workloads don't exercise:
+    scalar / iterator / applyInPandas / mapInPandas / withState / UDTF
+    are all covered elsewhere): the UDAF receives each group's column
+    as one pandas Series and returns one scalar, with map-side partial
+    aggregation NOT available -- which is exactly why the docstring's
+    production form is the equivalent JVM column expression the oracle
+    spells (md5/conv/sum fold inside a regular hash aggregate, partial
+    aggregation intact).  The Python form exists for signatures that
+    genuinely need Python (a library hash, a learned sketch); for
+    md5-sums, stay JVM-side.
+
+    Cross-engine note: the 8-hex-char prefix fits 32 bits, the bigint
+    sum of 2k such terms fits well under 2^63 (no ANSI overflow), and
+    the mod lands both engines on the identical residue."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _sig(ids):
+        total = 0
+        for v in ids:
+            total += int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+        return total % 2147483647
+
+    # real annotation objects (Series -> scalar selects the GROUPED_AGG
+    # variant); this module's postponed annotations would stringify an
+    # inline signature and the UDF type-hint parser rejects it
+    _sig.__annotations__ = {"ids": pd.Series, "return": int}
+    content_sig = pandas_udf(_sig, "bigint")
+
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the count is a second pandas
+    # UDAF over the same group -- one aggregate pass either way
+    def _n(ids):
+        return len(ids)
+
+    _n.__annotations__ = {"ids": pd.Series, "return": int}
+    n_rows = pandas_udf(_n, "bigint")
+
+    e = load_table(spark, "events", sf_dir).select("event_type", "event_id")
+    return e.groupBy("event_type").agg(
+        n_rows("event_id").alias("n"),
+        content_sig("event_id").alias("content_sig"),
+    )
+
+
+@register(
     "q18_large_orders",
     tags=("join", "aggregation", "having", "top-k"),
     oracle="""
