@@ -30,6 +30,10 @@ SHOWCASE = [
     ("benchmark_contamination", "corpus shingle explode semi-joins benchmark universe"),
     ("pii_redaction_stats", "pure regexp codegen chain, zero shuffles"),
     ("doc_repetition_stats", "two map-side-combined aggregates over bigrams"),
+    ("training_shards", "one hash exchange on shard + per-shard window sort"),
+    ("user_value_hourly_range", "RANGE frame: one user shuffle, sliding in-sort"),
+    ("daily_new_users", "first-seen rewrite: two partial aggs, days-sized window"),
+    ("purchases_attributed_views", "equi-join on user, range predicate post-join"),
 ]
 
 
