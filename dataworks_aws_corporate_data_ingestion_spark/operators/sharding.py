@@ -49,6 +49,11 @@ def assign_shards(
     any engine recomputes the identical assignment (the hex prefix
     parses the same everywhere; only hex-to-int CONVERSION syntax
     differs per dialect, not the value)."""
+    if not 1 <= n_shards <= 65536:
+        # the shard id derives from a 16-bit hash bucket; more shards
+        # than buckets would leave shards permanently empty.  Widen the
+        # prefix before widening this limit.
+        raise ValueError(f"n_shards must be in [1, 65536], got {n_shards}")
     key_col = F.col(key) if isinstance(key, str) else key
     h = _order_hash(key_col, salt)
     bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("int")

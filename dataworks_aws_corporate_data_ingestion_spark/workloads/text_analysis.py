@@ -812,3 +812,85 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").over(w).cast("bigint").alias("docs_retained"),
         F.sum("bin_tokens").over(w).cast("bigint").alias("tokens_retained"),
     )
+
+
+@register(
+    "collocation_lift_topk",
+    tags=("text", "collocation", "association", "topk", "training-data"),
+    oracle="""
+        WITH toks AS (
+            SELECT string_split(lower(text), ' ') AS t FROM documents
+        ), uni AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w
+            FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+        ), tot AS (
+            SELECT CAST(SUM(n_w) AS BIGINT) AS total_tokens FROM uni
+        ), bi AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+            FROM (
+                SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+                       unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+                FROM toks
+            ) GROUP BY w1, w2
+        )
+        SELECT w1 || ' ' || w2 AS bigram, n_xy,
+               x.n_w AS n_x, y.n_w AS n_y,
+               CAST(n_xy * total_tokens AS DOUBLE) / (x.n_w * y.n_w) AS lift
+        FROM bi
+        JOIN uni x ON x.w = bi.w1
+        JOIN uni y ON y.w = bi.w2
+        CROSS JOIN tot
+        WHERE n_xy >= 5
+        ORDER BY lift DESC, bigram ASC
+        LIMIT 50
+    """,
+)
+def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by LIFT -- P(xy) / (P(x)P(y)) -- the
+    association measure behind multi-word-expression and tokenizer-merge
+    candidates, computed WITHOUT logarithms: PMI's log would differ
+    between engines in the last ulp (module convention bans
+    transcendentals), but lift orders identically to PMI and is ONE
+    IEEE division of exact integer products, so both engines produce
+    bit-identical doubles.
+
+    Scale notes: unigram and bigram counts are explode -> map-side
+    partial aggregates (vocabulary-sized results, not corpus-sized);
+    the two count joins are vocabulary-vs-vocabulary with AQE free to
+    broadcast; total_tokens is a broadcast 1-row aggregate; top-50
+    plans as TakeOrderedAndProject."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.lower(F.col("text")), " ")
+    pairs = docs.select(
+        F.posexplode(F.slice(toks, 1, F.size(toks) - 1)).alias("i", "w1"),
+        toks.alias("t"),
+    ).select("w1", F.element_at("t", F.col("i") + 2).alias("w2"))
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
+    )
+    tot = uni.agg(F.sum("n_w").cast("bigint").alias("total_tokens"))
+    bi = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_xy")
+    )
+    x = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_x"))
+    y = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_y"))
+    return (
+        bi.filter(F.col("n_xy") >= 5)
+        .join(x, "w1")
+        .join(y, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "n_xy",
+            "n_x",
+            "n_y",
+            (
+                (F.col("n_xy") * F.col("total_tokens")).cast("double")
+                / (F.col("n_x") * F.col("n_y"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("bigram").asc())
+        .limit(50)
+    )
