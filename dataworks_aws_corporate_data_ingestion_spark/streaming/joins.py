@@ -54,14 +54,20 @@ def interval_join_attribution(
         F.col("event_id").alias("purchase_id"),
         F.col("value").cast("decimal(12,2)").alias("purchase_value"),
     )
-    if views.isStreaming:
-        # stream-stream joins require LTZ event time; NTZ sources cast
-        # through (bucketless here, so no boundary effects)
+    if views.isStreaming or purchases.isStreaming:
+        # watermarked joins require LTZ event time; each side checks ITS
+        # OWN dtype (mixed LTZ/NTZ inputs would otherwise half-cast) and
+        # casts through (bucketless here, so no boundary effects).  Both
+        # sides get the cast so the join compares one type; watermarks
+        # only attach to streaming sides (a batch side needs none).
         if dict(v.dtypes).get("view_ts") == "timestamp_ntz":
             v = v.withColumn("view_ts", F.col("view_ts").cast("timestamp"))
+        if dict(p.dtypes).get("purchase_ts") == "timestamp_ntz":
             p = p.withColumn("purchase_ts", F.col("purchase_ts").cast("timestamp"))
-        v = v.withWatermark("view_ts", watermark)
-        p = p.withWatermark("purchase_ts", watermark)
+        if views.isStreaming:
+            v = v.withWatermark("view_ts", watermark)
+        if purchases.isStreaming:
+            p = p.withWatermark("purchase_ts", watermark)
     cond = (
         (F.col("v_user_id") == F.col("p_user_id"))
         & (F.col("purchase_ts") >= F.col("view_ts"))

@@ -218,10 +218,10 @@ _N_SHARDS = 16
             FROM documents
         )
         SELECT doc_id, source,
-               CAST(CAST('0x' || substr(h, 1, 4) AS INTEGER) % {_N_SHARDS}
+               CAST(CAST('0x' || substr(h, 1, 8) AS BIGINT) % {_N_SHARDS}
                    AS INTEGER) AS shard,
                CAST(ROW_NUMBER() OVER (
-                   PARTITION BY CAST('0x' || substr(h, 1, 4) AS INTEGER)
+                   PARTITION BY CAST('0x' || substr(h, 1, 8) AS BIGINT)
                        % {_N_SHARDS}
                    ORDER BY h, doc_id
                ) AS BIGINT) AS pos

@@ -835,7 +835,12 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT w1 || ' ' || w2 AS bigram, n_xy,
                x.n_w AS n_x, y.n_w AS n_y,
-               CAST(n_xy * total_tokens AS DOUBLE) / (x.n_w * y.n_w) AS lift
+               -- factors cast to DOUBLE before multiplying: bigint
+               -- products n_xy*T and n_x*n_y overflow int64 at real
+               -- corpus scale (T ~ 1e12); double multiply/divide of
+               -- exact integers is IEEE-identical in both engines
+               (CAST(n_xy AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+                   / (CAST(x.n_w AS DOUBLE) * CAST(y.n_w AS DOUBLE)) AS lift
         FROM bi
         JOIN uni x ON x.w = bi.w1
         JOIN uni y ON y.w = bi.w2
@@ -850,9 +855,11 @@ def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     association measure behind multi-word-expression and tokenizer-merge
     candidates, computed WITHOUT logarithms: PMI's log would differ
     between engines in the last ulp (module convention bans
-    transcendentals), but lift orders identically to PMI and is ONE
-    IEEE division of exact integer products, so both engines produce
-    bit-identical doubles.
+    transcendentals), but lift orders identically to PMI and is pure
+    IEEE multiply/divide over exactly-derived integer counts (each
+    factor cast to double BEFORE multiplying -- the bigint products
+    would overflow int64 at real corpus token totals), so both engines
+    produce bit-identical doubles.
 
     Scale notes: unigram and bigram counts are explode -> map-side
     partial aggregates (vocabulary-sized results, not corpus-sized);
@@ -887,8 +894,8 @@ def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_x",
             "n_y",
             (
-                (F.col("n_xy") * F.col("total_tokens")).cast("double")
-                / (F.col("n_x") * F.col("n_y"))
+                (F.col("n_xy").cast("double") * F.col("total_tokens").cast("double"))
+                / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
             ).alias("lift"),
         )
         .orderBy(F.col("lift").desc(), F.col("bigram").asc())
