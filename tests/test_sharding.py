@@ -89,3 +89,23 @@ def test_writer_round_trip(spark, docs, tmp_path):
     files = back.select(F.input_file_name().alias("f"), "shard").distinct()
     per_shard = files.groupBy("shard").count().agg(F.max("count")).first()[0]
     assert per_shard == 1
+
+
+def test_balance_at_non_divisor_shard_count(spark, docs):
+    """The 16-bit-bucket bug: whenever n_shards didn't divide the bucket
+    space, low residues got systematically ~1.5x the rows of high ones.
+    With the 32-bit bucket the mod bias is < n/2^32; check a prime
+    shard count shows no low-vs-high residue split."""
+    n = 23
+    sizes = {
+        r["shard"]: r["n"]
+        for r in assign_shards(docs, "doc_id", n)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    low = sum(sizes.get(s, 0) for s in range(n // 2))
+    high = sum(sizes.get(s, 0) for s in range(n // 2, n))
+    # 1000 docs split ~ evenly; a structural 3:2 residue split would
+    # push this ratio to ~1.4
+    assert 0.75 < low / high < 1.33

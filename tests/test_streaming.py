@@ -733,3 +733,45 @@ class TestStreamStreamIntervalJoin:
         # carry nulls
         assert out.select("view_id").distinct().count() == views.count()
         assert out.filter(F.col("purchase_id").isNull()).count() > 0
+
+    def test_stream_batch_mixed_sides(self, spark, tmp_path):
+        """One streaming side + one batch side: the streaming side must
+        get its watermark (and only it), each side cast by its own
+        dtype, and the emitted pairs must match the all-batch twin."""
+        from dataworks_aws_corporate_data_ingestion_spark.sources.tables import load_table
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.joins import (
+            interval_join_attribution,
+        )
+
+        events = load_table(spark, "events", "/root/testdata/sf0.001")
+        path = str(tmp_path / "ev_mixed")
+        events.write.parquet(path)
+        views_b = events.filter(F.col("event_type") == "view")
+        purch_b = events.filter(F.col("event_type") == "purchase")
+        batch = {
+            (r["view_id"], r["purchase_id"])
+            for r in interval_join_attribution(views_b, purch_b).collect()
+        }
+
+        stream = spark.readStream.schema(
+            spark.read.parquet(path).schema
+        ).parquet(path)
+        joined = interval_join_attribution(
+            stream.filter(F.col("event_type") == "view"),
+            purch_b,  # batch side
+        )
+        plan = joined._jdf.queryExecution().analyzed().toString()
+        assert plan.count("EventTimeWatermark") == 1
+        sq = (
+            joined.writeStream.format("memory")
+            .queryName("attrib_mixed")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(120)
+        got = {
+            (r["view_id"], r["purchase_id"])
+            for r in spark.sql("select * from attrib_mixed").collect()
+        }
+        assert got == batch
