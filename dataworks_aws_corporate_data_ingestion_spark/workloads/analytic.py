@@ -480,6 +480,101 @@ def daily_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_funnel_counts",
+    tags=("funnel", "sequence", "aggregation", "conversion"),
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(ts) FILTER (WHERE event_type = 'signup') AS t_signup,
+                   MIN(ts) FILTER (WHERE event_type = 'view') AS t_view,
+                   MIN(ts) FILTER (WHERE event_type = 'click') AS t_click,
+                   MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
+               CAST(SUM(CASE WHEN t_view >= t_signup THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_viewed,
+               CAST(SUM(CASE WHEN t_click >= t_view AND t_view >= t_signup
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+               CAST(SUM(CASE WHEN t_purchase >= t_click AND t_click >= t_view
+                              AND t_view >= t_signup
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
+        FROM firsts
+    """,
+)
+def event_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence funnel signup -> view -> click -> purchase: how
+    many users completed each ORDERED prefix (each step's first
+    occurrence at-or-after the previous step's).  Sequence detection
+    without MATCH_RECOGNIZE (which Spark lacks): for first-occurrence
+    funnels, per-user min timestamps per step carry the whole ordering,
+    so the corpus collapses to one row per user before any comparison
+    happens.
+
+    Scale notes: one (user) hash aggregate with conditional MINs
+    (map-side partial), then a scalar aggregate over user-sized data;
+    no window, no self-join, no per-step passes.  NULL timestamps
+    (step never done) fail every >= comparison in both engines, so
+    missing steps drop out without explicit null guards."""
+    e = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    m = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    firsts = e.groupBy("user_id").agg(
+        m("signup").alias("t_signup"),
+        m("view").alias("t_view"),
+        m("click").alias("t_click"),
+        m("purchase").alias("t_purchase"),
+    )
+    step2 = F.col("t_view") >= F.col("t_signup")
+    step3 = (F.col("t_click") >= F.col("t_view")) & step2
+    step4 = (F.col("t_purchase") >= F.col("t_click")) & step3
+    return firsts.agg(
+        F.count("t_signup").cast("bigint").alias("n_signup"),
+        F.sum(F.when(step2, 1).otherwise(0)).cast("bigint").alias("n_viewed"),
+        F.sum(F.when(step3, 1).otherwise(0)).cast("bigint").alias("n_clicked"),
+        F.sum(F.when(step4, 1).otherwise(0)).cast("bigint").alias("n_purchased"),
+    )
+
+
+@register(
+    "user_retention_cohorts",
+    tags=("cohort", "retention", "aggregation", "date-functions"),
+    oracle="""
+        WITH activity AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), cohorts AS (
+            SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+        )
+        SELECT c.cohort_day,
+               CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active_users
+        FROM activity a JOIN cohorts c USING (user_id)
+        GROUP BY 1, 2
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-active day, and
+    for each (cohort_day, day_offset) how many were active again --
+    the table behind every retention curve / triangle chart.
+
+    Scale notes: the corpus collapses to distinct (user, day) activity
+    first (map-side partial distinct), cohort assignment is a
+    user-sized aggregate joined back user-to-user (AQE picks the
+    strategy), and the final group-by runs over activity-sized data.
+    No window, no per-cohort passes; day arithmetic is date-integer
+    subtraction, timezone-free on NTZ in both engines."""
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    activity = e.distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active_users"))
+    )
+
+
+@register(
     "group_content_signature",
     tags=("aggregation", "udaf", "pandas-grouped-agg", "drift-detection"),
     oracle="""
