@@ -250,6 +250,114 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "documents_k_per_source",
+    tags=("sampling", "k-per-group", "training-data", "window"),
+    oracle="""
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('kps' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM documents
+        ) WHERE rk <= 20
+    """,
+)
+def documents_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY k docs per source (k=20), chosen by hash order -- the
+    fixed-size eval-set / few-shot-pool primitive where rate-based
+    sampling (documents_stratified_sample) can't promise a count.
+    Selection is the k smallest md5('kps'||doc_id) per source: stable
+    under reruns and engine-auditable, and an existing member is only
+    ever displaced when a new doc hashes below the current k-th -- the
+    same minwise property the minhash sketch relies on.
+
+    Scale notes: one hash exchange on source + per-group sort for the
+    rank; groups are source-sized, never corpus-global.  For very few
+    very large groups, a two-phase top-k (per-partition heads, then
+    merge) would cut the sort -- at normal source cardinalities the
+    window IS the right plan."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat(F.lit("kps"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "event_value_robust_stats",
+    tags=("aggregation", "percentile", "robust-stats", "outliers"),
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med_value
+            FROM events GROUP BY event_type
+        ), dev AS (
+            SELECT e.event_type, m.med_value,
+                   quantile_cont(ABS(e.value - m.med_value), 0.5) AS mad_value
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY e.event_type, m.med_value
+        )
+        SELECT d.event_type, d.med_value, d.mad_value,
+               CAST(COUNT(*) FILTER (
+                   WHERE ABS(e.value - d.med_value) > 3 * d.mad_value
+               ) AS BIGINT) AS n_outliers
+        FROM events e JOIN dev d USING (event_type)
+        GROUP BY d.event_type, d.med_value, d.mad_value
+    """,
+)
+def event_value_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group location/scale + outlier count: median, median
+    absolute deviation, and how many values sit outside the 3-MAD
+    fence -- the outlier screen that, unlike mean/stddev z-scores, is
+    not dragged by the outliers it is trying to find.  Exact
+    interpolated percentiles match DuckDB quantile_cont bit-for-bit
+    (verify-skill invariant), and |x - med| / 3*mad are single IEEE
+    ops on identically-derived doubles, so even the fence comparison
+    reproduces exactly.
+
+    Scale notes: three passes over events (median, MAD, fence count),
+    each a map-side-partial aggregate with the tiny per-type stats
+    broadcast back -- no window, no sort of the corpus.  At 100 TB,
+    swap percentile for approx_percentile and keep the shape (the
+    sketch twin pattern approx_percentiles_by_flag certifies)."""
+    e = load_table(spark, "events", sf_dir).select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med_value")
+    )
+    dev = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med_value")
+        .agg(
+            F.percentile(
+                F.abs(F.col("value") - F.col("med_value")), F.lit(0.5)
+            ).alias("mad_value")
+        )
+    )
+    return (
+        e.join(F.broadcast(dev), "event_type")
+        .groupBy("event_type", "med_value", "mad_value")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med_value"))
+                    > 3 * F.col("mad_value"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+    )
+
+
 def _profile_oracle() -> str:
     return " UNION ALL ".join(
         f"""
