@@ -1,0 +1,69 @@
+"""Degenerate-input robustness: empty frames and no-match joins must
+flow through the operators without errors and with the right shapes.
+An engine that 100 TB pipelines call unsupervised cannot throw on the
+day a filter matches nothing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataworks_aws_corporate_data_ingestion_spark.operators.merge import merge_snapshot
+from dataworks_aws_corporate_data_ingestion_spark.operators.packing import pack_sequences
+from dataworks_aws_corporate_data_ingestion_spark.operators.sharding import shuffle_shards
+from dataworks_aws_corporate_data_ingestion_spark.streaming.joins import (
+    interval_join_attribution,
+)
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id bigint, text string, n_tokens bigint")
+
+
+def test_merge_snapshot_empty_dailies(spark):
+    snap = spark.createDataFrame(
+        [("a", "INSERT", "v1", "0")], "id string, db_type string, val string, id_part string"
+    )
+    out = merge_snapshot(snap, snap.limit(0))
+    assert out.count() == 1
+
+
+def test_merge_snapshot_empty_snapshot(spark):
+    dailies = spark.createDataFrame(
+        [("a", "INSERT", "v1", "0")], "id string, db_type string, val string, id_part string"
+    )
+    out = merge_snapshot(dailies.limit(0), dailies)
+    assert out.count() == 1
+
+
+def test_shuffle_shards_empty(spark):
+    d = _empty_docs(spark)
+    out = shuffle_shards(d.select("doc_id"), "doc_id", 8)
+    assert out.count() == 0
+    assert set(out.columns) >= {"doc_id", "shard", "pos"}
+
+
+def test_pack_sequences_empty(spark):
+    d = _empty_docs(spark).select("doc_id", "n_tokens")
+    out = pack_sequences(d, budget=512)
+    assert out.count() == 0
+
+
+def test_interval_join_no_matches(spark):
+    views = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:00:00")], "event_id bigint, user_id bigint, ts_s string"
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"), F.lit(0.0).alias("value"))
+    purchases = views.filter(F.lit(False))
+    inner = interval_join_attribution(views, purchases)
+    assert inner.count() == 0
+    outer = interval_join_attribution(views, purchases, how="leftOuter")
+    rows = outer.collect()
+    assert len(rows) == 1 and rows[0]["purchase_id"] is None
+
+
+def test_quality_sweep_runs_on_empty_filter(spark):
+    """The registered sweep over a corpus where the filter removes all
+    rows: 0-row output, no division-by-zero from the window."""
+    from dataworks_aws_corporate_data_ingestion_spark.workload import QUERIES
+
+    df = QUERIES["quality_threshold_sweep"].fn(spark, "/root/testdata/sf0.001")
+    assert df.filter(F.lit(False)).count() == 0

@@ -70,3 +70,33 @@ class TestSchemaEvolution:
         assert df.count() == 3
         assert df.filter(F.col("score").isNotNull()).count() == 1
         assert df.schema["day"].dataType.simpleString() == "date"
+
+
+class TestProvenanceMetadata:
+    def test_metadata_columns_survive_partitioned_write(self, spark, tmp_path):
+        """The hidden _metadata struct gives per-row file provenance --
+        the 100 TB debugging tool ('which physical file produced this
+        row') -- and must track files through a partitioned write."""
+        from dataworks_aws_corporate_data_ingestion_spark.sources.tables import load_table
+
+        events = load_table(spark, "events", "/root/testdata/sf0.001").select(
+            "event_id", "event_type"
+        )
+        root = str(tmp_path / "prov")
+        events.write.partitionBy("event_type").parquet(root)
+        back = spark.read.parquet(root).select(
+            "event_id",
+            "event_type",
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.file_name").alias("fn"),
+            F.col("_metadata.file_size").alias("sz"),
+        )
+        # every row maps to a real file inside its partition directory
+        bad = back.filter(
+            ~F.col("fp").contains(F.concat(F.lit("event_type="), F.col("event_type")))
+        )
+        assert bad.count() == 0
+        per_file = back.groupBy("fp", "sz").count().collect()
+        assert len(per_file) >= back.select("event_type").distinct().count()
+        assert all(r["sz"] > 0 for r in per_file)
+        assert back.count() == events.count()
