@@ -477,3 +477,83 @@ def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="total",
     )
+
+
+@register(
+    "purchases_point_in_time_state",
+    tags=("point-in-time", "scd2", "join", "feature-store"),
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                          OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), isl AS (
+            SELECT user_id, event_type, ts,
+                   SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS island
+            FROM ordered
+        ), coll AS (
+            SELECT user_id, island, MAX(event_type) AS event_type,
+                   MIN(ts) AS valid_from
+            FROM isl GROUP BY user_id, island
+        ), dim AS (
+            SELECT user_id, event_type AS state, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+                       AS valid_to
+            FROM coll
+        )
+        SELECT f.event_id, f.user_id, f.ts,
+               d.state, d.valid_from AS state_since
+        FROM events f
+        JOIN dim d
+          ON d.user_id = f.user_id
+         AND d.valid_from <= f.ts
+         AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+        WHERE f.event_type = 'purchase'
+    """,
+)
+def purchases_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join: attach to each purchase the user's SCD2 state
+    interval containing the purchase timestamp -- the feature-store
+    correctness primitive (training features must reflect what was
+    known AT event time; joining the CURRENT dimension row leaks the
+    future into the label).  Exactly one dim row matches per fact
+    because SCD2 intervals tile each user's timeline.
+
+    Scale notes: equi-join on user_id (one exchange per side, AQE
+    broadcast if the dim fits) with the validity interval as a
+    post-join filter -- never a theta-only join.  For dimensions with
+    extreme per-key churn, the as-of union trick (operators/asof.py)
+    computes the same 'last version at-or-before ts' in one window
+    pass without the interval filter."""
+    from ..operators.scd import scd2_history
+
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    dim = scd2_history(
+        events, key="user_id", attr="event_type", ts="ts", tiebreak="event_id"
+    ).select(
+        F.col("user_id").alias("d_user_id"),
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    cond = (
+        (F.col("user_id") == F.col("d_user_id"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return facts.join(dim, cond).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "state",
+        F.col("valid_from").alias("state_since"),
+    )
