@@ -880,3 +880,93 @@ def zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             [F.col("user_id"), F.floor("value").cast("bigint")], bits=10
         ).alias("zval"),
     )
+
+
+@register(
+    "user_sequence_match_counts",
+    tags=("sequence", "automaton", "higher-order-functions", "funnel"),
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   CAST(list(CASE event_type
+                                 WHEN 'view' THEN 1
+                                 WHEN 'click' THEN 2
+                                 WHEN 'purchase' THEN 3
+                                 ELSE 0 END ORDER BY ts, event_id)
+                        AS BIGINT[]) AS codes
+            FROM events GROUP BY user_id
+        ), folded AS (
+            SELECT user_id,
+                   -- FLAT single CASE: a CASE nested inside the lambda's
+                   -- CASE mis-evaluates in DuckDB 1.0.0's grouped
+                   -- pipeline (returned acc contradicted a reference
+                   -- fold of the very list the same query yields);
+                   -- the flattened delta form is bug-free and the
+                   -- Spark side mirrors it token-for-token
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                       (acc, c) -> acc + CASE
+                           WHEN c = (acc // 1000000) + 1
+                                AND (acc // 1000000) = 2 THEN -1999999
+                           WHEN c = (acc // 1000000) + 1 THEN 1000000
+                           ELSE 0 END) AS acc
+            FROM seq
+        )
+        SELECT user_id,
+               CAST(acc % 1000000 AS BIGINT) AS n_matches,
+               CAST(acc // 1000000 AS BIGINT) AS pending_stage
+        FROM folded
+    """,
+)
+def user_sequence_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern automaton as a CATALYST FOLD: per user, count
+    greedy non-overlapping view -> click -> purchase subsequence
+    matches over the time-ordered event stream.  Spark has no
+    MATCH_RECOGNIZE; instead the automaton state (stage, count) is
+    packed into one BIGINT (stage*1e6 + count) and advanced by
+    F.aggregate over the ordered per-user code array -- whole-stage
+    codegen, no Python, and the identical integer fold runs in DuckDB's
+    list_reduce, so the oracle is exact.  pending_stage exposes the
+    in-flight partial match (resume state for incremental runs).
+
+    Scale notes: one shuffle to group each user's events; the array
+    holds one user's events only (bounded per key -- the unbounded-key
+    streaming twin is applyInPandasWithState, streaming/stateful.py).
+    The fold is O(events) with zero additional shuffles.  Generalising
+    the pattern = swapping the code CASE and the terminal stage
+    constant."""
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.struct(
+            F.col("ts"),
+            F.col("event_id"),
+            F.when(F.col("event_type") == "view", 1)
+            .when(F.col("event_type") == "click", 2)
+            .when(F.col("event_type") == "purchase", 3)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("code"),
+        ).alias("ev"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("ev")).alias("seq")
+    )
+    folded = per_user.select(
+        "user_id",
+        F.expr(
+            """
+            aggregate(
+                transform(seq, s -> s.code),
+                CAST(0 AS BIGINT),
+                (acc, c) -> acc + CASE
+                    WHEN c = (acc div 1000000) + 1
+                         AND (acc div 1000000) = 2 THEN -1999999
+                    WHEN c = (acc div 1000000) + 1 THEN CAST(1000000 AS BIGINT)
+                    ELSE 0 END)
+            """
+        ).alias("acc"),
+    )
+    return folded.select(
+        "user_id",
+        (F.col("acc") % 1000000).cast("bigint").alias("n_matches"),
+        F.expr("acc div 1000000").cast("bigint").alias("pending_stage"),
+    )
