@@ -115,3 +115,104 @@ def zscore_alert_query(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+SEQ_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_matches", LongType()),
+        StructField("pending_stage", LongType()),
+    ]
+)
+
+SEQ_STATE_SCHEMA = StructType(
+    [
+        StructField("stage", LongType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+
+def _sequence_fn(terminal: int):
+    """Automaton advance identical to the batch Catalyst fold
+    (workloads/analytic.py::user_sequence_match_counts): greedy
+    non-overlapping subsequence matching, state = (stage, count)."""
+
+    def fn(
+        key: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        stage, cnt = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for c in pdf["code"]:
+                if int(c) == stage + 1:
+                    if stage + 1 == terminal:
+                        cnt += 1
+                        stage = 0
+                    else:
+                        stage += 1
+        state.update((stage, cnt))
+        yield pd.DataFrame(
+            [(int(user_id), cnt, stage)],
+            columns=[f.name for f in SEQ_OUT_SCHEMA.fields],
+        )
+
+    return fn
+
+
+def sequence_match_query(
+    spark: SparkSession,
+    delta_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Unbounded-stream twin of user_sequence_match_counts: the batch
+    form folds each user's WHOLE history into an array, which an
+    endless stream can never materialise; here the (stage, count)
+    automaton state lives in the state store and each micro-batch
+    advances it with only its own events (in event-time order within
+    the batch; cross-batch order is arrival order, the streaming
+    contract).  Emits one running-total row per touched user per batch
+    -- the LAST row per user in the sink is the current total, and the
+    batch fold over the same prefix is the equivalence test.
+
+    Scale notes: state is two longs per user; a batch touches only the
+    keys it contains.  Restart-safe via the checkpoint exactly like
+    zscore_alert_query."""
+    from pyspark.sql import functions as F
+
+    events = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double"
+    ).parquet(delta_dir)
+    coded = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("code"),
+    )
+    totals = coded.groupBy("user_id").applyInPandasWithState(
+        _sequence_fn(3),
+        SEQ_OUT_SCHEMA,
+        SEQ_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        totals.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -775,3 +775,62 @@ class TestStreamStreamIntervalJoin:
             for r in spark.sql("select * from attrib_mixed").collect()
         }
         assert got == batch
+
+
+class TestStatefulSequenceMatch:
+    def test_stream_matches_batch_fold_across_restarts(self, spark, tmp_path):
+        """Two time-ordered micro-batches through the automaton state
+        store (with a checkpoint restart between them) must land on the
+        same (n_matches, pending_stage) as the batch Catalyst fold over
+        the full history (user_sequence_match_counts semantics)."""
+        from dataworks_aws_corporate_data_ingestion_spark.sources.tables import load_table
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.stateful import (
+            sequence_match_query,
+        )
+        from dataworks_aws_corporate_data_ingestion_spark.workload import QUERIES
+
+        events = load_table(spark, "events", "/root/testdata/sf0.001").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        cutoff = events.selectExpr(
+            "timestampadd(MICROSECOND,"
+            " CAST(percentile(timestampdiff(MICROSECOND,"
+            "   TIMESTAMP_NTZ '1970-01-01 00:00:00', ts), 0.5) AS BIGINT),"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00') as m"
+        ).first()["m"]
+
+        delta_dir = tmp_path / "seq_events"
+        delta_dir.mkdir()
+        out_dir = str(tmp_path / "seq_out")
+        ckpt = str(tmp_path / "seq_ckpt")
+        # batch 1: early half; batch 2: late half (cross-batch arrival
+        # order == event-time order, the streaming contract)
+        events.filter(F.col("ts") <= F.lit(cutoff)).write.mode("append").parquet(
+            str(delta_dir)
+        )
+        q = sequence_match_query(spark, str(delta_dir), out_dir, ckpt)
+        q.awaitTermination(120)
+        events.filter(F.col("ts") > F.lit(cutoff)).write.mode("append").parquet(
+            str(delta_dir)
+        )
+        q = sequence_match_query(spark, str(delta_dir), out_dir, ckpt)
+        q.awaitTermination(120)
+
+        out = spark.read.parquet(out_dir)
+        # the current total per user is the max (n_matches, pending_stage)
+        # struct: n_matches is monotone across batches, and at equal
+        # n_matches the stage only advances, so the max IS the latest
+        latest = (
+            out.groupBy("user_id")
+            .agg(F.max(F.struct("n_matches", "pending_stage")).alias("s"))
+            .select("user_id", "s.n_matches", "s.pending_stage")
+        )
+        expected = QUERIES["user_sequence_match_counts"].fn(
+            spark, "/root/testdata/sf0.001"
+        )
+        got = {r["user_id"]: (r["n_matches"], r["pending_stage"]) for r in latest.collect()}
+        want = {
+            r["user_id"]: (r["n_matches"], r["pending_stage"])
+            for r in expected.collect()
+        }
+        assert got == want
