@@ -124,6 +124,8 @@ def write_training_shards(
     only tail parallelism is.  The dynamic partition overwrite keeps
     re-runs idempotent per shard."""
     _check_n_shards(n_shards)
+    if tasks_per_shard < 1:
+        raise ValueError(f"tasks_per_shard must be >= 1, got {tasks_per_shard}")
     key_col = F.col(key) if isinstance(key, str) else key
     clustered = (
         df.withColumn("__h", _order_hash(key_col, salt))

@@ -60,9 +60,14 @@ def _zscore_fn(k: float, min_n: int):
         (user_id,) = key
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
         rows = []
-        for pdf in pdfs:
-            # event-time order makes the online statistic deterministic
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # a group's micro-batch arrives as MULTIPLE arrow chunks when it
+        # exceeds maxRecordsPerBatch, and chunk boundaries follow shuffle
+        # arrival, not time -- concatenate BEFORE the sort or cross-chunk
+        # events process out of event-time order
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        if len(pdf):
             for event_id, value in zip(pdf["event_id"], pdf["value"]):
                 value = float(value)
                 if n >= min_n:
@@ -145,8 +150,13 @@ def _sequence_fn(terminal: int):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         stage, cnt = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # concat-then-sort: chunk boundaries are arrival-ordered, and a
+        # chunk-local sort would feed the automaton out of time order
+        # for groups spanning multiple arrow chunks
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        if len(pdf):
             for c in pdf["code"]:
                 if int(c) == stage + 1:
                     if stage + 1 == terminal:

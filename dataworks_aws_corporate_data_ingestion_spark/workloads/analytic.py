@@ -905,15 +905,17 @@ def zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                    -- Spark side mirrors it token-for-token
                    list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
                        (acc, c) -> acc + CASE
-                           WHEN c = (acc // 1000000) + 1
-                                AND (acc // 1000000) = 2 THEN -1999999
-                           WHEN c = (acc // 1000000) + 1 THEN 1000000
+                           WHEN c = (acc // 1000000000000) + 1
+                                AND (acc // 1000000000000) = 2
+                               THEN -1999999999999
+                           WHEN c = (acc // 1000000000000) + 1
+                               THEN 1000000000000
                            ELSE 0 END) AS acc
             FROM seq
         )
         SELECT user_id,
-               CAST(acc % 1000000 AS BIGINT) AS n_matches,
-               CAST(acc // 1000000 AS BIGINT) AS pending_stage
+               CAST(acc % 1000000000000 AS BIGINT) AS n_matches,
+               CAST(acc // 1000000000000 AS BIGINT) AS pending_stage
         FROM folded
     """,
 )
@@ -922,7 +924,10 @@ def user_sequence_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy non-overlapping view -> click -> purchase subsequence
     matches over the time-ordered event stream.  Spark has no
     MATCH_RECOGNIZE; instead the automaton state (stage, count) is
-    packed into one BIGINT (stage*1e6 + count) and advanced by
+    packed into one BIGINT (stage*1e12 + count -- the count field wraps
+    only past 1e12 completed matches per user, beyond any physical
+    event volume; stage <= 2 keeps the packed value under 4e12) and
+    advanced by
     F.aggregate over the ordered per-user code array -- whole-stage
     codegen, no Python, and the identical integer fold runs in DuckDB's
     list_reduce, so the oracle is exact.  pending_stage exposes the
@@ -958,15 +963,17 @@ def user_sequence_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 transform(seq, s -> s.code),
                 CAST(0 AS BIGINT),
                 (acc, c) -> acc + CASE
-                    WHEN c = (acc div 1000000) + 1
-                         AND (acc div 1000000) = 2 THEN -1999999
-                    WHEN c = (acc div 1000000) + 1 THEN CAST(1000000 AS BIGINT)
+                    WHEN c = (acc div 1000000000000) + 1
+                         AND (acc div 1000000000000) = 2
+                        THEN CAST(-1999999999999 AS BIGINT)
+                    WHEN c = (acc div 1000000000000) + 1
+                        THEN CAST(1000000000000 AS BIGINT)
                     ELSE 0 END)
             """
         ).alias("acc"),
     )
     return folded.select(
         "user_id",
-        (F.col("acc") % 1000000).cast("bigint").alias("n_matches"),
-        F.expr("acc div 1000000").cast("bigint").alias("pending_stage"),
+        (F.col("acc") % 1000000000000).cast("bigint").alias("n_matches"),
+        F.expr("acc div 1000000000000").cast("bigint").alias("pending_stage"),
     )

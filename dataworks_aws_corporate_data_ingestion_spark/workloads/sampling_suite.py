@@ -281,9 +281,9 @@ def documents_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir).select("doc_id", "source")
     from pyspark.sql import Window
 
-    h = F.md5(
-        F.concat(F.lit("kps"), F.col("doc_id").cast("string")).cast("binary")
-    )
+    from ..operators.sharding import _order_hash
+
+    h = _order_hash(F.col("doc_id"), "kps")
     w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
     return (
         d.withColumn("rk", F.row_number().over(w))

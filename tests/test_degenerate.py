@@ -60,10 +60,25 @@ def test_interval_join_no_matches(spark):
     assert len(rows) == 1 and rows[0]["purchase_id"] is None
 
 
-def test_quality_sweep_runs_on_empty_filter(spark):
-    """The registered sweep over a corpus where the filter removes all
-    rows: 0-row output, no division-by-zero from the window."""
+def test_registered_queries_survive_empty_corpus(spark, tmp_path):
+    """Run representative registered queries against an EMPTY documents
+    table (schema-correct zero-row parquet written into a synthetic
+    sf_dir): zero-row output, no division-by-zero, no window crash.
+    filter(lit(False)) on the OUTPUT would be vacuous -- Catalyst prunes
+    the whole plan to an empty relation -- so the emptiness goes in at
+    the SOURCE."""
     from dataworks_aws_corporate_data_ingestion_spark.workload import QUERIES
 
-    df = QUERIES["quality_threshold_sweep"].fn(spark, "/root/testdata/sf0.001")
-    assert df.filter(F.lit(False)).count() == 0
+    sf_dir = str(tmp_path / "empty_sf")
+    empty = spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    empty.write.parquet(f"{sf_dir}/documents.parquet")
+    for name in (
+        "quality_threshold_sweep",
+        "text_stats",
+        "training_shards",
+        "documents_k_per_source",
+        "documents_deterministic_sample",
+    ):
+        assert QUERIES[name].fn(spark, sf_dir).count() == 0, name
