@@ -57,3 +57,49 @@ def merge_snapshot(
         else unioned.repartitionByRange(*keys)
     )
     return latest_by_key(clustered, keys, order_by or [F.col("db_type").asc()])
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Keyed diff of two snapshots: one row per key present in either,
+    classified added / removed / changed / unchanged -- the audit a
+    data owner runs between two exports ("what did this week's merge
+    actually do").  Change detection compares the value columns
+    null-safely (<=> semantics), so NULL -> value and value -> NULL
+    both classify as changed.
+
+    Scale notes: one full outer join on the keys -- both sides shuffle
+    once on the same key, and when the snapshots share a clustered
+    write layout (sinks/writers.py) the exchange is cheap and
+    co-located.  The classification is pure column logic in the join's
+    output projection; no second pass."""
+    o = old.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in value_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in value_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    joined = o.join(n, list(keys), "full_outer")
+    same_vals = F.lit(True)
+    for c in value_cols:
+        same_vals = same_vals & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(same_vals, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        *keys,
+        status.alias("status"),
+        *[F.col(f"old_{c}") for c in value_cols],
+        *[F.col(f"new_{c}") for c in value_cols],
+    )

@@ -557,3 +557,66 @@ def purchases_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame
         "state",
         F.col("valid_from").alias("state_since"),
     )
+
+
+@register(
+    "snapshot_diff_orders",
+    tags=("diff", "full-outer-join", "audit", "ops"),
+    oracle="""
+        WITH old AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderdate < DATE '1996-01-01'
+        ), new AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 97 = 0 THEN 'X'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   o_totalprice
+            FROM orders
+            WHERE o_orderdate < DATE '1997-01-01'
+        )
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                         AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                        THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               o.o_orderstatus AS old_o_orderstatus,
+               o.o_totalprice AS old_o_totalprice,
+               n.o_orderstatus AS new_o_orderstatus,
+               n.o_totalprice AS new_o_totalprice
+        FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/merge.py::snapshot_diff) over two
+    synthetic export states of `orders`: 'old' is pre-1996 orders,
+    'new' extends to 1997 with every 97th status mutated -- exercising
+    added, changed, AND unchanged classes (removed is covered by the
+    operator's null-safe full-outer logic and pytests).  The audit
+    table a data owner diffs between weekly exports.
+
+    Scale notes: one full-outer join on the snapshot key; null-safe
+    equality (<=>) drives change detection so NULL transitions
+    classify as changed, not silently equal."""
+    from ..operators.merge import snapshot_diff
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    old = orders.filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("date")).drop(
+        "o_orderdate"
+    )
+    new = (
+        orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .drop("o_orderdate")
+    )
+    return snapshot_diff(
+        old, new, keys=["o_orderkey"], value_cols=["o_orderstatus", "o_totalprice"]
+    )

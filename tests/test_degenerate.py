@@ -82,3 +82,18 @@ def test_registered_queries_survive_empty_corpus(spark, tmp_path):
         "documents_deterministic_sample",
     ):
         assert QUERIES[name].fn(spark, sf_dir).count() == 0, name
+
+
+def test_snapshot_diff_all_classes(spark):
+    """added / removed / changed / unchanged, including NULL->value
+    transitions (null-safe compare must call them changed)."""
+    from dataworks_aws_corporate_data_ingestion_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "id int, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (5, "e")], "id int, v string"
+    )
+    out = {r["id"]: r["status"] for r in snapshot_diff(old, new, ["id"], ["v"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "changed", 4: "removed", 5: "added"}
