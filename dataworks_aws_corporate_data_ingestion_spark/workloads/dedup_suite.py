@@ -293,3 +293,38 @@ def duplicate_cluster_sizes_query(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("size").cast("bigint").alias("cluster_size"),
         (F.col("size") > F.lit(2)).alias("oversize"),
     )
+
+
+@register(
+    "duplicate_graph_triangles",
+    tags=("dedup", "graph", "triangles", "join"),
+    oracle=f"""
+        WITH pairs AS ({_PAIRS_JACCARD_ORACLE})
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.a = e1.b
+        JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def duplicate_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles (a<b<c mutually near-duplicate) in the duplicate graph
+    -- the density probe that distinguishes a tight duplicate CLIQUE
+    (template spam: everything similar to everything) from a CHAIN of
+    pairwise-similar drift, which connected components alone cannot
+    (both are one component).  Edges come from the sub-quadratic
+    minhash path; edge orientation (a<b) makes each triangle appear
+    exactly once via the a<b<c join pattern.
+
+    Scale notes: both joins run on the PAIR set, orders of magnitude
+    below corpus size -- one shuffle on the shared endpoint, one on
+    (a, c); the corpus itself is touched only by the minhash pass.
+    Degenerate hot vertices (a doc similar to millions) are the same
+    boilerplate pathology the minhash frequency cap and the CC
+    giant-cluster guard already bound."""
+    pairs = near_dup_pairs_minhash(load_table(spark, "documents", sf_dir)).select(
+        "a", "b"
+    )
+    e1 = pairs
+    e2 = pairs.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = pairs.select(F.col("a"), F.col("b").alias("c"))
+    return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")

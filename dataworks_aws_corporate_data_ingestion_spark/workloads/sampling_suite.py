@@ -293,6 +293,42 @@ def documents_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "documents_length_weighted_sample",
+    tags=("sampling", "weighted", "training-data"),
+    oracle="""
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE n_chars >= 400
+           OR substr(md5('lw' || CAST(doc_id AS VARCHAR)), 1, 4)
+              < lpad(lower(to_hex((n_chars * 65536) // 400)), 4, '0')
+    """,
+)
+def documents_length_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-ROW weighted sampling: each document's keep probability is
+    proportional to its OWN length (n_chars/400, capped at 1) -- the
+    downweight-short-junk move, where per-source rates
+    (documents_stratified_sample) are too blunt.  The row's weight
+    becomes an exact integer threshold ((n_chars*65536) div 400) in the
+    md5 bucket space, so membership is a pure function of (key, weight)
+    any engine recomputes -- no rand(), no layout dependence.
+
+    Scale notes: one per-row hash + integer compare inside the scan
+    stage; no shuffle, no aggregate (the weight is row-local, unlike
+    token_budget_mixture's corpus-derived rates).  The 65536 product
+    stays under 2^32 for any plausible n_chars; cap the weight column
+    upstream if weights can exceed the bucket-space ratio."""
+    from ..operators.sampling import _hash_prefix
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "n_chars"
+    )
+    thr = F.lpad(
+        F.lower(F.hex(F.expr("(n_chars * 65536) div 400"))), 4, "0"
+    )
+    h = _hash_prefix(F.col("doc_id"), salt="lw")
+    return d.filter((F.col("n_chars") >= 400) | (h < thr))
+
+
+@register(
     "event_value_robust_stats",
     tags=("aggregation", "percentile", "robust-stats", "outliers"),
     oracle="""
