@@ -14,7 +14,6 @@ are what this targets).
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 
 def plan_compaction(
