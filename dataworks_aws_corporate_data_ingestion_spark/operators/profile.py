@@ -47,3 +47,56 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def expectation_report(
+    df: DataFrame,
+    rules: "list[tuple[str, F.Column]]",
+    unique_keys: "list[str] | None" = None,
+) -> DataFrame:
+    """Data-contract gate: evaluate every expectation in ONE aggregate
+    pass and emit (rule, n_rows, n_violations, passed) per rule -- the
+    report an ingestion job checks before promoting a batch to
+    training (the engine's Great-Expectations-shaped primitive, config
+    as code: a rule is just (name, boolean Column)).
+
+    A row VIOLATES a rule when the predicate is not TRUE -- NULL
+    counts as a violation, so `col > 0` catches nulls without every
+    rule spelling isNotNull.  `unique_keys` adds a uniqueness
+    expectation per listed column (violations = n_rows - n_distinct,
+    counting nulls as duplicates of nothing: distinct ignores null, so
+    a null key is always a violation).
+
+    Scale notes: all predicate counts ride one map-side-partial
+    aggregate (a single wide row); uniqueness adds count_distinct via
+    Expand like profile_columns.  No per-rule passes, no driver-side
+    row inspection; the unpivot to rule rows handles a
+    rules-count-sized frame."""
+    unique_keys = unique_keys or []
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    names: list[str] = []
+    for i, (name, pred) in enumerate(rules):
+        aggs.append(
+            F.sum(F.when(pred, 0).otherwise(1)).cast("bigint").alias(f"v_{i}")
+        )
+        names.append(name)
+    base = len(rules)
+    for j, k in enumerate(unique_keys):
+        aggs.append(
+            (F.count(F.lit(1)) - F.count_distinct(F.col(k)))
+            .cast("bigint")
+            .alias(f"v_{base + j}")
+        )
+        names.append(f"unique({k})")
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', v_{i}" for i, name in enumerate(names)
+    )
+    return wide.selectExpr(
+        "n_rows", f"stack({len(names)}, {stack_args}) AS (rule, n_violations)"
+    ).select(
+        "rule",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

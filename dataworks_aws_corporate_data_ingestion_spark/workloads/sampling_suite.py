@@ -426,3 +426,53 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "documents", sf_dir),
         ["doc_id", "lang", "source", "n_chars"],
     )
+
+
+@register(
+    "documents_expectation_report",
+    tags=("data-quality", "expectations", "contract", "aggregation"),
+    oracle="""
+        WITH base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents)
+        SELECT r.rule, b.n_rows, r.n_violations,
+               r.n_violations = 0 AS passed
+        FROM base b CROSS JOIN (
+            SELECT 'doc_id_positive' AS rule,
+                   CAST(COUNT(*) FILTER (WHERE doc_id IS NULL OR doc_id < 0)
+                       AS BIGINT) AS n_violations FROM documents
+            UNION ALL
+            SELECT 'text_nonempty',
+                   CAST(COUNT(*) FILTER (WHERE text IS NULL OR length(text) = 0)
+                       AS BIGINT) FROM documents
+            UNION ALL
+            SELECT 'n_chars_matches_text',
+                   CAST(COUNT(*) FILTER (WHERE n_chars IS NULL
+                        OR n_chars <> length(text)) AS BIGINT) FROM documents
+            UNION ALL
+            SELECT 'source_known',
+                   CAST(COUNT(*) FILTER (WHERE source IS NULL
+                        OR source NOT LIKE 'src%') AS BIGINT) FROM documents
+            UNION ALL
+            SELECT 'unique(doc_id)',
+                   CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+            FROM documents
+        ) r
+    """,
+)
+def documents_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract gate over `documents`
+    (operators/profile.py::expectation_report): five expectations --
+    positive ids, non-empty text, n_chars consistent with text, known
+    source prefix, unique ids -- evaluated in ONE aggregate pass, each
+    reported as (rule, n_rows, n_violations, passed).  The report an
+    ingestion job diffs before promoting a batch to training; a NULL in
+    any predicate counts as a violation, never a silent pass."""
+    from ..operators.profile import expectation_report
+
+    d = load_table(spark, "documents", sf_dir)
+    rules = [
+        ("doc_id_positive", F.col("doc_id") >= 0),
+        ("text_nonempty", F.length("text") > 0),
+        ("n_chars_matches_text", F.col("n_chars") == F.length("text")),
+        ("source_known", F.col("source").startswith("src")),
+    ]
+    return expectation_report(d, rules, unique_keys=["doc_id"])

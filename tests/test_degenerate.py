@@ -97,3 +97,29 @@ def test_snapshot_diff_all_classes(spark):
     )
     out = {r["id"]: r["status"] for r in snapshot_diff(old, new, ["id"], ["v"]).collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+
+def test_expectation_report_counts_violations(spark):
+    """Violations count correctly, NULL predicates are violations (not
+    silent passes), and duplicate/null keys fail uniqueness."""
+    from dataworks_aws_corporate_data_ingestion_spark.operators.profile import (
+        expectation_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "c"), (None, "d"), (-5, "e")],
+        "id int, txt string",
+    )
+    out = {
+        r["rule"]: (r["n_violations"], r["passed"])
+        for r in expectation_report(
+            df,
+            [("id_positive", F.col("id") >= 0), ("txt_present", F.col("txt").isNotNull())],
+            unique_keys=["id"],
+        ).collect()
+    }
+    # id >= 0: -5 fails, NULL id fails (null predicate = violation)
+    assert out["id_positive"] == (2, False)
+    assert out["txt_present"] == (1, False)
+    # unique(id): 5 rows, distinct non-null ids = {1,2,-5} -> 2 violations
+    assert out["unique(id)"] == (2, False)
