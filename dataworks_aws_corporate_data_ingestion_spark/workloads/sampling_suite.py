@@ -476,3 +476,80 @@ def documents_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("source_known", F.col("source").startswith("src")),
     ]
     return expectation_report(d, rules, unique_keys=["doc_id"])
+
+
+@register(
+    "epoch_shuffle_decorrelation",
+    tags=("sharding", "shuffle", "training-data", "multi-epoch"),
+    oracle=f"""
+        WITH k AS (
+            SELECT doc_id,
+                   md5('epoch1' || CAST(doc_id AS VARCHAR)) AS h1,
+                   md5('epoch2' || CAST(doc_id AS VARCHAR)) AS h2
+            FROM documents
+        ), assigned AS (
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(h1, 1, 8) AS BIGINT) % {_N_SHARDS}
+                       AS INTEGER) AS s1,
+                   CAST(CAST('0x' || substr(h2, 1, 8) AS BIGINT) % {_N_SHARDS}
+                       AS INTEGER) AS s2,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY CAST('0x' || substr(h1, 1, 8) AS BIGINT)
+                           % {_N_SHARDS}
+                       ORDER BY h1, doc_id) AS BIGINT) AS p1,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY CAST('0x' || substr(h2, 1, 8) AS BIGINT)
+                           % {_N_SHARDS}
+                       ORDER BY h2, doc_id) AS BIGINT) AS p2
+            FROM k
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN s1 = s2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_same_shard,
+               CAST(SUM(CASE WHEN s1 = s2 AND p1 = p2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_same_slot,
+               SUM(CASE WHEN s1 = s2 THEN 1 ELSE 0 END) * {_N_SHARDS}
+                   < COUNT(*) * 2 AS decorrelated
+        FROM assigned
+    """,
+)
+def epoch_shuffle_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch training order certificate: shuffling the corpus
+    under two different epoch salts must give INDEPENDENT orders --
+    same-shard collisions near the 1/N chance rate and (shard, pos)
+    slot collisions near zero.  Columns are exact integers (both
+    engines recompute both shuffles bit-for-bit) plus a cross-
+    multiplied boolean bound (same-shard rate < 2/N), so either a
+    broken salt (epochs identical: n_same_shard == n_docs flips the
+    bound) or a broken hash hash-mismatches.
+
+    Scale notes: two hash exchanges (one per epoch's shard window) and
+    a doc-keyed join of two corpus-sized frames; everything downstream
+    is a scalar aggregate.  The per-epoch salts are the whole
+    mechanism -- epoch k trains in shuffle_shards(df, key, N,
+    salt=f'epoch{{k}}') order with no state carried between epochs."""
+    from ..operators.sharding import shuffle_shards
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+    e1 = shuffle_shards(d, "doc_id", _N_SHARDS, salt="epoch1").select(
+        "doc_id", F.col("shard").alias("s1"), F.col("pos").alias("p1")
+    )
+    e2 = shuffle_shards(d, "doc_id", _N_SHARDS, salt="epoch2").select(
+        "doc_id", F.col("shard").alias("s2"), F.col("pos").alias("p2")
+    )
+    j = e1.join(e2, "doc_id")
+    same_shard = F.sum(F.when(F.col("s1") == F.col("s2"), 1).otherwise(0)).cast(
+        "bigint"
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        same_shard.alias("n_same_shard"),
+        F.sum(
+            F.when(
+                (F.col("s1") == F.col("s2")) & (F.col("p1") == F.col("p2")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_same_slot"),
+        (same_shard * _N_SHARDS < F.count(F.lit(1)) * 2).alias("decorrelated"),
+    )
