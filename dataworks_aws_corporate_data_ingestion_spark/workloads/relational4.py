@@ -479,10 +479,7 @@ def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "purchases_point_in_time_state",
-    tags=("point-in-time", "scd2", "join", "feature-store"),
-    oracle="""
+_PIT_ORACLE = """
         WITH ordered AS (
             SELECT user_id, event_type, ts, event_id,
                    CASE WHEN lag(event_type) OVER w IS NULL
@@ -513,7 +510,13 @@ def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND d.valid_from <= f.ts
          AND (d.valid_to IS NULL OR f.ts < d.valid_to)
         WHERE f.event_type = 'purchase'
-    """,
+"""
+
+
+@register(
+    "purchases_point_in_time_state",
+    tags=("point-in-time", "scd2", "join", "feature-store"),
+    oracle=_PIT_ORACLE,
 )
 def purchases_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POINT-IN-TIME join: attach to each purchase the user's SCD2 state
@@ -619,4 +622,58 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return snapshot_diff(
         old, new, keys=["o_orderkey"], value_cols=["o_orderstatus", "o_totalprice"]
+    )
+
+
+@register(
+    "purchases_point_in_time_asof",
+    tags=("point-in-time", "scd2", "asof-join", "feature-store", "join-free"),
+    oracle=_PIT_ORACLE,
+)
+def purchases_point_in_time_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JOIN-FREE form of purchases_point_in_time_state: because SCD2
+    intervals tile each key's timeline, 'the interval containing ts' ==
+    'the latest version starting at-or-before ts', which the as-of
+    union trick (operators/asof.py) computes with ONE window over the
+    union of facts and dim versions -- no join, no interval predicate,
+    no per-key candidate pairs.  Registered under the IDENTICAL oracle
+    as the interval-join form, so the driver certifies the two plans
+    equivalent row-for-row.
+
+    Scale notes: one shuffle on user_id for the shared window vs the
+    interval form's exchange-per-side join -- the shape to prefer when
+    the dimension churns hard per key (every version of a hot key
+    lands in one sorted partition stream instead of joining against
+    every fact)."""
+    from ..operators.asof import asof_join
+    from ..operators.scd import scd2_history
+
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    dim = scd2_history(
+        events, key="user_id", attr="event_type", ts="ts", tiebreak="event_id"
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+    )
+    facts = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        facts,
+        dim,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="valid_from",
+        value_cols=["state", "valid_from"],
+        suffix="_pit",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("state_pit").alias("state"),
+        F.col("valid_from_pit").alias("state_since"),
     )
