@@ -73,11 +73,21 @@ def expectation_report(
     row inspection; the unpivot to rule rows handles a
     rules-count-sized frame."""
     unique_keys = unique_keys or []
+    if not rules and not unique_keys:
+        # stack(0, ...) does not parse; an empty contract is an empty,
+        # schema-correct report
+        return df.sparkSession.createDataFrame(
+            [], "rule string, n_rows bigint, n_violations bigint, passed boolean"
+        )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     names: list[str] = []
     for i, (name, pred) in enumerate(rules):
+        # coalesce: SUM over zero rows is NULL, and an EMPTY batch must
+        # report 0 violations / passed, not a NULL verdict
         aggs.append(
-            F.sum(F.when(pred, 0).otherwise(1)).cast("bigint").alias(f"v_{i}")
+            F.coalesce(F.sum(F.when(pred, 0).otherwise(1)), F.lit(0))
+            .cast("bigint")
+            .alias(f"v_{i}")
         )
         names.append(name)
     base = len(rules)
@@ -89,8 +99,11 @@ def expectation_report(
         )
         names.append(f"unique({k})")
     wide = df.agg(*aggs)
+    # rule names are caller config: escape quotes so they cannot break
+    # (or inject into) the stack() expression
     stack_args = ", ".join(
-        f"'{name}', v_{i}" for i, name in enumerate(names)
+        "'{}', v_{}".format(name.replace("'", "''"), i)
+        for i, name in enumerate(names)
     )
     return wide.selectExpr(
         "n_rows", f"stack({len(names)}, {stack_args}) AS (rule, n_violations)"

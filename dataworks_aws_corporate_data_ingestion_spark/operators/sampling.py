@@ -137,3 +137,34 @@ def assign_split(
         .when(h < F.lit(test_hi), F.lit("test"))
         .otherwise(F.lit("train")),
     )
+
+
+def length_weighted_sample(
+    df: DataFrame,
+    key: str | Column,
+    weight_col: str,
+    full_weight: int,
+    salt: str = "lw",
+) -> DataFrame:
+    """PER-ROW weighted sampling: keep probability = weight/full_weight,
+    capped at 1 (rows at or above full_weight always kept).  The row's
+    weight becomes an exact integer threshold in the md5 bucket space
+    ((weight * 65536) div full_weight), so membership is a pure function
+    of (salt, key, weight) any engine recomputes -- the
+    downweight-short-junk move where per-stratum rates are too blunt.
+
+    Scale notes: one per-row hash + integer compare in the scan stage;
+    no shuffle, no aggregate (the weight is row-local, unlike
+    token_budget_mixture's corpus-derived rates).  The 65536 product
+    must stay under 2^63: cap weights upstream if they can exceed
+    full_weight by more than ~2^47."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    thr = F.lpad(
+        F.lower(F.hex(F.expr(f"({weight_col} * 65536) div {full_weight}"))),
+        4,
+        "0",
+    )
+    keep = (F.col(weight_col) >= full_weight) | (
+        _hash_prefix(key_col, salt) < thr
+    )
+    return df.filter(keep)

@@ -27,10 +27,17 @@ def scd2_history(
     attr: str,
     ts: str,
     tiebreak: str,
+    version_col: str | None = None,
 ) -> DataFrame:
     """Interval rows (key, attr, valid_from, valid_to, is_current) from
     per-event updates.  `tiebreak` makes the ordering total so island
-    numbering is deterministic under equal timestamps."""
+    numbering is deterministic under equal timestamps.
+
+    `version_col`: optionally expose the per-key island ordinal (1-based
+    version number).  Consumers ordering versions MUST use it rather
+    than valid_from: two versions can share a valid_from when updates
+    land on the same timestamp (the earlier interval is then empty),
+    and only the ordinal breaks that tie deterministically."""
     order = [F.col(ts).asc(), F.col(tiebreak).asc()]
     w = Window.partitionBy(key).orderBy(*order)
     changed = F.when(
@@ -52,12 +59,13 @@ def scd2_history(
         F.min(ts).alias("valid_from"),
     )
     w2 = Window.partitionBy(key).orderBy(F.col("__island").asc())
-    return (
-        collapsed.select(
-            key,
-            attr,
-            "valid_from",
-            F.lead("valid_from").over(w2).alias("valid_to"),
-        )
-        .withColumn("is_current", F.col("valid_to").isNull())
-    )
+    out = collapsed.select(
+        key,
+        attr,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.col("__island").alias("__v"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+    if version_col is not None:
+        return out.withColumnRenamed("__v", version_col)
+    return out.drop("__v")

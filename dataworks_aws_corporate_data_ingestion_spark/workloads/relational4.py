@@ -652,15 +652,25 @@ def purchases_point_in_time_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type"
     )
     dim = scd2_history(
-        events, key="user_id", attr="event_type", ts="ts", tiebreak="event_id"
+        events,
+        key="user_id",
+        attr="event_type",
+        ts="ts",
+        tiebreak="event_id",
+        version_col="version",
     ).select(
         "user_id",
         F.col("event_type").alias("state"),
         "valid_from",
+        "version",
     )
     facts = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
+    # tiebreak on the SCD2 version ordinal: two versions can share a
+    # valid_from (same-timestamp updates leave an empty earlier
+    # interval) and the LATER version must win, matching the interval
+    # form where the empty interval matches nothing
     out = asof_join(
         facts,
         dim,
@@ -668,6 +678,7 @@ def purchases_point_in_time_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="valid_from",
         value_cols=["state", "valid_from"],
+        tiebreak="version",
         suffix="_pit",
     )
     return out.select(

@@ -316,16 +316,12 @@ def documents_length_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFr
     token_budget_mixture's corpus-derived rates).  The 65536 product
     stays under 2^32 for any plausible n_chars; cap the weight column
     upstream if weights can exceed the bucket-space ratio."""
-    from ..operators.sampling import _hash_prefix
+    from ..operators.sampling import length_weighted_sample
 
     d = load_table(spark, "documents", sf_dir).select(
         "doc_id", "source", "n_chars"
     )
-    thr = F.lpad(
-        F.lower(F.hex(F.expr("(n_chars * 65536) div 400"))), 4, "0"
-    )
-    h = _hash_prefix(F.col("doc_id"), salt="lw")
-    return d.filter((F.col("n_chars") >= 400) | (h < thr))
+    return length_weighted_sample(d, "doc_id", "n_chars", full_weight=400)
 
 
 @register(
@@ -445,7 +441,7 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS BIGINT) FROM documents
             UNION ALL
             SELECT 'n_chars_matches_text',
-                   CAST(COUNT(*) FILTER (WHERE n_chars IS NULL
+                   CAST(COUNT(*) FILTER (WHERE n_chars IS NULL OR text IS NULL
                         OR n_chars <> length(text)) AS BIGINT) FROM documents
             UNION ALL
             SELECT 'source_known',

@@ -123,3 +123,81 @@ def test_expectation_report_counts_violations(spark):
     assert out["txt_present"] == (1, False)
     # unique(id): 5 rows, distinct non-null ids = {1,2,-5} -> 2 violations
     assert out["unique(id)"] == (2, False)
+
+
+def test_expectation_report_empty_batch_passes(spark):
+    """An empty batch must report 0 violations / passed=True for every
+    rule -- SUM over zero rows is NULL without the coalesce, giving a
+    NULL verdict the gate can neither pass nor fail."""
+    from dataworks_aws_corporate_data_ingestion_spark.operators.profile import (
+        expectation_report,
+    )
+
+    df = spark.createDataFrame([], "id int, txt string")
+    out = expectation_report(
+        df, [("id_positive", F.col("id") >= 0)], unique_keys=["id"]
+    ).collect()
+    assert {(r["rule"], r["n_violations"], r["passed"]) for r in out} == {
+        ("id_positive", 0, True),
+        ("unique(id)", 0, True),
+    }
+
+
+def test_expectation_report_no_rules_and_quoted_names(spark):
+    from dataworks_aws_corporate_data_ingestion_spark.operators.profile import (
+        expectation_report,
+    )
+
+    df = spark.createDataFrame([(1,)], "id int")
+    assert expectation_report(df, []).count() == 0
+    out = expectation_report(df, [("id's positive", F.col("id") >= 0)]).collect()
+    assert out[0]["rule"] == "id's positive" and out[0]["passed"]
+
+
+def test_pit_forms_agree_under_timestamp_ties(spark):
+    """Two SCD2 versions sharing a valid_from (same-timestamp updates):
+    the earlier interval is empty, so the LATER version must win in
+    BOTH point-in-time forms -- the asof form needs the version-ordinal
+    tiebreak for this."""
+    import datetime as dt
+
+    from dataworks_aws_corporate_data_ingestion_spark.operators.asof import asof_join
+    from dataworks_aws_corporate_data_ingestion_spark.operators.scd import scd2_history
+
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    events = spark.createDataFrame(
+        [
+            (1, t, 7, "view"),
+            (2, t, 7, "purchase"),  # same ts: island 2 starts at t too
+            (3, t + dt.timedelta(hours=1), 7, "purchase"),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string",
+    )
+    dim = scd2_history(
+        events, key="user_id", attr="event_type", ts="ts",
+        tiebreak="event_id", version_col="version",
+    ).select("user_id", F.col("event_type").alias("state"), "valid_from", "version")
+    facts = events.filter(F.col("event_id") == 3).select("event_id", "user_id", "ts")
+
+    # interval form (valid_to bounds come from the full scd2 output)
+    dim_full = scd2_history(
+        events, key="user_id", attr="event_type", ts="ts",
+        tiebreak="event_id", version_col="version",
+    )
+    iv = facts.join(
+        dim_full.select(
+            F.col("user_id").alias("du"), F.col("event_type").alias("state"),
+            "valid_from", "valid_to",
+        ),
+        (F.col("user_id") == F.col("du"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    ).select("event_id", "state").collect()
+
+    ao = asof_join(
+        facts, dim, on=["user_id"], left_ts="ts", right_ts="valid_from",
+        value_cols=["state"], tiebreak="version", suffix="_pit",
+    ).select("event_id", F.col("state_pit").alias("state")).collect()
+
+    assert [r["state"] for r in iv] == ["purchase"]
+    assert [r["state"] for r in ao] == ["purchase"]
