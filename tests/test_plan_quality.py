@@ -64,3 +64,12 @@ def test_cdi_python_stages_evaluate_once(spark):
         plan = _plan(spark, name)
         n = plan.count("ArrowEvalPython")
         assert n == 3, f"{name}: expected 3 Python stages, found {n}"
+
+
+def test_asof_pit_form_is_join_free(spark):
+    """purchases_point_in_time_asof exists to avoid the join: one window
+    over the fact/version union.  Any SortMergeJoin/BroadcastHashJoin
+    in its plan means the union trick regressed to a join."""
+    plan = _plan(spark, "purchases_point_in_time_asof")
+    assert "Join" not in plan, "as-of PIT form regressed to a join"
+    assert "Window" in plan
