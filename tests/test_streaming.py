@@ -834,3 +834,50 @@ class TestStatefulSequenceMatch:
             for r in expected.collect()
         }
         assert got == want
+
+
+class TestBuiltinWatermarkDedup:
+    def test_drop_duplicates_within_watermark(self, spark, tmp_path):
+        """The built-in bounded-state streaming dedup: duplicate event
+        ids arriving within the watermark are dropped, and state for
+        expired keys is reclaimed (vs dropDuplicates, whose state grows
+        forever).  Complements the custom applyInPandasWithState dedup
+        (streaming/windows.py) for the plain exactly-one-per-key case."""
+        import datetime as dt
+
+        src = tmp_path / "dd_events"
+        src.mkdir()
+        out = "dd_wm_out"
+        t0 = dt.datetime(2024, 1, 1, 10, 0)
+        rows = [
+            (1, t0, 10.0),
+            (1, t0 + dt.timedelta(minutes=1), 11.0),   # dup id within wm
+            (2, t0 + dt.timedelta(minutes=2), 20.0),
+            (2, t0 + dt.timedelta(minutes=3), 21.0),   # dup id within wm
+            (3, t0 + dt.timedelta(minutes=4), 30.0),
+        ]
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, value double"
+        ).write.parquet(str(src / "b1"))
+        stream = spark.readStream.schema(
+            "event_id bigint, ts timestamp, value double"
+        ).parquet(str(src / "*"))
+        deduped = (
+            stream.withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(f"select event_id, value from {out}").collect()
+        # one row per id; the FIRST arrival wins
+        assert sorted((r["event_id"], r["value"]) for r in got) == [
+            (1, 10.0),
+            (2, 20.0),
+            (3, 30.0),
+        ]
