@@ -977,3 +977,59 @@ def user_sequence_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("acc") % 1000000000000).cast("bigint").alias("n_matches"),
         F.expr("acc div 1000000000000").cast("bigint").alias("pending_stage"),
     )
+
+
+@register(
+    "user_value_drawdown",
+    tags=("window", "running-max", "drawdown", "timeseries"),
+    oracle="""
+        WITH cum AS (
+            SELECT event_id, user_id, ts,
+                   SUM(CAST(value AS DECIMAL(12,2))) OVER w AS running_total
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT event_id, user_id, ts,
+               CAST(running_total AS DOUBLE) AS running_total,
+               CAST(MAX(running_total) OVER w2 AS DOUBLE) AS running_peak,
+               CAST(MAX(running_total) OVER w2 - running_total AS DOUBLE)
+                   AS drawdown
+        FROM cum
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def user_value_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running peak and drawdown per user: cumulative value, its running
+    maximum, and the gap between them -- the peak-tracking analytic
+    (budget burn-down, engagement decay, portfolio drawdown) that needs
+    a WINDOW OVER A WINDOW: the running max ranges over the cumulative
+    sum, not the raw values.
+
+    Scale notes: both windows share one (user_id, (ts, event_id))
+    partition/order spec, so Catalyst plans ONE exchange + one sort
+    feeding two stacked Window operators -- the second pass is
+    partition-local.  Decimal inside both frames, double only at the
+    output edge (module convention)."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "ts", F.col("value").cast("decimal(12,2)").alias("v")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = e.select(
+        "event_id", "user_id", "ts", F.sum("v").over(w).alias("running_total_d")
+    )
+    return cum.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("running_total_d").cast("double").alias("running_total"),
+        F.max("running_total_d").over(w).cast("double").alias("running_peak"),
+        (F.max("running_total_d").over(w) - F.col("running_total_d"))
+        .cast("double")
+        .alias("drawdown"),
+    )
