@@ -1033,3 +1033,50 @@ def user_value_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("drawdown"),
     )
+
+
+@register(
+    "order_price_rank_profile",
+    tags=("window", "percent-rank", "cume-dist", "ranking"),
+    oracle="""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                   AS total_price,
+               PERCENT_RANK() OVER w AS price_pct_rank,
+               CUME_DIST() OVER w AS price_cume_dist,
+               CAST(NTILE(4) OVER w AS BIGINT) AS price_quartile
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_orderpriority
+            ORDER BY CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey
+        )
+    """,
+)
+def order_price_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing windows per priority class: percent_rank
+    ((rank-1)/(n-1)), cume_dist (peers-or-below / n), and quartile
+    ntile -- the remaining ranking-window variants the other registered
+    windows don't exercise.  All three are exact integer ratios (or
+    assignments), so the doubles are bit-identical cross-engine with no
+    decimal staging; ordering carries the unique o_orderkey tiebreaker
+    so rank plateaus match.
+
+    Scale notes: one hash exchange on the partition key + one sort
+    serves all three functions (same window spec); none of them need a
+    second pass -- rank arithmetic is streamed during the sort scan."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("p").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("p").cast("double").alias("total_price"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+        F.ntile(4).over(w).cast("bigint").alias("price_quartile"),
+    )
