@@ -1080,3 +1080,47 @@ def order_price_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("price_cume_dist"),
         F.ntile(4).over(w).cast("bigint").alias("price_quartile"),
     )
+
+
+@register(
+    "order_counts_cube",
+    tags=("aggregation", "cube", "grouping-sets"),
+    oracle="""
+        SELECT
+            COALESCE(o_orderpriority, 'ALL') AS priority,
+            COALESCE(o_orderstatus, 'ALL') AS status,
+            CAST(COUNT(*) AS BIGINT) AS n_orders,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                AS revenue
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def order_counts_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (priority, status): all four grouping sets --
+    both, each alone, and the grand total -- in one pass (the
+    2^n-combination shape; the registered ROLLUP covers only the
+    hierarchy prefix sets).
+
+    Scale notes: Spark plans cube via Expand (2^n duplicated rows per
+    input row) feeding ONE hash aggregate with map-side partials, so
+    the shuffle carries group rows; keep n small -- Expand's 2^n input
+    multiplication is the real cost at scale, which is why this cubes
+    two low-cardinality columns, not ten.  Neither grouping column is
+    nullable here, so the string COALESCE labels are unambiguous."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderpriority", "o_orderstatus", money("o_totalprice").alias("p")
+    )
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("p").cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "revenue",
+        )
+    )
