@@ -328,3 +328,92 @@ def duplicate_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = pairs.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e3 = pairs.select(F.col("a"), F.col("b").alias("c"))
     return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+
+
+def _quality_sql() -> str:
+    from .text_analysis import _STOP_SQL
+
+    return f"""
+        SELECT doc_id,
+               (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+                 + LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.3
+                 + (1.0 - CAST(len(list_filter(toks,
+                       t -> list_contains({_STOP_SQL}, t))) AS DOUBLE)
+                       / len(toks)) * 0.2 AS quality
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents)
+    """
+
+
+@register(
+    "dedup_keep_best_quality",
+    tags=("dedup", "graph", "keep-policy", "quality", "training-data"),
+    oracle="""
+        WITH RECURSIVE pairs AS (
+            SELECT a, b FROM (""" + _PAIRS_JACCARD_ORACLE + """) t
+        ),
+        sym AS (
+            SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+        ),
+        reach AS (
+            SELECT a AS node, b AS r FROM sym
+            UNION
+            SELECT reach.node, sym.b AS r
+            FROM reach JOIN sym ON reach.r = sym.a
+        ),
+        clusters AS (
+            SELECT node AS doc_id, LEAST(node, MIN(r)) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        q AS (""" + _quality_sql() + """),
+        ranked AS (
+            SELECT c.cluster_id, c.doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY q.quality DESC, c.doc_id ASC
+                   ) AS rk
+            FROM clusters c JOIN q ON q.doc_id = c.doc_id
+        )
+        SELECT q.doc_id, q.quality
+        FROM q
+        WHERE q.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEEP-BEST dedup policy: within each transitive duplicate cluster,
+    keep the HIGHEST-QUALITY member (not the min-id, not drop-all) --
+    what production curation actually wants when duplicates differ in
+    cleanliness.  Singletons pass through untouched; the survivor set
+    carries its quality score for downstream thresholding.
+
+    Engine path: minhash pairs -> connected components -> per-cluster
+    argmax by (quality desc, doc_id) -> anti-join the losers.  The
+    oracle replays pairs, recursive closure, the same quality formula,
+    and the same argmax, so the hash certifies the WHOLE keep decision
+    (the quality doubles are bit-identical per text_stats).
+
+    Scale notes: clustering and ranking run on the cluster-member set
+    (corpus-sized only when everything is duplicated); the final
+    anti-join is survivors-vs-losers with AQE free to broadcast the
+    loser side, which scales with the duplicated fraction."""
+    from pyspark.sql import Window
+
+    from ..functions import text as T
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+    pairs = near_dup_pairs_minhash(docs)
+    clusters = connected_components(pairs, src="a", dst="b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    ranked = clusters.join(q, "doc_id").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("quality").desc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    losers = ranked.filter(F.col("rk") > 1).select("doc_id")
+    return q.join(losers, "doc_id", "left_anti").select("doc_id", "quality")
