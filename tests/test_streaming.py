@@ -875,9 +875,14 @@ class TestBuiltinWatermarkDedup:
         )
         q.awaitTermination(120)
         got = spark.sql(f"select event_id, value from {out}").collect()
-        # one row per id; the FIRST arrival wins
-        assert sorted((r["event_id"], r["value"]) for r in got) == [
-            (1, 10.0),
-            (2, 20.0),
-            (3, 30.0),
-        ]
+        # exactly one survivor per id.  Within a single micro-batch the
+        # kept row is ARBITRARY (no cross-row order exists until rows
+        # hit the state store), so assert membership, not which dup won
+        # -- asserting first-arrival here is flaky under parallelism.
+        by_id = {}
+        for r in got:
+            assert r["event_id"] not in by_id, "duplicate survived"
+            by_id[r["event_id"]] = r["value"]
+        assert set(by_id) == {1, 2, 3}
+        allowed = {1: {10.0, 11.0}, 2: {20.0, 21.0}, 3: {30.0}}
+        assert all(by_id[k] in allowed[k] for k in by_id)
