@@ -42,6 +42,7 @@ import tempfile
 from dataworks_aws_corporate_data_ingestion_spark.caching import release_tracked
 from dataworks_aws_corporate_data_ingestion_spark.session import get_session
 from dataworks_aws_corporate_data_ingestion_spark.workload import (
+    HARNESS_PROBES,
     QUERIES,
     WRITE_BENCH_PLAN_PROBES,
     WRITE_BENCHES,
@@ -206,6 +207,24 @@ def main() -> None:
                 "stages": stage_metrics,
             }
             _end_repeat(spark)
+            # fixture-cost attribution: time the harness-only side with the
+            # same best-of-N discipline, so the details split what the
+            # PIPELINE costs from what the in-flight test fixture costs
+            probe = HARNESS_PROBES.get(name)
+            if probe is not None:
+                harness_times = []
+                for _ in range(repeats):
+                    start = time.perf_counter()
+                    probe(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    harness_times.append(time.perf_counter() - start)
+                    _end_repeat(spark)
+                harness_best = round(min(harness_times), 3)
+                details[name]["harness_sec"] = harness_best
+                details[name]["pipeline_only_sec"] = round(
+                    max(0.0, min(times) - harness_best), 3
+                )
         # write-path headline ops (ordered: merge reads write_daily's output)
         for name, fn in WRITE_BENCHES.items():
             times = []
@@ -232,10 +251,11 @@ def main() -> None:
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
-    # headline line FIRST and kept small (metric/value/queries only): the
-    # driver parses the tail of stdout and a single long line gets
-    # truncated (round-3 BENCH had parsed:null).  The details map goes on
-    # its own second line.
+    # The driver captures the tail of stdout and parses the LAST line
+    # (r4 evidence: headline-first left parsed:null with the details line
+    # in the tail).  So: details line first, then the small headline
+    # object {metric, value, unit, queries, sf} as the FINAL stdout line.
+    print(json.dumps({"metric": "headline_query_details", "details": details, "sf": sf}))
     print(
         json.dumps(
             {
@@ -247,7 +267,6 @@ def main() -> None:
             }
         )
     )
-    print(json.dumps({"metric": "headline_query_details", "details": details, "sf": sf}))
     spark.stop()
 
 

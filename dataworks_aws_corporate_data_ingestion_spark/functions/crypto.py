@@ -150,17 +150,19 @@ class HttpKeyService:
         from urllib3 import Retry
 
         session = requests.Session()
-        session.mount(
-            "https://",
-            HTTPAdapter(
-                max_retries=Retry(
-                    total=self._retries,
-                    backoff_factor=self._backoff,
-                    status_forcelist=(429, 500, 502, 503, 504),
-                    allowed_methods=("POST", "GET"),
-                )
-            ),
+        adapter = HTTPAdapter(
+            max_retries=Retry(
+                total=self._retries,
+                backoff_factor=self._backoff,
+                status_forcelist=(429, 500, 502, 503, 504),
+                allowed_methods=("POST", "GET"),
+            )
         )
+        # both schemes: production talks https, loopback integration
+        # tests (and any sidecar deployment) talk plain http -- the retry
+        # policy must apply identically
+        session.mount("https://", adapter)
+        session.mount("http://", adapter)
         return session
 
     def decrypt_data_key(self, encrypted_key: str, key_encryption_key_id: str) -> str:

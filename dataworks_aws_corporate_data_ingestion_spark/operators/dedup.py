@@ -593,44 +593,43 @@ def simhash_signatures(
     )
 
 
-def simhash_near_dup_pairs(
-    docs: DataFrame,
+def simhash_pairs_from_signatures(
+    signed: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    sig_col: str = "simhash",
     max_hamming: int = 3,
     chunks: int = 4,
+    sig_bits: int = 64,
 ) -> DataFrame:
-    """Hamming-banded simhash dedup: split the 64-bit signature into
-    `chunks` pieces; by pigeonhole, any pair within max_hamming <= chunks-1
-    shares at least one exact chunk, so candidates come from an equi-join
-    on (chunk_id, chunk_value) -- never an all-pairs scan.  Candidates are
-    verified with an exact popcount."""
-    width = 64 // chunks
-    # the signature UDF is CPU-bound per row: spread it over every core
-    # even when the corpus arrived as one split (same discipline as
-    # minhash above), and compute it ONCE -- both sides of the bucket
-    # self-join read `exploded`, which would otherwise re-run the UDF
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    signed = simhash_signatures(docs, id_col=id_col, text_col=text_col)
+    """Hamming-banded pair extraction over a signature table: split the
+    `sig_bits`-bit signature into `chunks` pieces; by pigeonhole, any pair
+    within max_hamming <= chunks-1 shares at least one exact chunk, so
+    candidates come from an equi-join on (chunk_id, chunk_value) -- never
+    an all-pairs scan.  Candidates are verified with an exact popcount.
+
+    Pure integer/bit SQL over (id, signature) rows -- independently
+    recomputable by any engine with popcount + xor (the driver's DuckDB
+    oracle does exactly that, brute-force, on the same signatures)."""
+    width = sig_bits // chunks
     mask = (1 << width) - 1
     chunk_values = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+            F.shiftrightunsigned(F.col(sig_col), i * width).bitwiseAND(F.lit(mask))
             for i in range(chunks)
         ]
     )
     exploded = tracked_persist(
         signed.select(
             F.col(id_col),
-            F.col("simhash"),
+            F.col(sig_col).alias("__sig"),
             F.posexplode(chunk_values).alias("chunk_id", "chunk_value"),
         )
     )
     left = exploded.select(
-        F.col(id_col).alias("a"), F.col("simhash").alias("sim_a"), "chunk_id", "chunk_value"
+        F.col(id_col).alias("a"), F.col("__sig").alias("sim_a"), "chunk_id", "chunk_value"
     )
     right = exploded.select(
-        F.col(id_col).alias("b"), F.col("simhash").alias("sim_b"), "chunk_id", "chunk_value"
+        F.col(id_col).alias("b"), F.col("__sig").alias("sim_b"), "chunk_id", "chunk_value"
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
@@ -639,6 +638,99 @@ def simhash_near_dup_pairs(
         .select("a", "b", hamming.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Hamming-banded simhash dedup over the 64-bit blake2b signatures
+    (simhash_signatures); see simhash_pairs_from_signatures for the
+    banding argument."""
+    # the signature UDF is CPU-bound per row: spread it over every core
+    # even when the corpus arrived as one split (same discipline as
+    # minhash above); the banding helper persists the signed+chunked
+    # frame so the UDF runs ONCE across both sides of the self-join
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    signed = simhash_signatures(docs, id_col=id_col, text_col=text_col)
+    return simhash_pairs_from_signatures(
+        signed,
+        id_col=id_col,
+        sig_col="simhash",
+        max_hamming=max_hamming,
+        chunks=chunks,
+        sig_bits=64,
+    )
+
+
+def simhash_signatures_hex(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "simhash",
+    bits: int = 60,
+) -> DataFrame:
+    """All-JVM simhash: the token hash is the first 15 hex chars of
+    md5(token) parsed with conv() -- a 60-bit value, so the signature fits
+    a signed bigint with room to spare and, critically, every step (split,
+    md5, hex parse, shift/and, signed sums) is portable SQL an independent
+    engine can recompute bit-for-bit.  The driver's DuckDB oracle does
+    exactly that (('0x'||substr(md5(tok),1,15))::BIGINT), which is what
+    makes the pair query hash-checkable rather than rows-only.
+
+    Execution shape: explode tokens -> one bigint per token instance ->
+    groupBy(doc) with `bits` sum expressions over shifted bits.  All
+    codegen'd JVM expressions (no Python), and the per-bit +/-1 sums are
+    map-side combined, so the shuffle carries one 60-long vector per doc
+    per partition -- never per-token rows.  Prefer this variant in
+    pipelines; the blake2b UDF variant above exists as the
+    reference-pinned ground truth for the signature math."""
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("__tok"),
+    )
+    v = F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast("long")
+    per_tok = tok.select(F.col(id_col), v.alias("__v"))
+    sums = per_tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col("__v"), b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"__s{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"__s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return sums.select(F.col(id_col), sig.alias(out_col))
+
+
+def simhash_near_dup_pairs_hex(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Hamming-banded dedup over the oracle-checkable 60-bit md5 simhash
+    (simhash_signatures_hex) -- the fully SQL-reproducible twin of
+    simhash_near_dup_pairs."""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    signed = simhash_signatures_hex(docs, id_col=id_col, text_col=text_col)
+    return simhash_pairs_from_signatures(
+        signed,
+        id_col=id_col,
+        sig_col="simhash",
+        max_hamming=max_hamming,
+        chunks=chunks,
+        sig_bits=60,
     )
 
 

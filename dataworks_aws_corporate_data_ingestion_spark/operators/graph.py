@@ -78,10 +78,12 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def _signature(nbrs: DataFrame) -> tuple:
     row = nbrs.agg(
         F.count(F.lit(1)),
-        # decimal(38) accumulator: a BIGINT sum of int64 hashes overflows
+        # decimal(38) accumulator: a BIGINT sum of int64 hashes overflows.
+        # Per-column sums go through xxhash64 too (not a numeric cast) so
+        # the signature works for ANY node id type, incl. wide strings
         F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
-        F.sum(F.col("u").cast("decimal(38,0)")),
-        F.sum(F.col("v").cast("decimal(38,0)")),
+        F.sum(F.xxhash64("u").cast("decimal(38,0)")),
+        F.sum(F.xxhash64("v").cast("decimal(38,0)")),
     ).collect()[0]
     return tuple(row)
 
@@ -119,6 +121,7 @@ def connected_components(
     dst: str = "b",
     max_rounds: int = 50,
     local_edge_threshold: int | None = 2_000_000,
+    local_byte_budget: int = 128 * 1024 * 1024,
 ) -> DataFrame:
     """Cluster assignment for every node that appears in `edges`:
     returns (node, component) where component is the smallest node id in
@@ -135,15 +138,32 @@ def connected_components(
     Python -- instead of paying O(log n) contraction rounds of 2 shuffles
     + a checkpoint job each (measured: ~5 rounds of fixed job latency
     dominated curation_pipeline at small scale).  Bigger graphs take the
-    star-contraction path unchanged; the threshold (default 2M edges,
-    ~100 MB of driver rows) is the caller's knob, None disables the
-    local path entirely.  The input pairs are pinned with one eager
-    localCheckpoint so the threshold count never re-runs the (expensive)
-    pair-producing lineage."""
+    star-contraction path unchanged; the threshold (default 2M edges) is
+    the caller's knob, None disables the local path entirely.  The edge
+    count alone is not a safe gate -- 2M edges of wide string node ids
+    can be GBs -- so the same cheap aggregate also measures total cell
+    bytes and the local path additionally requires them under
+    `local_byte_budget` (default 128 MiB of raw id bytes, a few hundred
+    MB of driver heap after tuple overhead).  The input pairs are pinned
+    with one eager localCheckpoint so neither the gate aggregate nor the
+    collect re-runs the (expensive) pair-producing lineage."""
     pair_df = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=True)
-    if local_edge_threshold and pair_df.count() <= local_edge_threshold:
+
+    def _fits_local() -> bool:
+        if not local_edge_threshold:
+            return False
+        n, cell_bytes = pair_df.agg(
+            F.count(F.lit(1)),
+            F.sum(
+                F.octet_length(F.col("u").cast("string"))
+                + F.octet_length(F.col("v").cast("string"))
+            ),
+        ).first()
+        return n <= local_edge_threshold and (cell_bytes or 0) <= local_byte_budget
+
+    if _fits_local():
         comp = _union_find_components(
             (r[0], r[1]) for r in pair_df.collect()
         )

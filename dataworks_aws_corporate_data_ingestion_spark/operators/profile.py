@@ -99,10 +99,11 @@ def expectation_report(
         )
         names.append(f"unique({k})")
     wide = df.agg(*aggs)
-    # rule names are caller config: escape quotes so they cannot break
-    # (or inject into) the stack() expression
+    # rule names are caller config: escape backslashes (Spark SQL string
+    # literals treat \\ as an escape char) and then quotes so they cannot
+    # break (or inject into) the stack() expression
     stack_args = ", ".join(
-        "'{}', v_{}".format(name.replace("'", "''"), i)
+        "'{}', v_{}".format(name.replace("\\", "\\\\").replace("'", "''"), i)
         for i, name in enumerate(names)
     )
     return wide.selectExpr(

@@ -159,8 +159,13 @@ def length_weighted_sample(
     must stay under 2^63: cap weights upstream if they can exceed
     full_weight by more than ~2^47."""
     key_col = F.col(key) if isinstance(key, str) else key
+    # cast BEFORE multiplying: on a 32-bit int weight column the *65536
+    # product would silently wrap (non-ANSI) for weights > 32767, turning
+    # the threshold into a garbage negative-hex prefix
     thr = F.lpad(
-        F.lower(F.hex(F.expr(f"({weight_col} * 65536) div {full_weight}"))),
+        F.lower(
+            F.hex(F.expr(f"(CAST({weight_col} AS BIGINT) * 65536) div {full_weight}"))
+        ),
         4,
         "0",
     )

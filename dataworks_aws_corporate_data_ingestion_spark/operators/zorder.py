@@ -139,6 +139,25 @@ def write_daily_flat_zordered(
     constant offset above 2^day_bits would (everything clamps to the
     max and day pruning dies).  Expects the usual daily columns
     (export_year/month/day, id)."""
+    (
+        daily_flat_zorder_plan(df, base_date, day_bits, id_bits, num_partitions)
+        .write.format(fmt)
+        .option("compression", compression)
+        .mode("overwrite")
+        .save(path)
+    )
+
+
+def daily_flat_zorder_plan(
+    df: DataFrame,
+    base_date: str = "1970-01-01",
+    day_bits: int = 12,
+    id_bits: int = 12,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The layout transform write_daily_flat_zordered feeds its sink:
+    exposed separately so bench.py can fingerprint the plan (plan_sha)
+    without touching the filesystem."""
     day_no = F.datediff(
         F.make_date("export_year", "export_month", "export_day"),
         F.lit(base_date).cast("date"),
@@ -153,14 +172,7 @@ def write_daily_flat_zordered(
         if num_partitions
         else clustered.repartitionByRange("__z")
     )
-    (
-        clustered.sortWithinPartitions("__z")
-        .drop("__z")
-        .write.format(fmt)
-        .option("compression", compression)
-        .mode("overwrite")
-        .save(path)
-    )
+    return clustered.sortWithinPartitions("__z").drop("__z")
 
 
 def files_opened_by(

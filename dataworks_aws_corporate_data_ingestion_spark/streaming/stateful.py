@@ -62,9 +62,14 @@ def _zscore_fn(k: float, min_n: int):
         # a group's micro-batch arrives as MULTIPLE arrow chunks when it
         # exceeds maxRecordsPerBatch, and chunk boundaries follow shuffle
         # arrival, not time -- concatenate BEFORE the sort or cross-chunk
-        # events process out of event-time order
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
-            ["ts", "event_id"]
+        # events process out of event-time order.  A timed-out key (any
+        # future GroupStateTimeout config) is invoked with an EMPTY chunk
+        # iterator, where bare pd.concat raises.
+        chunks = list(pdfs)
+        pdf = (
+            pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+            if chunks
+            else pd.DataFrame(columns=["ts", "event_id", "value"])
         )
         if len(pdf):
             for event_id, value in zip(pdf["event_id"], pdf["value"]):
@@ -151,9 +156,13 @@ def _sequence_fn(terminal: int):
         stage, cnt = state.get if state.exists else (0, 0)
         # concat-then-sort: chunk boundaries are arrival-ordered, and a
         # chunk-local sort would feed the automaton out of time order
-        # for groups spanning multiple arrow chunks
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
-            ["ts", "event_id"]
+        # for groups spanning multiple arrow chunks; guard the empty
+        # iterator a timed-out key would deliver
+        chunks = list(pdfs)
+        pdf = (
+            pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+            if chunks
+            else pd.DataFrame(columns=["ts", "event_id", "code"])
         )
         if len(pdf):
             for c in pdf["code"]:

@@ -336,6 +336,26 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_ingest_pipeline.py round-trips.
 # ---------------------------------------------------------------------------
 
+# Harness-cost probes: for benched queries whose timed run INCLUDES test
+# fixture construction (built in-flight because the driver's tables are the
+# only inputs), the probe returns a DataFrame that evaluates just the
+# fixture side.  bench.py times it with the same best-of-N discipline and
+# reports harness_sec + pipeline_only_sec in the details line, so the
+# headline number can be attributed (round-4 verdict #8: cdi_ingest's
+# number carried fixture AES encryption the production pipeline never pays
+# -- production reads already-encrypted envelopes from the source).
+HARNESS_PROBES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
+def _harness_cdi_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .workloads.cdi_pipeline import envelope_lines_from_events
+
+    return envelope_lines_from_events(spark, sf_dir)
+
+
+HARNESS_PROBES["cdi_ingest_pipeline"] = _harness_cdi_fixture
+
+
 WRITE_BENCHES: dict[str, Callable[[SparkSession, str, str], None]] = {}
 
 
@@ -453,7 +473,25 @@ def _bench_update_cycle(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     run_update(spark, cfg, as_of="2024-01-16")
 
 
+def _bench_write_daily_zordered(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """The flat z-ordered ALTERNATIVE daily layout (zorder.py::
+    write_daily_flat_zordered) benched alongside the default
+    directory-partitioned writer: same input rows, layout z-interleaves
+    (days-since-base, id prefix) so cross-day id scans prune files too.
+    The default write_daily keeps the reference's write discipline
+    (docs/data-storage.md:101-103); this variant is the measured option
+    for the thousands-of-days sliver-file regime (SCALE.md)."""
+    from .operators.zorder import write_daily_flat_zordered
+
+    write_daily_flat_zordered(
+        _daily_rows_from_events(spark, sf_dir),
+        f"{out_dir}/daily_z",
+        base_date="2024-01-01",
+    )
+
+
 WRITE_BENCHES["write_daily_clustered_orc"] = _bench_write_daily
+WRITE_BENCHES["write_daily_flat_zordered"] = _bench_write_daily_zordered
 WRITE_BENCHES["merge_and_write_snapshot"] = _bench_merge_write
 WRITE_BENCHES["mor_append_and_read_merged"] = _bench_mor_cycle
 WRITE_BENCHES["snapshot_update_cycle"] = _bench_update_cycle
@@ -496,8 +534,42 @@ def _probe_update_cycle(spark: SparkSession, sf_dir: str, out_dir: str) -> DataF
     return merge_snapshot(snapshot, dailies)
 
 
+def _probe_mor_cycle(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    """Fingerprint the read-amplified merged scan the mor bench times.
+
+    The bench's last repeat ends with clear_deltas (steady state = base
+    only), so re-create the 1% delta the repeats appended, build the
+    merged plan, and clear again.  The delta write is a tiny job but the
+    probe runs OUTSIDE the timed repeats, so it cannot reintroduce the
+    round-3 probe-inside-the-timing regression."""
+    from .operators import mor
+
+    table = f"{out_dir}/mor"
+    daily = spark.read.orc(f"{out_dir}/daily")
+    cols = ("id", "db_type", "val", "id_part")
+    mor.write_delta(daily.select(*cols).sample(fraction=0.01, seed=42), table)
+    merged = mor.read_merged(spark, table)
+    # plan_sha reads .explain text from the already-built DataFrame, so
+    # clearing deltas afterwards does not invalidate the fingerprint
+    plan_df = merged
+    mor.clear_deltas(table)
+    return plan_df
+
+
+def _probe_write_daily_zordered(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> DataFrame:
+    from .operators.zorder import daily_flat_zorder_plan
+
+    return daily_flat_zorder_plan(
+        _daily_rows_from_events(spark, sf_dir), base_date="2024-01-01"
+    )
+
+
 WRITE_BENCH_PLAN_PROBES["write_daily_clustered_orc"] = _probe_write_daily
+WRITE_BENCH_PLAN_PROBES["write_daily_flat_zordered"] = _probe_write_daily_zordered
 WRITE_BENCH_PLAN_PROBES["merge_and_write_snapshot"] = _probe_merge_write
+WRITE_BENCH_PLAN_PROBES["mor_append_and_read_merged"] = _probe_mor_cycle
 WRITE_BENCH_PLAN_PROBES["snapshot_update_cycle"] = _probe_update_cycle
 
 

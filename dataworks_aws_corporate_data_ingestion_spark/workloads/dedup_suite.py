@@ -155,18 +155,58 @@ def benchmark_contamination_query(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# Brute-force recomputation of the 60-bit md5 simhash + hamming<=3 pair
+# set.  Signature: token hash = first 15 hex chars of md5(token) parsed as
+# an integer; bit b of the signature is 1 iff the +/-1 sum over token
+# instances of bit b is > 0.  Pure portable SQL -- the same math the Spark
+# side evaluates as codegen'd expressions (operators/dedup.py::
+# simhash_signatures_hex), so the driver hashes the actual pair VALUES,
+# not just row counts.  The banding join needs no oracle twin: pigeonhole
+# makes it exactly equivalent to this all-pairs popcount filter.
+_SIMHASH_HEX_ORACLE = """
+    WITH tv AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT AS v
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+    ),
+    bitsum AS (
+        SELECT doc_id, bits.b AS b,
+               SUM(((v >> bits.b) & 1) * 2 - 1) AS s
+        FROM tv, (SELECT unnest(range(60)) AS b) bits
+        GROUP BY doc_id, bits.b
+    ),
+    sig AS (
+        SELECT doc_id,
+               SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                        ELSE 0 END) AS sig
+        FROM bitsum GROUP BY doc_id
+    )
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           bit_count(xor(x.sig, y.sig)) AS hamming
+    FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.sig, y.sig)) <= 3
+"""
+
+
 @register(
     "simhash_near_dups",
     bench=True,
-    tags=("dedup", "simhash", "non-sql"),
+    tags=("dedup", "simhash"),
+    oracle=_SIMHASH_HEX_ORACLE,
 )
 def simhash_near_dups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming-distance dedup (<=3 bits over 64).  No SQL oracle
-    for the pair rows themselves (the signature depends on blake2b token
-    hashing); verified in pytest against a pure-Python reference, and
-    the detection QUALITY is driver-checked via
+    """SimHash hamming-distance dedup (<=3 bits over 60), fully
+    oracle-checkable: signatures are the all-JVM md5-based
+    simhash_signatures_hex (portable SQL math the DuckDB oracle
+    recomputes bit-for-bit), pair extraction is the hamming-banded
+    equi-join (pigeonhole-exact vs the oracle's brute-force popcount).
+    The blake2b signature variant remains pytest-pinned against a
+    pure-Python reference and driver-exercised through
     simhash_recall_certificate below."""
-    return simhash_near_dup_pairs(load_table(spark, "documents", sf_dir))
+    from ..operators.dedup import simhash_near_dup_pairs_hex
+
+    return simhash_near_dup_pairs_hex(load_table(spark, "documents", sf_dir))
 
 
 @register(

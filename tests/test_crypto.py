@@ -153,6 +153,103 @@ class TestHttpKeyService:
         assert 503 in retries.status_forcelist
 
 
+class TestHttpKeyServiceLoopback:
+    """Integration tests against a REAL in-process HTTP server (stdlib
+    http.server on a loopback port): retry/backoff on 429/5xx and cache
+    accounting exercised over actual sockets, not the stub transport
+    (round-4 verdict #7 -- the stub can't prove urllib3's Retry config
+    actually fires on status codes)."""
+
+    @staticmethod
+    def _serve(script):
+        """Start a loopback server whose responses follow `script`: each
+        element is an int status (error, empty body) or a dict payload
+        (200 + JSON).  The last element repeats.  Returns (url, log,
+        shutdown)."""
+        import http.server
+        import json as _json
+        import threading
+
+        log = []
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                log.append(
+                    {"path": self.path, "body": body.decode("utf8")}
+                )
+                step = script[min(len(log) - 1, len(script) - 1)]
+                if isinstance(step, int):
+                    self.send_response(step)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                else:
+                    payload = _json.dumps(step).encode("utf8")
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(payload)))
+                    self.end_headers()
+                    self.wfile.write(payload)
+
+            def log_message(self, *a):  # keep pytest output clean
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{srv.server_address[1]}/datakey/actions/decrypt"
+        return url, log, srv.shutdown
+
+    def test_retries_past_transient_429_and_503_then_succeeds(self):
+        from dataworks_aws_corporate_data_ingestion_spark.functions.crypto import HttpKeyService
+
+        url, log, shutdown = self._serve(
+            [429, 503, {"plaintextDataKey": "pt-live"}]
+        )
+        try:
+            svc = HttpKeyService(url, correlation_id="cid-live", backoff=0.01)
+            assert svc.decrypt_data_key("enc-live", "kek-1") == "pt-live"
+        finally:
+            shutdown()
+        # three real requests hit the socket: 429, 503, 200
+        assert len(log) == 3
+        assert all(r["body"] == "enc-live" for r in log)
+        assert "keyId=kek-1" in log[0]["path"]
+        assert "correlationId=cid-live" in log[0]["path"]
+
+    def test_persistent_5xx_exhausts_retries_and_raises(self):
+        import pytest
+        import requests
+
+        from dataworks_aws_corporate_data_ingestion_spark.functions.crypto import HttpKeyService
+
+        url, log, shutdown = self._serve([500])
+        try:
+            svc = HttpKeyService(url, retries=2, backoff=0.01)
+            with pytest.raises(requests.exceptions.RetryError):
+                svc.decrypt_data_key("enc", "kek")
+        finally:
+            shutdown()
+        # initial attempt + 2 retries, then urllib3 gives up
+        assert len(log) == 3
+
+    def test_cache_hits_skip_the_socket(self):
+        from dataworks_aws_corporate_data_ingestion_spark.functions.crypto import (
+            CachingKeyClient,
+            HttpKeyService,
+        )
+
+        url, log, shutdown = self._serve([{"plaintextDataKey": "pt-c"}])
+        try:
+            client = CachingKeyClient(HttpKeyService(url), cache={})
+            assert client.data_key("enc-A", "kek") == "pt-c"
+            assert client.data_key("enc-A", "kek") == "pt-c"
+            assert client.data_key("enc-A", "kek") == "pt-c"
+        finally:
+            shutdown()
+        assert (client.hits, client.misses) == (2, 1)
+        assert len(log) == 1  # only the miss reached the server
+
+
 class TestBatchDecrypt:
     """aes_ctr_decrypt_batch must be byte-identical to per-record
     aes_ctr_decrypt for every length/IV shape, including 64-bit-carry and
