@@ -834,6 +834,184 @@ def sessionization_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_session_window_builtin",
+    tags=("sessionization", "session-window", "builtin"),
+    oracle="""
+        WITH numbered AS (
+            SELECT user_id, ts,
+                   CAST(SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS session_no
+            FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_no
+    """,
+)
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via Spark's BUILT-IN session_window aggregate --
+    the operator twin of the manual lag+cumsum sessionization above, and
+    the form that transfers unchanged to Structured Streaming (merging
+    session state across micro-batches under a watermark, which the
+    manual window form cannot do).
+
+    Semantics quirk the oracle mirrors: session_window closes a session
+    when the NEXT event is >= gap after the last (a gap of exactly 30:00
+    starts a new session), and the reported session end is last-event
+    time + gap, not last-event time.
+
+    Scale notes: one shuffle on user_id, then Spark's
+    UpdatingSessionsExec merges windows partition-locally -- same
+    exchange count as the manual form."""
+    e = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "user_value_zscore",
+    tags=("window", "statistics", "exact-moments"),
+    oracle="""
+        WITH q AS (
+            SELECT event_id, user_id,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS vq
+            FROM events
+        ),
+        m AS (
+            SELECT event_id, user_id, vq,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                   CAST(SUM(vq) OVER w AS BIGINT) AS s,
+                   CAST(SUM(vq * vq) OVER w AS BIGINT) AS ss
+            FROM q
+            WINDOW w AS (PARTITION BY user_id)
+        )
+        SELECT event_id, user_id,
+               (CAST(vq AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt(
+                   (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                 ) AS z
+        FROM m
+        WHERE n >= 2
+          AND CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) > 0
+    """,
+)
+def user_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score standardisation of event values -- the
+    feature-normalisation step of a training pipeline, done with EXACT
+    integer moments so the result hash-matches across engines: values
+    quantise to cents (bigint), the per-user count/sum/sum-of-squares
+    come from one unbounded window, and mean/variance/z are derived in
+    IEEE double arithmetic with identical association order on both
+    sides (sqrt is correctly-rounded per IEEE, so it is portable;
+    sum-of-doubles is NOT, which is why the sums happen in bigint).
+
+    Scale notes: one shuffle on user_id, three window aggregates over the
+    same frame share one sort; the z projection is scan-stage math.
+    Degenerate users (n<2 or zero variance) are filtered by the same
+    exact-integer predicate both engines evaluate."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vq"),
+    )
+    w = Window.partitionBy("user_id")
+    m = e.select(
+        "event_id",
+        "user_id",
+        "vq",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("vq").over(w).cast("bigint").alias("s"),
+        F.sum(F.col("vq") * F.col("vq")).over(w).cast("bigint").alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    var_num = nd * ssd - sd * sd
+    z = (F.col("vq").cast("double") - sd / nd) / F.sqrt(
+        var_num / (nd * (F.col("n") - 1).cast("double"))
+    )
+    return m.filter((F.col("n") >= 2) & (var_num > 0)).select(
+        "event_id", "user_id", z.alias("z")
+    )
+
+
+@register(
+    "incremental_monthly_rollup",
+    tags=("aggregation", "incremental", "partial-agg"),
+    oracle="""
+        SELECT CAST(YEAR(ts) AS INT) AS y,
+               CAST(MONTH(ts) AS INT) AS m,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY YEAR(ts), MONTH(ts)
+    """,
+)
+def incremental_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly rollup maintained from DAILY partial aggregates -- the
+    incremental-view-maintenance shape: a production pipeline materialises
+    one partial-state row per (day, grain) as each day lands, and the
+    month (or quarter, or lifetime) rollup is a merge of partials that
+    never rescans raw events.  Count and sum merge losslessly; the
+    distinct-user count is the one aggregate that does NOT decompose
+    from day-level counts, so the partial state keeps the (day, user)
+    grain -- distincts then merge exactly at any coarser grain, the same
+    way the reference's weekly snapshot
+    merge re-reads only the post-cutoff dailies (plans/runner.py).
+
+    Here the exact path is what both levels compute (so the oracle can
+    hash it): dailies = groupBy(day, user) partials, month = merge.  The
+    two-level plan shuffles (day,user)-sized partials, not events --
+    map-side combine does the heavy lifting in the scan stage.
+
+    Scale notes: at 100 TB the daily-partials table is ~10^5x smaller
+    than raw events; re-aggregating a month touches 30 partial files
+    under partition pruning instead of re-scanning the month's raw data."""
+    e = load_table(spark, "events", sf_dir).select(
+        F.to_date("ts").alias("day"),
+        F.year("ts").cast("int").alias("y"),
+        F.month("ts").cast("int").alias("m"),
+        "user_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vq"),
+    )
+    # daily partial state at (day, user) grain: mergeable counts/sums,
+    # and the user grain keeps exact distincts derivable downstream
+    daily = e.groupBy("day", "y", "m", "user_id").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("vq").alias("psum")
+    )
+    return daily.groupBy("y", "m").agg(
+        F.sum("pn").cast("bigint").alias("n_events"),
+        F.sum("psum").cast("bigint").alias("sum_cents"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
 def _zorder_oracle() -> str:
     """DuckDB twin of operators/zorder.zvalue at bits=10 over
     (user_id, value-bucket): generated bit-interleave expression."""

@@ -457,3 +457,53 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     losers = ranked.filter(F.col("rk") > 1).select("doc_id")
     return q.join(losers, "doc_id", "left_anti").select("doc_id", "quality")
+
+
+@register(
+    "near_dup_pairs_edit_distance",
+    tags=("dedup", "edit-distance", "simhash"),
+    oracle="""
+        WITH cand AS (""" + _SIMHASH_HEX_ORACLE + """
+        )
+        SELECT c.a, c.b,
+               CAST(levenshtein(substr(da.text, 1, 120),
+                                substr(db.text, 1, 120)) AS BIGINT)
+                   AS edit_distance
+        FROM cand c
+        JOIN documents da ON da.doc_id = c.a
+        JOIN documents db ON db.doc_id = c.b
+        WHERE levenshtein(substr(da.text, 1, 120),
+                          substr(db.text, 1, 120)) <= 30
+    """,
+)
+def near_dup_pairs_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup with an EDIT-DISTANCE verifier: candidates from
+    the oracle-exact hamming-banded md5 simhash (never all-pairs), then
+    each candidate pair verified by levenshtein on a 120-char prefix --
+    the character-level confirmation step set-similarity methods lack
+    (token reorderings that fool jaccard fail the edit check).  Both
+    engines implement classic Levenshtein over characters, so the
+    distances -- and the kept pair set -- hash-match exactly.
+
+    Scale notes: the quadratic-cost levenshtein runs ONLY on the
+    banding's candidate pairs (|pairs| << n^2), on bounded prefixes, as
+    a JVM scan-stage expression after two id-equi-joins that AQE
+    broadcasts when the pair set is small."""
+    from ..operators.dedup import simhash_near_dup_pairs_hex
+
+    docs = load_table(spark, "documents", sf_dir)
+    cand = simhash_near_dup_pairs_hex(docs).select("a", "b")
+    texts = docs.select("doc_id", F.substring("text", 1, 120).alias("prefix"))
+    dist = F.levenshtein(F.col("pa"), F.col("pb"))
+    return (
+        cand.join(
+            texts.select(F.col("doc_id").alias("a"), F.col("prefix").alias("pa")),
+            "a",
+        )
+        .join(
+            texts.select(F.col("doc_id").alias("b"), F.col("prefix").alias("pb")),
+            "b",
+        )
+        .select("a", "b", dist.cast("bigint").alias("edit_distance"))
+        .filter(F.col("edit_distance") <= 30)
+    )

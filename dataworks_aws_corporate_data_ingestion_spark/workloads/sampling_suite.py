@@ -549,3 +549,57 @@ def epoch_shuffle_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_same_slot"),
         (same_shard * _N_SHARDS < F.count(F.lit(1)) * 2).alias("decorrelated"),
     )
+
+
+@register(
+    "temperature_sampling_rates",
+    tags=("sampling", "mixture", "temperature", "training-data"),
+    oracle="""
+        WITH d AS (
+            SELECT source,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ),
+        totals AS (
+            SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS toks
+            FROM d GROUP BY source
+        ),
+        g AS (SELECT CAST(SUM(toks) AS BIGINT) AS total FROM totals)
+        SELECT t.source, t.toks,
+               CAST(t.toks AS DOUBLE) / CAST(g.total AS DOUBLE) AS share,
+               sqrt(CAST(t.toks AS DOUBLE) / CAST(g.total AS DOUBLE))
+                   AS rate_t2
+        FROM totals t, g
+    """,
+)
+def temperature_sampling_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weights (the multilingual/multi-source
+    rebalancing move: sample source s proportionally to share^(1/T)):
+    per-source exact token totals, natural share, and the T=2 weight
+    sqrt(share).  T=2 is the classic mBERT/XLM-R exponent alpha=0.5 --
+    and the ONE temperature whose weight is cross-engine hash-exact,
+    because IEEE sqrt is correctly rounded while pow(x, 0.3) is libm-
+    dependent; other temperatures follow downstream from these shares.
+    The normalising constant (sum of weights) is a SMALL per-source
+    vector any consumer folds driver-side; summing doubles across groups
+    inside the query would be association-order-dependent and break the
+    hash (module convention).
+
+    Scale notes: token counting rides the scan stage; the aggregate
+    shuffles one row per source.  The grand total is a broadcast
+    singleton join, same as token_budget_mixture."""
+    d = load_table(spark, "documents", sf_dir).select(
+        "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    totals = d.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("toks")
+    )
+    g = totals.agg(F.sum("toks").cast("bigint").alias("total"))
+    share = F.col("toks").cast("double") / F.col("total").cast("double")
+    return totals.crossJoin(F.broadcast(g)).select(
+        "source",
+        "toks",
+        share.alias("share"),
+        F.sqrt(share).alias("rate_t2"),
+    )

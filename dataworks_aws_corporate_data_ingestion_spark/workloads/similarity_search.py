@@ -418,3 +418,96 @@ def semantic_dedup_recall_certificate(spark: SparkSession, sf_dir: str) -> DataF
             ),
         )
     )
+
+
+@register(
+    "embedding_centroids",
+    tags=("vectors", "centroid", "clustering"),
+    oracle="""
+        SELECT label, CAST(pos AS INT) AS pos,
+               CAST(n AS BIGINT) AS n,
+               CAST(s AS DOUBLE) / CAST(n AS BIGINT) AS centroid
+        FROM (
+            SELECT label, pos, COUNT(*) AS n, CAST(SUM(vq) AS BIGINT) AS s
+            FROM (
+                SELECT e.label, t.pos,
+                       CAST(FLOOR(CAST(e.embedding[t.pos + 1] AS DOUBLE) * 1e6)
+                            AS BIGINT) AS vq
+                FROM embeddings e,
+                     LATERAL (SELECT unnest(range(len(e.embedding))) AS pos) t
+            )
+            GROUP BY label, pos
+        )
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids) in long form -- the
+    building block of centroid classifiers, cluster summaries, and
+    semantic-dedup seeding.  Components quantise to exact 1e-6 integers
+    before summing so the cross-engine hash is bit-stable (double
+    summation order is engine-dependent; bigint summation is not), and
+    the mean is ONE deterministic double division at the end.
+
+    Scale notes: posexplode multiplies rows by the dimension (64x here),
+    but the groupBy(label, pos) partials combine map-side, so the
+    shuffle carries n_labels x dim rows -- constant in corpus size.  For
+    wide models prefer a Pandas-UDF vector mean (one row per label per
+    partition); for 64-dim metadata embeddings the explode form stays
+    all-JVM and oracle-checkable."""
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    q = e.select(
+        "label",
+        F.col("pos").cast("int").alias("pos"),
+        F.floor(F.col("v").cast("double") * 1e6).cast("bigint").alias("vq"),
+    )
+    return q.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("vq").cast("double") / F.count(F.lit(1)).cast("bigint")).alias(
+            "centroid"
+        ),
+    )
+
+
+@register(
+    "embedding_l2_norms",
+    tags=("vectors", "higher-order-functions"),
+    oracle="""
+        SELECT vec_id, ssq, sqrt(CAST(ssq AS DOUBLE)) * 1e-6 AS l2_norm
+        FROM (
+            SELECT vec_id,
+                   CAST(list_sum(list_transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+                            * CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)))
+                       AS BIGINT) AS ssq
+            FROM embeddings
+        )
+    """,
+)
+def embedding_l2_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm via HIGHER-ORDER FUNCTIONS -- transform +
+    aggregate fold entirely inside the row, no explode, no shuffle: the
+    array stays one cell and the fold is a codegen'd loop.  Components
+    quantise to exact 1e-6 integers first so the fold is bigint
+    arithmetic (associativity-free); the only float ops are one sqrt
+    (IEEE correctly-rounded, portable) and one scale-back multiply.
+
+    Scale notes: this is the shape to prefer over posexplode whenever
+    the per-row reduction needs no cross-row state -- zero exchange, and
+    at 100 TB the difference between a scan-stage map and a 64x row
+    amplification feeding a shuffle.  The long-form twin
+    (embedding_centroids) exists precisely for the cross-row case."""
+    q = lambda x: F.floor(x.cast("double") * 1e6).cast("long")  # noqa: E731
+    ssq = F.aggregate(
+        "embedding",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + q(x) * q(x),
+    )
+    return (
+        load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", ssq.alias("ssq"))
+        .withColumn(
+            "l2_norm", F.sqrt(F.col("ssq").cast("double")) * F.lit(1e-6)
+        )
+    )

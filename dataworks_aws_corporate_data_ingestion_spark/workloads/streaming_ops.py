@@ -154,3 +154,56 @@ def purchases_attributed_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "purchase"),
         horizon_minutes=60,
     )
+
+
+@register(
+    "events_sliding_windows",
+    tags=("streaming", "window-agg", "sliding", "event-time"),
+    oracle="""
+        SELECT ws AS window_start,
+               ws + INTERVAL '1 hour' AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM (
+            SELECT time_bucket(INTERVAL '15 minutes', ts)
+                       - k.k * INTERVAL '15 minutes' AS ws,
+                   event_type, value
+            FROM events, LATERAL (SELECT unnest(range(4)) AS k) k
+        )
+        GROUP BY 1, 2, 3
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING 1-hour windows every 15 minutes (hop windows) -- the
+    overlapping-window twin of events_hourly_windows: each event lands in
+    exactly window/slide = 4 windows, so trend dashboards get a fresh
+    hour-long reading 4x as often without waiting for a tumble boundary.
+    The oracle expands the same 4 memberships per event explicitly
+    (time_bucket at the slide grain minus k slides, k in 0..3).
+
+    Scale notes: Spark plans the slide as an internal explode (one row
+    per overlapping window) feeding the usual partial-then-final hash
+    aggregate -- input amplification is the window/slide ratio, which is
+    why the slide should divide the window and stay coarse at scale; in
+    streaming mode the same expression runs under a watermark with state
+    bounded by window+lateness per key."""
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
