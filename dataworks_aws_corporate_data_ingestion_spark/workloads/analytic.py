@@ -1302,3 +1302,232 @@ def order_counts_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@register(
+    "value_winsorization_bounds",
+    tags=("statistics", "percentile", "outliers"),
+    oracle="""
+        WITH b AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.01) AS p01,
+                   quantile_cont(value, 0.99) AS p99
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, b.p01, b.p99,
+               CAST(SUM(CASE WHEN e.value < b.p01 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_below,
+               CAST(SUM(CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_above,
+               COUNT(*) AS n
+        FROM events e JOIN b USING (event_type)
+        GROUP BY e.event_type, b.p01, b.p99
+    """,
+)
+def value_winsorization_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization prep -- the outlier-clamping step of feature
+    pipelines: per event type, the exact interpolated p01/p99 bounds and
+    how many rows each tail clamp would touch.  Spark percentile() and
+    DuckDB quantile_cont() agree bit-for-bit on doubles (same
+    interpolation), so the bounds AND the boundary comparisons
+    hash-match.
+
+    Scale notes: exact percentile sorts per group -- fine on bounded
+    group counts; at petabyte scale swap in approx_percentile (its own
+    registered query demonstrates the accuracy envelope) and the clamp
+    counting is unchanged.  The bounds re-join is a broadcast (one row
+    per event type)."""
+    e = load_table(spark, "events", sf_dir).select("event_type", "value")
+    b = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "p01", "p99")
+        .agg(
+            F.sum((F.col("value") < F.col("p01")).cast("int"))
+            .cast("bigint")
+            .alias("n_below"),
+            F.sum((F.col("value") > F.col("p99")).cast("int"))
+            .cast("bigint")
+            .alias("n_above"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "event_value_hour_correlation",
+    tags=("statistics", "correlation", "exact-moments"),
+    oracle="""
+        WITH q AS (
+            SELECT event_type,
+                   CAST(HOUR(ts) AS BIGINT) AS h,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS v
+            FROM events
+        ),
+        m AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(h) AS BIGINT) AS sh,
+                   CAST(SUM(v) AS BIGINT) AS sv,
+                   CAST(SUM(h * v) AS BIGINT) AS shv,
+                   CAST(SUM(h * h) AS BIGINT) AS sh2,
+                   CAST(SUM(v * v) AS BIGINT) AS sv2
+            FROM q GROUP BY event_type
+        )
+        SELECT event_type, n,
+               (CAST(n AS DOUBLE) * CAST(shv AS DOUBLE)
+                - CAST(sh AS DOUBLE) * CAST(sv AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sh2 AS DOUBLE)
+                       - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(sv2 AS DOUBLE)
+                         - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)))
+                   AS hour_value_corr
+        FROM m
+    """,
+)
+def event_value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between hour-of-day and value per event type,
+    from EXACT integer moments (same discipline as user_value_zscore):
+    hour and cent-quantised value sum as bigints, the correlation is
+    derived in fixed-association IEEE doubles with two correctly-rounded
+    sqrts.  Spark's built-in corr() would NOT hash-match (double
+    accumulation order); this form does, and is the same one partial
+    aggregation distributes for free.
+
+    Scale notes: one map-side-combined aggregate -- six integer sums per
+    group ride the scan stage; no second pass, no window."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("h"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("h").cast("bigint").alias("sh"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum(F.col("h") * F.col("v")).cast("bigint").alias("shv"),
+        F.sum(F.col("h") * F.col("h")).cast("bigint").alias("sh2"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("sv2"),
+    )
+    nd, shd, svd = (F.col(c).cast("double") for c in ("n", "sh", "sv"))
+    shvd, sh2d, sv2d = (F.col(c).cast("double") for c in ("shv", "sh2", "sv2"))
+    corr = (nd * shvd - shd * svd) / (
+        F.sqrt(nd * sh2d - shd * shd) * F.sqrt(nd * sv2d - svd * svd)
+    )
+    return m.select("event_type", "n", corr.alias("hour_value_corr"))
+
+
+@register(
+    "monthly_order_spine",
+    tags=("dimension-spine", "sequence", "left-join"),
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+                   CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+            FROM orders
+        ),
+        spine AS (
+            SELECT CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+                                               INTERVAL 1 MONTH)) AS DATE)
+                   AS month_start
+            FROM bounds
+        ),
+        m AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ms,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                       AS rev
+            FROM orders GROUP BY 1
+        )
+        SELECT s.month_start,
+               CAST(COALESCE(m.n, 0) AS BIGINT) AS n_orders,
+               COALESCE(m.rev, 0.0) AS revenue
+        FROM spine s LEFT JOIN m ON m.ms = s.month_start
+    """,
+)
+def monthly_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete month spine joined against monthly order aggregates --
+    the gap-preserving time series (months with zero orders appear as
+    explicit zero rows, which a plain GROUP BY silently drops and every
+    downstream model/forecast needs).  The spine is GENERATED
+    (F.sequence over the data's own month bounds), not scanned.
+
+    Scale notes: the spine is tiny (one row per month) and generated
+    from a two-value aggregate; the left join broadcasts the monthly
+    aggregate against it.  Generating dimensions instead of storing
+    them is the zero-maintenance pattern for calendar/bucket spines."""
+    o = load_table(spark, "orders", sf_dir).select(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("ms"),
+        money("o_totalprice").alias("p"),
+    )
+    bounds = o.agg(F.min("ms").alias("lo"), F.max("ms").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 month)")).alias(
+            "month_start"
+        )
+    )
+    monthly = o.groupBy("ms").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("p").cast("double").alias("rev"),
+    )
+    return spine.join(
+        monthly, spine["month_start"] == monthly["ms"], "left"
+    ).select(
+        "month_start",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce("rev", F.lit(0.0)).alias("revenue"),
+    )
+
+
+@register(
+    "monthly_revenue_growth",
+    tags=("window", "lag", "time-series"),
+    oracle="""
+        WITH m AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                       AS month_start,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev_cents
+            FROM orders GROUP BY 1
+        )
+        SELECT month_start, rev_cents,
+               CAST(rev_cents - LAG(rev_cents) OVER (ORDER BY month_start)
+                    AS BIGINT) AS delta_cents,
+               CAST(rev_cents AS DOUBLE)
+                   / CAST(LAG(rev_cents) OVER (ORDER BY month_start)
+                          AS DOUBLE) AS growth_ratio
+        FROM m
+    """,
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue deltas and growth ratio: monthly cent
+    sums (exact bigint; prices are 2-decimal so *100 is lossless), lag
+    over the month series, one deterministic double division for the
+    ratio (first month's lag is NULL in both engines).
+
+    Scale notes: the lag window runs over the AGGREGATED series -- one
+    row per month -- so the single-partition window is a driver-sized
+    triviality, not a scale concern; the heavy lifting is the
+    map-side-combined monthly aggregate."""
+    o = load_table(spark, "orders", sf_dir).select(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start"),
+        # floor, not cast: double->int casts TRUNCATE in Spark but ROUND
+        # in DuckDB; floor-then-cast is identical in both
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    m = o.groupBy("month_start").agg(
+        F.sum("cents").cast("bigint").alias("rev_cents")
+    )
+    w = Window.orderBy("month_start")
+    prev = F.lag("rev_cents").over(w)
+    return m.select(
+        "month_start",
+        "rev_cents",
+        (F.col("rev_cents") - prev).cast("bigint").alias("delta_cents"),
+        (F.col("rev_cents").cast("double") / prev.cast("double")).alias(
+            "growth_ratio"
+        ),
+    )

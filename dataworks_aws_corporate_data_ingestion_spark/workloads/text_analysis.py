@@ -901,3 +901,39 @@ def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), F.col("bigram").asc())
         .limit(50)
     )
+
+
+@register(
+    "documents_normalized_fingerprints",
+    tags=("text", "normalization", "fingerprint"),
+    oracle="""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+                   AS norm_md5,
+               CAST(length(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+                    AS BIGINT) AS n_chars_norm
+        FROM documents
+    """,
+)
+def documents_normalized_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Canonical-text fingerprints: lowercase, collapse whitespace runs,
+    trim, md5 -- the normalisation pass that runs BEFORE exact dedup so
+    trivially-reformatted copies collide (the reference applies the same
+    idea to records via canonical JSON serialisation,
+    steps/data.py; here it is the document-corpus analogue).  Output is
+    the 32-hex fingerprint plus the normalised length, both
+    engine-portable (md5 lowercase hex in both; length counts
+    characters in both).
+
+    Scale notes: pure scan-stage string expressions, no shuffle; the
+    fingerprint is what downstream exact-dedup groups by, so the 8-byte
+    xxhash64 variant in exact_dedup_by_hash remains the scale path --
+    md5 here because the oracle must reproduce it."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    return load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+    )
