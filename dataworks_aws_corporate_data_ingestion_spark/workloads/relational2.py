@@ -381,3 +381,45 @@ def events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(k).alias("k_sum"),
         )
     )
+
+
+@register(
+    "events_props_variant_stats",
+    tags=("json", "variant", "semi-structured"),
+    oracle="""
+        SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod,
+               COUNT(*) AS n,
+               CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS k_min,
+               CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS k_max
+        FROM events
+        GROUP BY 1
+    """,
+)
+def events_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT path for semi-structured data (Spark 4): parse_json
+    once into the binary variant encoding, then typed variant_get
+    extraction -- the open-table-format answer to repeated
+    get_json_object parsing (each get_json_object re-parses the string;
+    a variant column parses once and every extraction is an O(path)
+    binary probe).  Same aggregate as the string-JSON twin above, so the
+    two surfaces are mutually checkable and the DuckDB oracle covers
+    both.
+
+    Scale notes: for a props column probed by k extractions, variant
+    turns k string parses per row into 1 parse + k binary probes; at
+    100 TB the parse is the dominant scan-stage cost, which is why
+    engines are converging on variant encodings for JSON columns."""
+    e = load_table(spark, "events", sf_dir).select(
+        F.parse_json("props").alias("pv")
+    )
+    k = F.variant_get("pv", "$.k", "bigint")
+    return (
+        e.groupBy((k % 7).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(k).cast("bigint").alias("k_min"),
+            F.max(k).cast("bigint").alias("k_max"),
+        )
+    )

@@ -100,3 +100,96 @@ class TestProvenanceMetadata:
         assert len(per_file) >= back.select("event_type").distinct().count()
         assert all(r["sz"] > 0 for r in per_file)
         assert back.count() == events.count()
+
+
+class TestStateStoreDataSource:
+    """Python DataSource V2 (Spark 4) over the job-state JSONL log:
+    schema imposition, status partitioning, last-writer-wins parity with
+    LocalStateStore, and pushed filters via the normal DataFrame API."""
+
+    def _seed(self, path):
+        from dataworks_aws_corporate_data_ingestion_spark.plans.state import (
+            COMPLETED,
+            FAILED,
+            IN_PROGRESS,
+            JobStatus,
+            LocalStateStore,
+        )
+
+        store = LocalStateStore(str(path))
+        store.put(
+            JobStatus("c1", "CDI-a", "2024-01-01", IN_PROGRESS, updated_at=1.0)
+        )
+        # same key overwritten: only the COMPLETED winner may surface
+        store.put(
+            JobStatus(
+                "c1", "CDI-a", "2024-01-01", COMPLETED,
+                export_prefix="s3://x/a/1", updated_at=2.0,
+            )
+        )
+        store.put(
+            JobStatus("c1", "CDI-a", "2024-01-02", FAILED, updated_at=3.0)
+        )
+        store.put(
+            JobStatus(
+                "c2", "CDI-b", "2024-01-02", COMPLETED,
+                export_prefix="s3://x/b/1", updated_at=4.0,
+            )
+        )
+        return store
+
+    def test_table_view_matches_state_store_lww(self, spark, tmp_path):
+        from dataworks_aws_corporate_data_ingestion_spark.sources.statestore_ds import (
+            register_state_source,
+        )
+
+        path = tmp_path / "state.jsonl"
+        store = self._seed(path)
+        register_state_source(spark)
+        df = spark.read.format("cdi_state").option("path", str(path)).load()
+        rows = {
+            (r.correlation_id, r.data_product, r.date): r
+            for r in df.collect()
+        }
+        # 3 distinct keys, never the overwritten IN_PROGRESS record
+        assert len(rows) == 3
+        assert rows[("c1", "CDI-a", "2024-01-01")].status == "COMPLETED"
+        assert rows[("c1", "CDI-a", "2024-01-02")].status == "FAILED"
+        # parity with the driver-side store view
+        store_keys = {
+            (e.correlation_id, e.data_product, e.date): e.status
+            for e in store.entries()
+        }
+        assert {k: r.status for k, r in rows.items()} == store_keys
+
+    def test_status_filtered_audit(self, spark, tmp_path):
+        from dataworks_aws_corporate_data_ingestion_spark.sources.statestore_ds import (
+            register_state_source,
+        )
+
+        path = tmp_path / "state.jsonl"
+        self._seed(path)
+        register_state_source(spark)
+        failed = (
+            spark.read.format("cdi_state")
+            .option("path", str(path))
+            .load()
+            .filter("status = 'FAILED'")
+            .collect()
+        )
+        assert [(r.date, r.correlation_id) for r in failed] == [
+            ("2024-01-02", "c1")
+        ]
+
+    def test_missing_file_is_empty_not_error(self, spark, tmp_path):
+        from dataworks_aws_corporate_data_ingestion_spark.sources.statestore_ds import (
+            register_state_source,
+        )
+
+        register_state_source(spark)
+        df = (
+            spark.read.format("cdi_state")
+            .option("path", str(tmp_path / "nope.jsonl"))
+            .load()
+        )
+        assert df.count() == 0

@@ -886,3 +886,69 @@ class TestBuiltinWatermarkDedup:
         assert set(by_id) == {1, 2, 3}
         allowed = {1: {10.0, 11.0}, 2: {20.0, 21.0}, 3: {30.0}}
         assert all(by_id[k] in allowed[k] for k in by_id)
+
+
+class TestEventTimeTimeoutSessions:
+    SCHEMA = (
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double"
+    )
+
+    def _batch(self, spark, delta_dir, rows):
+        spark.createDataFrame(rows, self.SCHEMA).write.mode("append").parquet(
+            str(delta_dir)
+        )
+
+    def test_gap_close_and_timeout_close(self, spark, tmp_path):
+        """Sessions close two ways: an over-gap successor event (emitted
+        in-batch) and EVENT-TIME TIMEOUT for keys that go silent (emitted
+        when the watermark passes last+gap).  The timeout path is the one
+        a NoTimeout operator can never take -- state for idle keys would
+        live forever."""
+        import datetime as dt
+
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.session_state import (
+            session_finalizer_query,
+        )
+
+        delta = tmp_path / "events"
+        out = str(tmp_path / "sessions")
+        ckpt = str(tmp_path / "ckpt")
+        delta.mkdir()
+        t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+
+        # batch 1: user 1 two close events; user 2 one event
+        self._batch(
+            spark,
+            delta,
+            [
+                (1, t(10, 0), 1, "view", 1.0),
+                (2, t(10, 10), 1, "view", 1.0),
+                (3, t(10, 5), 2, "view", 1.0),
+            ],
+        )
+        q = session_finalizer_query(spark, str(delta), out, ckpt)
+        q.awaitTermination(120)
+
+        # batch 2: user 1 again far past the gap -> closes user 1's first
+        # session in-batch AND advances the watermark to 11:50
+        self._batch(spark, delta, [(4, t(12, 0), 1, "view", 1.0)])
+        q = session_finalizer_query(spark, str(delta), out, ckpt)
+        q.awaitTermination(120)
+
+        # batch 3: unrelated user keeps the stream moving; with the
+        # watermark now at 11:50 > 10:05+30min, user 2's idle session
+        # MUST be finalised by timeout in this batch
+        self._batch(spark, delta, [(5, t(12, 30), 3, "view", 1.0)])
+        q = session_finalizer_query(spark, str(delta), out, ckpt)
+        q.awaitTermination(120)
+
+        got = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert (1, t(10, 0), t(10, 10), 2) in got  # gap-closed
+        assert (2, t(10, 5), t(10, 5), 1) in got  # timeout-closed
+        # user 1's 12:00 session and user 3's are still open: not emitted
+        assert all(u != 3 for u, *_ in got)
+        assert len(got) == 2
