@@ -507,3 +507,90 @@ def near_dup_pairs_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", dist.cast("bigint").alias("edit_distance"))
         .filter(F.col("edit_distance") <= 30)
     )
+
+
+@register(
+    "leakage_safe_split",
+    tags=("dedup", "graph", "split", "training-data"),
+    oracle="""
+        WITH RECURSIVE pairs AS (
+            SELECT a, b FROM (""" + _PAIRS_JACCARD_ORACLE + """) t
+        ),
+        sym AS (
+            SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+        ),
+        reach AS (
+            SELECT a AS node, b AS r FROM sym
+            UNION
+            SELECT reach.node, sym.b AS r
+            FROM reach JOIN sym ON reach.r = sym.a
+        ),
+        comp AS (
+            SELECT node AS doc_id,
+                   CAST(LEAST(node, MIN(r)) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        all_docs AS (
+            SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, cluster_id,
+                   ('0x' || substr(md5('split' || CAST(cluster_id AS VARCHAR)),
+                                   1, 8))::BIGINT % 100 AS bucket
+            FROM all_docs
+        )
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that CANNOT leak near-duplicates across
+    splits: the split decision hashes the duplicate CLUSTER id, not the
+    document id, so A and its near-copy B (same connected component)
+    always land in the same split -- the eval-contamination failure mode
+    of naive per-doc splits.  Singleton docs are their own cluster.
+    80/10/10 by md5 bucket; the whole assignment (pairs, closure,
+    bucket arithmetic) is engine-recomputable and hash-checked.
+
+    Scale notes: pair generation is the banded LSH join; components are
+    O(log n) rounds on the pair set; the split itself is a scan-stage
+    hash -- and the left join against the (small) component map is the
+    only touch the full corpus pays beyond dedup it already ran."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = near_dup_pairs_minhash(docs)
+    comp = connected_components(pairs, src="a", dst="b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    assigned = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split"), F.col("cluster_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -73,3 +73,82 @@ def test_asof_pit_form_is_join_free(spark):
     plan = _plan(spark, "purchases_point_in_time_asof")
     assert "Join" not in plan, "as-of PIT form regressed to a join"
     assert "Window" in plan
+
+
+class TestRuntimeFilterInjection:
+    """The optimizer features that matter MOST at 100 TB are the ones that
+    delete I/O at runtime: row-level bloom-filter joins and dynamic
+    partition pruning.  These tests pin that the engine's layouts and
+    query shapes actually LET Spark inject them (thresholds lowered to
+    test scale; both features are on by default in the engine session)."""
+
+    def test_bloom_filter_join_injected(self, spark, tmp_path):
+        """A selective dim filter on the creation side of a shuffle join
+        must inject a bloom filter on the fact side's scan stage
+        (might_contain / bloom_filter_agg in the optimized plan)."""
+        fact = str(tmp_path / "fact")
+        dim = str(tmp_path / "dim")
+        spark.range(0, 200_000).selectExpr(
+            "id", "id % 1000 AS k", "id * 2 AS v"
+        ).write.parquet(fact)
+        spark.range(0, 1000).selectExpr(
+            "id AS k", "CASE WHEN id % 100 = 0 THEN 'hot' ELSE 'cold' END AS tag"
+        ).write.parquet(dim)
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+            # force the shuffle-join path: broadcast joins skip row-level
+            # runtime filters (the broadcast IS the filter)
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        }
+        old = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            f = spark.read.parquet(fact)
+            d = spark.read.parquet(dim).filter("tag = 'hot'")
+            j = f.join(d, "k")
+            optimized = j._jdf.queryExecution().optimizedPlan().toString()
+            assert "bloom_filter_agg" in optimized or "might_contain" in optimized, (
+                "no runtime bloom filter injected:\n" + optimized[:2000]
+            )
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    def test_dynamic_partition_pruning_on_daily_layout(self, spark, tmp_path):
+        """The write_daily directory layout must be DPP-able: joining the
+        partition column against a filtered dim adds a dynamicpruning
+        subquery to the fact scan, so only the matching id_part leaves
+        are read -- at 10 TB this is the difference between scanning one
+        bucket and scanning the world."""
+        from pyspark.sql import functions as F
+
+        daily = str(tmp_path / "daily")
+        (
+            spark.range(0, 50_000)
+            .selectExpr(
+                "CAST(id AS STRING) AS id",
+                "lpad(CAST(id % 16 AS STRING), 2, '0') AS id_part",
+                "2024 AS export_year",
+                "1 AS export_month",
+                "15 AS export_day",
+            )
+            .write.partitionBy("export_year", "export_month", "export_day", "id_part")
+            .parquet(daily)
+        )
+        fact = spark.read.parquet(daily)
+        dim = spark.range(0, 16).select(
+            F.lpad((F.col("id") % 16).cast("string"), 2, "0").alias("id_part"),
+            (F.col("id") % 4 == 0).alias("wanted"),
+        )
+        j = fact.join(dim.filter("wanted"), "id_part")
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "dynamicpruning" in optimized.lower(), (
+            "no dynamic partition pruning on the daily layout:\n"
+            + optimized[:2000]
+        )
