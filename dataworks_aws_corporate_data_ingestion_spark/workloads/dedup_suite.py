@@ -594,3 +594,47 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+@register(
+    "duplicate_source_matrix",
+    tags=("dedup", "provenance", "analytics"),
+    oracle="""
+        WITH pairs AS (
+            SELECT a, b FROM (""" + _PAIRS_JACCARD_ORACLE + """) t
+        )
+        SELECT LEAST(da.source, db.source) AS source_x,
+               GREATEST(da.source, db.source) AS source_y,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.a
+        JOIN documents db ON db.doc_id = p.b
+        GROUP BY 1, 2
+    """,
+)
+def duplicate_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE duplication comes from: the near-dup pair set joined to each
+    side's source, rolled up to an unordered source-pair matrix -- the
+    provenance view that tells a curation team whether duplication is
+    internal to a crawl (diagonal) or cross-source mirroring
+    (off-diagonal), and which ingest to deprioritise.
+
+    Scale notes: two id-equi-joins of the (small) pair set against the
+    corpus (AQE broadcasts the pair side), then a tiny aggregate --
+    nothing quadratic beyond what dedup already produced."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = near_dup_pairs_minhash(docs).select("a", "b")
+    src = docs.select("doc_id", "source")
+    joined = pairs.join(
+        src.select(F.col("doc_id").alias("a"), F.col("source").alias("sa")), "a"
+    ).join(
+        src.select(F.col("doc_id").alias("b"), F.col("source").alias("sb")), "b"
+    )
+    return (
+        joined.select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
