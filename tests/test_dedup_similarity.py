@@ -50,6 +50,85 @@ class TestSimhash:
         assert got == want
 
 
+def py_simhash_hex(text: str, bits: int = 60) -> int:
+    """Pure-Python reference of the md5-based 60-bit simhash
+    (operators/dedup.py::simhash_signatures_hex): token hash = first 15
+    hex chars of md5 parsed base-16; bit b set iff the +/-1 sum of
+    token-hash bit b is > 0."""
+    import hashlib
+
+    acc = [0] * bits
+    for tok in text.lower().split(" "):
+        v = int(hashlib.md5(tok.encode("utf8")).hexdigest()[:15], 16)
+        for b in range(bits):
+            acc[b] += 1 if (v >> b) & 1 else -1
+    sig = 0
+    for b in range(bits):
+        if acc[b] > 0:
+            sig |= 1 << b
+    return sig
+
+
+class TestSimhashHex:
+    def test_matches_pure_python_reference(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.dedup import (
+            simhash_signatures_hex,
+        )
+
+        docs = load_table(spark, "documents", SF).limit(20)
+        got = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash_signatures_hex(docs).collect()
+        }
+        want = {r["doc_id"]: py_simhash_hex(r["text"]) for r in docs.collect()}
+        assert got == want
+
+    def test_edge_token_shapes(self, spark):
+        """Empty-ish strings, repeated tokens, multi-space runs (split
+        keeps empty tokens -- md5('') participates), punctuation-only."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.dedup import (
+            simhash_signatures_hex,
+        )
+
+        texts = ["", " ", "a", "a a a", "x  y", "!?.", "word " * 50]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        )
+        got = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash_signatures_hex(docs).collect()
+        }
+        want = {i: py_simhash_hex(t) for i, t in enumerate(texts)}
+        assert got == want
+
+    def test_banding_equals_brute_force(self, spark):
+        """Pigeonhole exactness: hamming<=3 pairs from the 4-chunk banded
+        join must equal the all-pairs popcount filter."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.dedup import (
+            simhash_near_dup_pairs_hex,
+            simhash_signatures_hex,
+        )
+
+        docs = load_table(spark, "documents", SF)
+        sigs = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash_signatures_hex(docs).collect()
+        }
+        ids = sorted(sigs)
+        brute = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+        }
+        banded = {
+            (r["a"], r["b"])
+            for r in simhash_near_dup_pairs_hex(docs).collect()
+        }
+        assert banded == brute
+        assert len(brute) > 0
+
+
 class TestMinhashLsh:
     def test_equals_exact_pairs(self, spark):
         docs = load_table(spark, "documents", SF)
