@@ -1531,3 +1531,161 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "growth_ratio"
         ),
     )
+
+
+@register(
+    "trailing_7d_active_users",
+    tags=("window", "distinct", "time-series"),
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        mem AS (
+            SELECT CAST(unnest(generate_series(
+                       day::TIMESTAMP,
+                       (day + INTERVAL 6 DAY)::TIMESTAMP,
+                       INTERVAL 1 DAY)) AS DATE) AS asof_day,
+                   user_id
+            FROM du
+        )
+        SELECT asof_day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM mem GROUP BY asof_day
+    """,
+)
+def trailing_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (WAU) -- the sliding DISTINCT
+    that a RANGE window cannot express (count_distinct is unsupported
+    over window frames in both engines).  The scale-shape rewrite:
+    collapse to distinct (day, user) first (the only corpus-sized pass),
+    then explode each activity day into the 7 as-of days it supports and
+    run a plain distinct-count aggregate -- membership amplification is
+    7x on the ALREADY-collapsed day/user pairs, not on raw events.
+    Days past the last activity keep their partial trailing windows
+    (asof_day extends 6 days beyond max(day); both engines agree).
+
+    Scale notes: distinct(day,user) is map-side partial + one shuffle;
+    the explode is a generator in the same stage; the final
+    count_distinct shuffles (asof_day, user) pairs.  At 100 TB the
+    (day, user) set is ~10^4x smaller than events."""
+    e = load_table(spark, "events", sf_dir).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    du = e.distinct()
+    mem = du.select(
+        F.explode(
+            F.expr("sequence(day, day + interval 6 day, interval 1 day)")
+        ).alias("asof_day"),
+        "user_id",
+    )
+    return mem.groupBy("asof_day").agg(
+        F.count_distinct("user_id").cast("bigint").alias("wau")
+    )
+
+
+@register(
+    "event_gap_percentiles",
+    tags=("window", "percentile", "time-series"),
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   date_diff('microsecond',
+                             LAG(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                             ts) AS gap_us
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(*) AS n_gaps,
+               quantile_cont(CAST(gap_us AS DOUBLE), 0.5) AS p50_us,
+               quantile_cont(CAST(gap_us AS DOUBLE), 0.9) AS p90_us
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY event_type
+    """,
+)
+def event_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per event type: per-user lag over
+    event time, exact interpolated p50/p90 of the gaps.  Gaps are exact
+    integer MICROseconds from pure-NTZ arithmetic (session-timezone
+    independent, sub-second precision preserved); the percentile
+    interpolates over their double images, which is parity-exact
+    (percentile == quantile_cont bit-for-bit; integers < 2^53 are exact
+    doubles).
+
+    Scale notes: one shuffle on user_id for the lag window; the
+    percentile groups by event_type -- a handful of groups, each sorting
+    only its gaps.  The sessionization gap threshold (30 min) can be
+    read straight off this distribution, which is why the query earns
+    its place next to the session operators."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_type", "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) over (partition by user_id"
+        " order by ts asc, event_id asc), ts)"
+    )
+    g = e.select("event_type", gap.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.percentile(F.col("gap_us").cast("double"), F.lit(0.5)).alias("p50_us"),
+        F.percentile(F.col("gap_us").cast("double"), F.lit(0.9)).alias("p90_us"),
+    )
+
+
+@register(
+    "user_value_forward_fill",
+    tags=("window", "gap-fill", "ignore-nulls"),
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE)
+                   AS masked_value,
+               CAST(last_value(CASE WHEN event_type <> 'click'
+                                    THEN CAST(value AS DECIMAL(12,2)) END
+                               IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   AS filled_value
+        FROM events
+    """,
+)
+def user_value_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last-observation-carried-forward): clicks are
+    treated as carrying no reading, and each row takes the most recent
+    non-click value in its user's event-time order -- the gap-filling
+    primitive of sensor/feature pipelines, spelled with last_value
+    IGNORE NULLS over a running frame (identical semantics in both
+    engines; leading unfilled rows stay NULL).  Values ride as exact
+    decimals and convert to double once at the end (module convention:
+    decimal-in-flight, double-out keeps the hash bit-stable).
+
+    Scale notes: one shuffle on user_id + per-partition sort; the fill
+    is a single streaming pass over the frame -- same cost profile as
+    any running aggregate, no self-join, no correlated subquery (the
+    naive LOCF spellings that do not survive scale)."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    reading = F.when(F.col("event_type") != "click", F.col("v"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.col("v").cast("double").alias("masked_value"),
+        F.last(reading, ignorenulls=True)
+        .over(w)
+        .cast("double")
+        .alias("filled_value"),
+    )
