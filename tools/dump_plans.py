@@ -34,6 +34,14 @@ SHOWCASE = [
     ("user_value_hourly_range", "RANGE frame: one user shuffle, sliding in-sort"),
     ("daily_new_users", "first-seen rewrite: two partial aggs, days-sized window"),
     ("purchases_attributed_views", "equi-join on user, range predicate post-join"),
+    ("simhash_near_dups", "all-JVM 60-bit md5 simhash: 60 codegen agg exprs + banded self-join"),
+    ("events_session_window_builtin", "one user shuffle -> UpdatingSessions merge"),
+    ("events_sliding_windows", "4x window explode absorbed by map-side partials"),
+    ("trailing_7d_active_users", "collapse-then-explode sliding distinct"),
+    ("user_value_forward_fill", "IGNORE NULLS running frame, one shuffle"),
+    ("embedding_l2_norms", "HOF fold in-row: zero exchange"),
+    ("incremental_monthly_rollup", "two-level partial-agg merge"),
+    ("leakage_safe_split", "LSH pairs -> components -> cluster-hashed split"),
 ]
 
 
