@@ -288,6 +288,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="table to publish as name=json-ddl, e.g."
         " staging.src_parts='a INT, b STRING'; repeatable",
     )
+    # maintenance: after the range completes, rewrite the accumulated
+    # directory-partitioned dailies as ONE flat z-ordered dataset
+    # (operators/zorder.py) -- the thousands-of-days sliver-file cure;
+    # the daily incremental write keeps the reference's partitioned
+    # discipline, this is the periodic re-layout
+    p.add_argument(
+        "--rewrite-zordered",
+        default="",
+        metavar="DEST",
+        help="after the run, rewrite output-root's dailies as a flat"
+        " z-ordered dataset at DEST (day + id-prefix interleave)",
+    )
     return p
 
 
@@ -328,7 +340,33 @@ def main(argv: list[str] | None = None) -> int:
     )
     spark = get_session(app_name=f"cdi-{args.collection}")
     run_range(spark, cfg)
+    if args.rewrite_zordered:
+        rewrite_dailies_zordered(
+            spark,
+            spec.output_root,
+            args.rewrite_zordered,
+            base_date=args.start_date,
+            fmt=spec.sink_format,
+        )
     return 0
+
+
+def rewrite_dailies_zordered(
+    spark: SparkSession,
+    dailies_root: str,
+    dest: str,
+    base_date: str,
+    fmt: str = "parquet",
+) -> None:
+    """Periodic re-layout: read the accumulated directory-partitioned
+    dailies (partition columns materialise from the paths) and rewrite
+    them as one flat z-ordered dataset -- files sized by data volume
+    with day AND id ranges skippable via min/max stats.  Row-preserving;
+    measured prunability trade-offs in SCALE.md 'Daily layout choice'."""
+    from ..operators.zorder import write_daily_flat_zordered
+
+    dailies = spark.read.format(fmt).load(dailies_root)
+    write_daily_flat_zordered(dailies, dest, base_date=base_date)
 
 
 if __name__ == "__main__":

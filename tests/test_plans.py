@@ -542,3 +542,91 @@ class TestHiveDdlAuditPath:
 
         with pytest.raises(RuntimeError, match="catalogImplementation"):
             publish_audit_day_hive(spark, "/tmp/nowhere", "2024-01-05")
+
+
+class TestZorderedRewrite:
+    def test_rewrite_preserves_rows_and_collapses_files(self, spark, tmp_path):
+        """The periodic re-layout: N days of directory-partitioned dailies
+        (days x id_parts sliver leaves) rewritten as one flat z-ordered
+        dataset -- row-for-row identical content, far fewer files."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from dataworks_aws_corporate_data_ingestion_spark.plans.runner import (
+            rewrite_dailies_zordered,
+        )
+
+        root = str(tmp_path / "dailies")
+        rows = spark.range(0, 3000).select(
+            F.concat(F.lit("id"), F.col("id")).alias("id"),
+            F.lit("INSERT").alias("db_type"),
+            F.lit("{}").alias("val"),
+            F.lpad((F.col("id") % 8).cast("string"), 2, "0").alias("id_part"),
+            F.lit(2024).alias("export_year"),
+            F.lit(1).alias("export_month"),
+            (F.col("id") % 5 + 1).cast("int").alias("export_day"),
+        )
+        (
+            rows.write.partitionBy(
+                "export_year", "export_month", "export_day", "id_part"
+            ).parquet(root)
+        )
+        dest = str(tmp_path / "flat_z")
+        rewrite_dailies_zordered(
+            spark, root, dest, base_date="2024-01-01", fmt="parquet"
+        )
+        back = spark.read.parquet(dest)
+        orig = spark.read.parquet(root)
+        assert back.count() == 3000
+        # content parity, column-order independent
+        cols = sorted(back.columns)
+        assert sorted(orig.columns) == cols
+        assert (
+            back.select(*cols).exceptAll(orig.select(*cols)).count() == 0
+        )
+        n_flat = sum(
+            1 for _, _, fs in os.walk(dest) for f in fs if f.endswith(".parquet")
+        )
+        n_part = sum(
+            1 for _, _, fs in os.walk(root) for f in fs if f.endswith(".parquet")
+        )
+        assert n_flat < n_part / 4  # 40 leaf slivers collapse
+
+
+class TestStateReport:
+    def test_report_lines_and_summary(self, spark, tmp_path):
+        from dataworks_aws_corporate_data_ingestion_spark.plans.state import (
+            COMPLETED,
+            FAILED,
+            JobStatus,
+            LocalStateStore,
+        )
+        from dataworks_aws_corporate_data_ingestion_spark.plans.state_report import (
+            report,
+        )
+
+        path = str(tmp_path / "state.jsonl")
+        store = LocalStateStore(path)
+        store.put(
+            JobStatus(
+                "c1", "CDI-a", "2024-01-01", COMPLETED,
+                export_prefix="s3://x/a/1", updated_at=1.0,
+            )
+        )
+        store.put(JobStatus("c1", "CDI-a", "2024-01-02", FAILED, updated_at=2.0))
+        store.put(
+            JobStatus(
+                "c1", "CDI-b", "2024-01-02", COMPLETED,
+                export_prefix="s3://x/b/1", updated_at=3.0,
+            )
+        )
+        lines = report(spark, path)
+        assert any("2024-01-02" in x and "FAILED" in x for x in lines)
+        assert any(
+            "CDI-a" in x and "runs=2 failed=1 last_completed=2024-01-01" in x
+            for x in lines
+        )
+        # product filter narrows both the detail and summary sections
+        only_b = report(spark, path, product="CDI-b")
+        assert not any("CDI-a" in x for x in only_b)
