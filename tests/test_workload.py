@@ -27,3 +27,58 @@ def test_query_runs(spark, sf_dir, name):
     df = spec.fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+class TestMergeSnapshotProperties:
+    """Property-based check of the union+window merge against a pure
+    Python model: for EVERY key, the surviving db_type is the minimum
+    (DELETE beats INSERT -- the reference's delete rule), the surviving
+    val belongs to some row of that winning db_type, and no key is lost
+    or invented.  Random key overlap between snapshot and dailies
+    exercises snapshot-only / daily-only / both-sides keys."""
+
+    def test_merge_matches_model(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from dataworks_aws_corporate_data_ingestion_spark.operators.merge import (
+            merge_snapshot,
+        )
+
+        row = st.tuples(
+            st.integers(0, 12),                      # key space, forces collisions
+            st.sampled_from(["INSERT", "DELETE"]),
+            st.integers(0, 99),                      # value payload
+        )
+
+        @settings(
+            max_examples=12,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(rows=st.lists(row, min_size=1, max_size=30), split=st.integers(0, 30))
+        def run(rows, split):
+            def df(part):
+                data = [
+                    (f"k{k:02d}", t, f"v{v}", f"k{k:02d}"[:2]) for k, t, v in part
+                ] or [("__none", "INSERT", "x", "__")]
+                return spark.createDataFrame(
+                    data, "id string, db_type string, val string, id_part string"
+                )
+
+            snap_rows, daily_rows = rows[:split], rows[split:]
+            merged = {
+                r["id"]: (r["db_type"], r["val"])
+                for r in merge_snapshot(df(snap_rows), df(daily_rows)).collect()
+                if r["id"] != "__none"
+            }
+            model: dict = {}
+            for k, t, v in rows:
+                model.setdefault(f"k{k:02d}", []).append((t, f"v{v}"))
+            assert set(merged) == set(model)
+            for key, got in merged.items():
+                want_type = min(t for t, _ in model[key])
+                assert got[0] == want_type
+                assert got[1] in {v for t, v in model[key] if t == want_type}
+
+        run()
