@@ -363,3 +363,52 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy(F.col("s_suppkey").asc())
     )
+
+
+@register(
+    "snapshot_merge_by_timestamp",
+    tags=("merge", "union", "window", "generic-pipeline"),
+    oracle="""
+        WITH rows_all AS (
+            SELECT CAST(user_id AS VARCHAR) AS id,
+                   CASE WHEN event_type = 'purchase' THEN 'DELETE'
+                        ELSE 'INSERT' END AS db_type,
+                   LPAD(CAST(event_id AS VARCHAR), 12, '0') AS val,
+                   LPAD(CAST(user_id % 16 AS VARCHAR), 2, '0') AS id_part,
+                   ts AS lm
+            FROM events
+        )
+        SELECT id, db_type, val, id_part FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY id_part, id ORDER BY lm DESC, val DESC
+            ) AS rn FROM rows_all
+        ) WHERE rn = 1
+    """,
+)
+def snapshot_merge_by_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GENERIC-pipeline merge ordering the reference planned but never
+    shipped (docs/data-engineering-summary.md:44-48): newest
+    _lastModifiedDateTime wins per key -- a late-arriving DELETE no longer
+    beats a newer INSERT the way the lexical db_type rule makes it
+    (snapshot_merge_latest is that shipped rule; this entry is the
+    roadmap twin on the same latest_by_key operator, ordering
+    parameterised instead of re-implemented).
+
+    Scale notes: identical plan shape to the shipped merge -- one range
+    exchange + one window; only the ORDER BY inside the window differs,
+    so the write-layout/AQE story carries over unchanged."""
+    from ..operators.merge import latest_by_key
+
+    e = load_table(spark, "events", sf_dir).select(
+        F.col("user_id").cast("string").alias("id"),
+        F.when(F.col("event_type") == "purchase", F.lit("DELETE"))
+        .otherwise(F.lit("INSERT"))
+        .alias("db_type"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("val"),
+        F.lpad((F.col("user_id") % 16).cast("string"), 2, "0").alias("id_part"),
+        F.col("ts").alias("lm"),
+    )
+    clustered = e.repartitionByRange("id_part", "id")
+    return latest_by_key(
+        clustered, ("id_part", "id"), [F.col("lm").desc(), F.col("val").desc()]
+    ).select("id", "db_type", "val", "id_part")
