@@ -1689,3 +1689,152 @@ def user_value_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("filled_value"),
     )
+
+
+@register(
+    "event_type_transition_matrix",
+    tags=("sequence", "window", "markov"),
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type,
+                   event_type AS next_type
+            FROM events
+        )
+        SELECT prev_type, next_type,
+               COUNT(*) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    """,
+)
+def event_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioural transition matrix: per user, each
+    consecutive event pair (lag over event time) rolled up to
+    (prev_type, next_type) counts -- the empirical Markov kernel behind
+    next-action models and funnel diagnostics (the full-sequence
+    automaton, user_sequence_match_counts, answers pattern queries; this
+    is the aggregate view).
+
+    Scale notes: one shuffle on user_id for the lag, then a
+    5x5-group aggregate that combines map-side -- transition counting
+    costs the same as any running window at any corpus size."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = e.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@register(
+    "user_churn_flags",
+    tags=("aggregation", "churn", "broadcast-scalar"),
+    oracle="""
+        WITH m AS (SELECT MAX(ts) AS corpus_max FROM events),
+        u AS (
+            SELECT user_id,
+                   COUNT(*) AS n_events,
+                   MAX(ts) AS last_seen
+            FROM events GROUP BY user_id
+        )
+        SELECT u.user_id, u.n_events, u.last_seen,
+               u.last_seen < m.corpus_max - INTERVAL 14 DAY AS churned_14d
+        FROM u, m
+    """,
+)
+def user_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn flags relative to the corpus's own clock: a user is
+    14d-churned iff their last event precedes (global max ts - 14 days).
+    Anchoring on the data's max -- not wall-clock now() -- keeps the
+    query deterministic, replayable, and oracle-checkable (the same
+    reason bench fixtures pin EXPORT_DATE).
+
+    Scale notes: one map-side-combined per-user aggregate; the corpus
+    max is a broadcast singleton joined to every row -- the same
+    broadcast-scalar shape as q22's average-balance filter."""
+    e = load_table(spark, "events", sf_dir)
+    m = e.agg(F.max("ts").alias("corpus_max"))
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_seen")
+    )
+    return u.crossJoin(F.broadcast(m)).select(
+        "user_id",
+        "n_events",
+        "last_seen",
+        (
+            F.col("last_seen")
+            < F.col("corpus_max") - F.expr("interval 14 days")
+        ).alias("churned_14d"),
+    )
+
+
+@register(
+    "event_burst_windows",
+    tags=("window-agg", "anomaly", "time-series"),
+    oracle="""
+        WITH w AS (
+            SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1
+        ),
+        trail AS (
+            SELECT window_start, n_events,
+                   CAST(SUM(n_events) OVER (
+                       ORDER BY window_start
+                       ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING
+                   ) AS BIGINT) AS trail_sum,
+                   CAST(COUNT(*) OVER (
+                       ORDER BY window_start
+                       ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING
+                   ) AS BIGINT) AS trail_n
+            FROM w
+        )
+        SELECT window_start, n_events, trail_sum, trail_n,
+               n_events * trail_n * 2 > trail_sum * 3 AS is_burst
+        FROM trail WHERE trail_n > 0
+    """,
+)
+def event_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection over 6-hour tumbling windows: a window is a burst
+    when its count exceeds 1.5x the mean of the trailing 4 windows.  The
+    threshold is cross-multiplied (n * trail_n * 2 > trail_sum * 3), so
+    the flag is pure integer arithmetic -- no division, no float
+    boundary flips between engines (module convention for threshold
+    compares).
+
+    Scale notes: the corpus collapses to one row per window FIRST
+    (map-side partials); the trailing frame then runs over the
+    windows-sized series.  The ordered frame is a single partition by
+    construction -- correct here because windows-per-corpus is tiny; a
+    per-entity burst detector would partition by the entity."""
+    e = load_table(spark, "events", sf_dir)
+    w = (
+        e.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    frame = Window.orderBy("window_start").rowsBetween(-4, -1)
+    trail = w.select(
+        "window_start",
+        "n_events",
+        F.sum("n_events").over(frame).cast("bigint").alias("trail_sum"),
+        F.count(F.lit(1)).over(frame).cast("bigint").alias("trail_n"),
+    )
+    return trail.filter(F.col("trail_n") > 0).select(
+        "window_start",
+        "n_events",
+        "trail_sum",
+        "trail_n",
+        (
+            F.col("n_events") * F.col("trail_n") * 2
+            > F.col("trail_sum") * 3
+        ).alias("is_burst"),
+    )
