@@ -1838,3 +1838,42 @@ def event_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("trail_sum") * 3
         ).alias("is_burst"),
     )
+
+
+@register(
+    "events_dow_hour_heatmap",
+    tags=("aggregation", "calendar", "heatmap"),
+    oracle="""
+        SELECT CAST(isodow(ts) AS INT) AS dow,
+               CAST(HOUR(ts) AS INT) AS hour,
+               COUNT(*) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap -- the load-profile
+    rollup behind capacity planning and batch-window placement.
+    Calendar parity is the trap here: engines disagree on week-start
+    conventions (Spark dayofweek is 1=Sunday; DuckDB dow is 0=Sunday),
+    so both sides use the ISO numbering -- Spark weekday()+1 ==
+    DuckDB isodow(), 1=Monday..7=Sunday -- and the rollup is
+    engine-exact.
+
+    Scale notes: two scan-stage calendar projections feeding a
+    168-group map-side-combined aggregate; the distinct-user count
+    shuffles (cell, user) pairs once."""
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.select(
+            (F.weekday("ts") + 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+            "user_id",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )

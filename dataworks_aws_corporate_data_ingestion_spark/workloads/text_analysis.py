@@ -937,3 +937,41 @@ def documents_normalized_fingerprints(
         F.md5(norm).alias("norm_md5"),
         F.length(norm).cast("bigint").alias("n_chars_norm"),
     )
+
+
+@register(
+    "doc_length_histogram",
+    tags=("text", "histogram", "profiling"),
+    oracle="""
+        SELECT LEAST(n_chars // 500, 19) AS bucket,
+               CAST(LEAST(n_chars // 500, 19) * 500 AS BIGINT) AS bucket_lo,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1, 2
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (500-char buckets, top bucket open):
+    the first profiling pass of corpus curation -- the shape decides
+    chunking budgets, the short-junk cutoff, and whether length-weighted
+    sampling is worth it.  Integer bucket arithmetic on the stored
+    n_chars column, so the histogram is engine-exact.
+
+    Scale notes: a scan-stage integer projection feeding a ~20-group
+    map-side-combined aggregate; histogramming costs one pass at any
+    corpus size (the same shape as quality_threshold_sweep's bins)."""
+    d = load_table(spark, "documents", sf_dir)
+    bucket = F.least(F.floor(F.col("n_chars") / 500), F.lit(19)).cast("bigint")
+    return (
+        d.select(
+            bucket.alias("bucket"),
+            (bucket * 500).cast("bigint").alias("bucket_lo"),
+            "n_chars",
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
