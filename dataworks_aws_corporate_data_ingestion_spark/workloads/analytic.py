@@ -1877,3 +1877,145 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+@register(
+    "peak_concurrent_sessions",
+    tags=("sweep-line", "sessionization", "window"),
+    oracle="""
+        WITH numbered AS (
+            SELECT user_id, ts,
+                   CAST(SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS session_no
+            FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+        ),
+        sessions AS (
+            SELECT user_id, session_no,
+                   MIN(ts) AS s_start, MAX(ts) AS s_end
+            FROM numbered GROUP BY user_id, session_no
+        ),
+        deltas AS (
+            SELECT s_start AS t, 1 AS d FROM sessions
+            UNION ALL
+            SELECT s_end AS t, -1 AS d FROM sessions
+        ),
+        sweep AS (
+            SELECT t,
+                   CAST(SUM(SUM(d)) OVER (ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent
+            FROM deltas GROUP BY t
+        )
+        SELECT CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent,
+               CAST(MIN(t_at_peak) AS TIMESTAMP) AS first_peak_at
+        FROM (
+            SELECT concurrent,
+                   CASE WHEN concurrent = MAX(concurrent) OVER ()
+                        THEN t END AS t_at_peak
+            FROM sweep
+        )
+        WHERE concurrent = (SELECT MAX(concurrent) FROM sweep)
+        GROUP BY concurrent
+    """,
+)
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous sessions -- the SWEEP-LINE shape: sessions
+    become +1/-1 boundary deltas, a time-ordered running sum gives the
+    concurrency curve, and the answer is its maximum (with the first
+    time it is reached).  End==start ties net out within the same
+    timestamp because deltas are SUMMED PER INSTANT before the running
+    sum -- a session ending exactly when another starts does not double
+    count (both engines group by t first).
+
+    Scale notes: sessionization is the usual per-user window; the sweep
+    itself runs over session-boundary COUNTS (two rows per session,
+    summed per distinct instant), a series ~10^4x smaller than events.
+    Its ordered running sum is a single partition by construction --
+    fine at boundary-series size; a per-day partition keys the sweep
+    when the series itself gets big."""
+    from ..operators.sessions import sessionize
+
+    e = load_table(spark, "events", sf_dir).select("user_id", "ts", "event_id")
+    s = sessionize(e, "user_id", "ts", gap_minutes=30, tiebreak="event_id")
+    sessions = s.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    deltas = sessions.select(
+        F.col("s_start").alias("t"), F.lit(1).alias("d")
+    ).unionAll(sessions.select(F.col("s_end").alias("t"), F.lit(-1).alias("d")))
+    per_instant = deltas.groupBy("t").agg(F.sum("d").alias("dd"))
+    sweep = per_instant.select(
+        "t",
+        F.sum("dd")
+        .over(
+            Window.orderBy("t").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("bigint")
+        .alias("concurrent"),
+    )
+    peak = sweep.agg(F.max("concurrent").alias("peak"))
+    return (
+        sweep.join(F.broadcast(peak), sweep["concurrent"] == peak["peak"])
+        .groupBy("concurrent")
+        .agg(F.min("t").alias("first_peak_at"))
+        .select(
+            F.col("concurrent").alias("peak_concurrent"),
+            F.col("first_peak_at").cast("timestamp").alias("first_peak_at"),
+        )
+    )
+
+
+@register(
+    "order_backlog_aging",
+    tags=("aggregation", "aging", "calendar"),
+    oracle="""
+        WITH m AS (SELECT MAX(o_orderdate) AS anchor FROM orders),
+        aged AS (
+            SELECT o.o_orderstatus,
+                   LEAST(date_diff('day', o.o_orderdate, m.anchor) // 365, 4)
+                       AS age_years
+            FROM orders o, m
+            WHERE o.o_orderstatus <> 'F'
+        )
+        SELECT o_orderstatus, CAST(age_years AS BIGINT) AS age_years,
+               COUNT(*) AS n_orders
+        FROM aged GROUP BY 1, 2
+    """,
+)
+def order_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report: non-finished orders bucketed by whole
+    years outstanding relative to the dataset's own last order date
+    (data-anchored clock again -- deterministic and replayable, like
+    user_churn_flags).  Integer day diffs, integer bucket division,
+    top bucket open at 4+ years.
+
+    Scale notes: broadcast-scalar anchor + scan-stage bucket arithmetic
+    + a tiny aggregate; the WHERE prunes finished orders inside the
+    scan."""
+    o = load_table(spark, "orders", sf_dir)
+    m = o.agg(F.max("o_orderdate").alias("anchor"))
+    aged = (
+        o.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "o_orderstatus",
+            F.least(
+                F.floor(F.datediff("anchor", "o_orderdate") / 365), F.lit(4)
+            )
+            .cast("bigint")
+            .alias("age_years"),
+        )
+    )
+    return aged.groupBy("o_orderstatus", "age_years").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
