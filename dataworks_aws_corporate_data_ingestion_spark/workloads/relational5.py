@@ -25,7 +25,7 @@ comparisons instead of float fractions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -412,3 +412,116 @@ def snapshot_merge_by_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_by_key(
         clustered, ("id_part", "id"), [F.col("lm").desc(), F.col("val").desc()]
     ).select("id", "db_type", "val", "id_part")
+
+
+@register(
+    "order_to_ship_delay_profile",
+    tags=("percentile", "calendar", "logistics"),
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_items,
+               quantile_cont(CAST(date_diff('day', o_orderdate, l_shipdate)
+                                  AS DOUBLE), 0.5) AS p50_days,
+               quantile_cont(CAST(date_diff('day', o_orderdate, l_shipdate)
+                                  AS DOUBLE), 0.95) AS p95_days,
+               CAST(MAX(date_diff('day', o_orderdate, l_shipdate))
+                    AS BIGINT) AS max_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+)
+def order_to_ship_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: exact
+    integer day gaps after the fact-fact join, interpolated p50/p95
+    (percentile == quantile_cont bit-for-bit over their double images),
+    plus the worst case -- does paying for URGENT actually ship sooner,
+    answered deterministically.  The logistics twin of
+    event_gap_percentiles on the relational side.
+
+    Scale notes: the orderkey join is the usual shuffle join (AQE
+    handles broadcast if orders is filtered); the day diff is scan-stage
+    integer math; the percentile groups by priority (5 groups), each
+    sorting only its own gaps."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("gap_d"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.percentile(F.col("gap_d").cast("double"), F.lit(0.5)).alias("p50_days"),
+        F.percentile(F.col("gap_d").cast("double"), F.lit(0.95)).alias("p95_days"),
+        F.max("gap_d").cast("bigint").alias("max_days"),
+    )
+
+
+@register(
+    "user_value_pareto",
+    tags=("window", "pareto", "running-share"),
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT user_id, cents,
+                   CAST(SUM(cents) OVER (ORDER BY cents DESC, user_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+                   CAST(SUM(cents) OVER () AS BIGINT) AS total_cents,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, user_id)
+                        AS BIGINT) AS rnk
+            FROM u
+        )
+        SELECT user_id, cents, rnk, running_cents,
+               running_cents * 5 <= total_cents * 4 AS in_top80_value
+        FROM ranked
+    """,
+)
+def user_value_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis of user value: users ranked by lifetime cent
+    total, running share, and an exact 80%-of-value flag
+    (cross-multiplied integers -- running*5 <= total*4 -- so the cutoff
+    can't flip on a float boundary).  The "which 20% of users carry 80%
+    of value" question, answered deterministically.
+
+    Scale notes: the corpus collapses to one row per user first; the
+    ordered running sum then runs over the users-sized series in a
+    single partition -- acceptable at users scale, and the
+    bucketed-by-value-range rewrite (customer_balance_deciles' shape)
+    takes over if the entity count itself is huge."""
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", F.floor(F.col("value") * 100).cast("bigint").alias("vq")
+    )
+    u = e.groupBy("user_id").agg(F.sum("vq").cast("bigint").alias("cents"))
+    w = Window.orderBy(F.col("cents").desc(), F.col("user_id").asc())
+    run = Window.orderBy(F.col("cents").desc(), F.col("user_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = u.select(
+        "user_id",
+        "cents",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.sum("cents").over(run).cast("bigint").alias("running_cents"),
+        F.sum("cents")
+        .over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+    return ranked.select(
+        "user_id",
+        "cents",
+        "rnk",
+        "running_cents",
+        (F.col("running_cents") * 5 <= F.col("total_cents") * 4).alias(
+            "in_top80_value"
+        ),
+    )
