@@ -341,6 +341,14 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_session(app_name=f"cdi-{args.collection}")
     run_range(spark, cfg)
     if args.rewrite_zordered:
+        # the z-order rewrite reads output_root as sink_format columnar
+        # dailies and needs export_year/month/day columns; a jsonl sink
+        # has neither -- fail loudly instead of mis-parsing gzip JSONL
+        if spec.sink != "keyed":
+            raise SystemExit(
+                "--rewrite-zordered requires --sink keyed (columnar "
+                f"dailies); collection {spec.name!r} uses sink={spec.sink!r}"
+            )
         rewrite_dailies_zordered(
             spark,
             spec.output_root,

@@ -12,10 +12,16 @@ Python DataSource V2 API (`spark.read.format("cdi_state")`):
   (`WHERE status='FAILED'`) still parallelises and each task emits only
   its slice.  Each task resolves last-writer-wins per (correlation_id,
   data_product, date) over the whole log and then keeps the winners
-  whose status matches its partition -- so the union over the three
-  partitions equals the LocalStateStore view exactly, with no
-  cross-partition duplicates (a record whose key was later overwritten
-  with a different status appears in neither partition).
+  whose status matches its partition; a catch-all partition carries any
+  winner whose status is outside the known triple -- so the union over
+  the partitions equals the LocalStateStore view exactly, with no
+  cross-partition duplicates and no silently-dropped novel statuses.
+
+The path is validated on the DRIVER at reader construction: a missing
+log is a loud error, not an empty table (an absent-on-executor path on
+a real cluster must not read as "no runs ever happened").  Callers that
+genuinely want empty-on-missing opt in with option("allow_missing",
+"true").
 
 This is the idiomatic Spark-4 answer for small/medium external systems
 with no native connector (REST services, DynamoDB scans, job queues):
@@ -56,6 +62,9 @@ STATE_SCHEMA = StructType(
 
 _STATUSES = ("IN_PROGRESS", "COMPLETED", "FAILED")
 
+# sentinel partition value: winners whose status is NOT in _STATUSES
+_OTHER = "__OTHER__"
+
 
 class _StatusPartition(InputPartition):
     def __init__(self, status: str):
@@ -67,19 +76,32 @@ class StateStoreReader(DataSourceReader):
         path = options.get("path")
         if not path:
             raise ValueError("cdi_state requires option 'path' (JSONL log)")
+        allow_missing = str(options.get("allow_missing", "false")).lower() in (
+            "true",
+            "1",
+        )
+        import os
+
+        if not os.path.exists(path) and not allow_missing:
+            raise FileNotFoundError(
+                f"cdi_state log not found at {path!r}; pass "
+                "option('allow_missing','true') to read an absent log as empty"
+            )
         self._path = path
 
     def partitions(self):
-        return [_StatusPartition(s) for s in _STATUSES]
+        return [_StatusPartition(s) for s in (*_STATUSES, _OTHER)]
 
     def read(self, partition: _StatusPartition):
         # each task resolves last-writer-wins over the full (small) log,
         # then emits only the winners whose status matches its slice --
-        # the union across the 3 partitions is exactly the LWW view
+        # the union across the partitions (incl. the catch-all) is
+        # exactly the LWW view
         current: dict[tuple, dict] = {}
         try:
             fd = open(self._path)
         except FileNotFoundError:
+            # only reachable under allow_missing (driver validated above)
             return
         with fd:
             for line in fd:
@@ -92,17 +114,21 @@ class StateStoreReader(DataSourceReader):
                     )
                     current[key] = rec
         for rec in current.values():
-            if rec.get("status") != partition.status:
+            status = rec.get("status")
+            if partition.status == _OTHER:
+                if status in _STATUSES:
+                    continue
+            elif status != partition.status:
                 continue
             yield (
                 rec.get("correlation_id"),
                 rec.get("data_product"),
                 rec.get("date"),
-                rec.get("status"),
-                int(rec.get("run_id", 1)),
+                status,
+                int(rec.get("run_id") or 1),
                 rec.get("cluster_id", ""),
                 rec.get("export_prefix"),
-                float(rec.get("updated_at", 0.0)),
+                float(rec.get("updated_at") or 0.0),
             )
 
 

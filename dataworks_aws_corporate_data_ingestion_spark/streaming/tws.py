@@ -90,27 +90,41 @@ def running_totals_query(
 ):
     """Stream event parquet deltas; append each touched user's updated
     lifetime totals per micro-batch (latest row per user = current
-    totals)."""
+    totals).
+
+    transformWithStateInPandas requires the RocksDB provider; the
+    session conf is switched only for the duration of query START and
+    restored afterwards (a started query keeps the provider it was
+    planned with), so later streaming queries restarting from
+    HDFS-provider checkpoints in the same session are unaffected."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        provider_key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    events = spark.readStream.schema(
-        "event_id bigint, ts timestamp, user_id bigint,"
-        " event_type string, value double"
-    ).parquet(delta_dir)
-    totals = events.groupBy("user_id").transformWithStateInPandas(
-        RunningTotalsProcessor(ttl_minutes),
-        TOTALS_OUT_SCHEMA,
-        "Append",
-        "None",
-    )
-    writer = (
-        totals.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    try:
+        events = spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double"
+        ).parquet(delta_dir)
+        totals = events.groupBy("user_id").transformWithStateInPandas(
+            RunningTotalsProcessor(ttl_minutes),
+            TOTALS_OUT_SCHEMA,
+            "Append",
+            "None",
+        )
+        writer = (
+            totals.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)

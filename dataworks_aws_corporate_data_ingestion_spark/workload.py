@@ -549,11 +549,13 @@ def _probe_mor_cycle(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFram
     cols = ("id", "db_type", "val", "id_part")
     mor.write_delta(daily.select(*cols).sample(fraction=0.01, seed=42), table)
     merged = mor.read_merged(spark, table)
-    # plan_sha reads .explain text from the already-built DataFrame, so
-    # clearing deltas afterwards does not invalidate the fingerprint
-    plan_df = merged
+    # force the physical plan NOW, while the delta files exist:
+    # QueryExecution.executedPlan is a cached lazy val, so the later
+    # plan_sha toString() renders the cached plan and never re-analyzes
+    # a DataFrame whose files clear_deltas already removed
+    merged._jdf.queryExecution().executedPlan()
     mor.clear_deltas(table)
-    return plan_df
+    return merged
 
 
 def _probe_write_daily_zordered(

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dataworks_aws_corporate_data_ingestion_spark.sources.text_formats import (
@@ -181,15 +182,74 @@ class TestStateStoreDataSource:
             ("2024-01-02", "c1")
         ]
 
-    def test_missing_file_is_empty_not_error(self, spark, tmp_path):
+    def test_missing_file_fails_loudly_unless_opted_in(self, spark, tmp_path):
+        # a missing log must be a driver-side error (on a real cluster an
+        # absent-on-executor path would otherwise read as "no runs ever"),
+        # unless the caller explicitly allows it
         from dataworks_aws_corporate_data_ingestion_spark.sources.statestore_ds import (
             register_state_source,
         )
 
         register_state_source(spark)
+        with pytest.raises(Exception, match="allow_missing"):
+            (
+                spark.read.format("cdi_state")
+                .option("path", str(tmp_path / "nope.jsonl"))
+                .load()
+                .count()
+            )
         df = (
             spark.read.format("cdi_state")
             .option("path", str(tmp_path / "nope.jsonl"))
+            .option("allow_missing", "true")
             .load()
         )
         assert df.count() == 0
+
+    def test_unknown_status_and_null_run_id_survive(self, spark, tmp_path):
+        # novel status values land in the catch-all partition instead of
+        # vanishing; an explicit null run_id defaults to 1 instead of
+        # raising TypeError
+        import json as _json
+
+        from dataworks_aws_corporate_data_ingestion_spark.sources.statestore_ds import (
+            register_state_source,
+        )
+
+        path = tmp_path / "state.jsonl"
+        path.write_text(
+            "\n".join(
+                _json.dumps(r)
+                for r in [
+                    {
+                        "correlation_id": "c9",
+                        "data_product": "CDI-x",
+                        "date": "2024-02-01",
+                        "status": "RETRYING",
+                        "run_id": None,
+                        "updated_at": 9.0,
+                    },
+                    {
+                        "correlation_id": "c1",
+                        "data_product": "CDI-a",
+                        "date": "2024-02-01",
+                        "status": "COMPLETED",
+                        "run_id": 2,
+                        "updated_at": 1.0,
+                    },
+                ]
+            )
+            + "\n"
+        )
+        register_state_source(spark)
+        rows = {
+            r.correlation_id: r
+            for r in spark.read.format("cdi_state")
+            .option("path", str(path))
+            .load()
+            .collect()
+        }
+        assert rows["c9"].status == "RETRYING"
+        assert rows["c9"].run_id == 1
+        assert rows["c1"].status == "COMPLETED"
+        assert rows["c1"].run_id == 2
