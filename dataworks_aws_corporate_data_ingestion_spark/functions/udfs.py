@@ -86,18 +86,36 @@ PAYLOAD_STRUCT = StructType(
 )
 
 
-def envelope_udf(configured_collection: str | None = None):
+def envelope_udf(
+    configured_collection: str | None = None, permissive: bool = False
+):
     """Envelope parse as a scalar pandas UDF returning a struct column.
 
     The envelope's _lastModifiedDateTime is pre-coerced to the audit stamp
     convention here (str(primitive) else "") because the struct column is
-    typed (reference steps/data.py:104-109)."""
+    typed (reference steps/data.py:104-109).
+
+    ``permissive=True``: an unparseable line (invalid JSON, missing
+    'message'/'_id') yields an all-null struct instead of failing the
+    task.  Its ``db_object`` is null, so the row flows into the existing
+    quarantine branch (the raw line survives in the ``value`` column)
+    and is counted by the ingest observation -- one poison record cannot
+    kill a 100 TB day.  The reference raises per record
+    (steps/data.py:63-89 has no guard); the default stays strict for
+    byte parity."""
+    n_fields = len(ENVELOPE_STRUCT.fields)
 
     @pandas_udf(ENVELOPE_STRUCT)
     def _parse(lines: pd.Series) -> pd.DataFrame:
         rows = []
         for line in lines:
-            env = record.parse_envelope(line, configured_collection)
+            try:
+                env = record.parse_envelope(line, configured_collection)
+            except Exception:
+                if not permissive:
+                    raise
+                rows.append((None,) * n_fields)
+                continue
             lm = env.last_modified
             stamp = str(lm) if isinstance(lm, record.JSON_PRIMITIVES) else ""
             rows.append(

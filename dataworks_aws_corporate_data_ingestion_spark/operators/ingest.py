@@ -26,6 +26,7 @@ def read_envelopes(
     source_path: str,
     collection: str | None = None,
     expand: bool = True,
+    permissive: bool = False,
 ) -> DataFrame:
     """Line-oriented scan of JSONL (gz auto-decompressed by the Hadoop
     codec) plus envelope parse (reference steps/ingesters.py:30-31 +
@@ -35,9 +36,15 @@ def read_envelopes(
     struct column -- REQUIRED when a filter follows (see
     quarantine_missing_db_object): filtering on an expanded field
     re-derives the UDF expression and Catalyst evaluates the whole
-    upstream Python chain twice."""
+    upstream Python chain twice.
+
+    ``permissive=True`` diverts unparseable lines (all-null envelope,
+    null db_object) into the quarantine branch instead of failing the
+    day -- see envelope_udf.  A truncated gzip MEMBER still fails at the
+    Hadoop codec layer (file-level corruption is not a row-level
+    concern)."""
     df = spark.read.text(source_path).withColumn(
-        "env", envelope_udf(collection)(F.col("value"))
+        "env", envelope_udf(collection, permissive=permissive)(F.col("value"))
     )
     return df.select("value", "env.*") if expand else df
 
@@ -179,6 +186,7 @@ def ingest_daily(
     hit_acc=None,
     miss_acc=None,
     observation=None,
+    permissive: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Full daily pipeline; returns (rows, quarantined_envelopes).
 
@@ -192,8 +200,14 @@ def ingest_daily(
     `n_envelopes` and `n_quarantined` counts -- no second scan of the
     day's input to count the (near-empty) quarantine branch.  At 100 TB
     the alternative -- an action on the quarantine DataFrame -- re-reads
-    and re-parses every record for a counter."""
-    env = read_envelopes(spark, source_path, collection, expand=False)
+    and re-parses every record for a counter.
+
+    ``permissive``: unparseable lines join the quarantine branch (raw
+    line preserved in its ``value`` column, counted in
+    ``n_quarantined``) instead of failing the day."""
+    env = read_envelopes(
+        spark, source_path, collection, expand=False, permissive=permissive
+    )
     if observation is not None:
         env = env.observe(
             observation,

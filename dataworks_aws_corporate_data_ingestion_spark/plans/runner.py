@@ -79,6 +79,9 @@ class EngineConfig:
     # completed export without merging
     force_collection_update: bool = False
     force_export_to_hive: bool = False
+    # divert unparseable envelope lines to quarantine (counted) instead of
+    # failing the day; default strict = reference parity
+    permissive: bool = False
 
 
 def date_range(start: str, end: str) -> list[str]:
@@ -107,6 +110,7 @@ def run_day(spark: SparkSession, cfg: EngineConfig, date: str) -> int:
         date,
         audit=spec.audit,
         observation=obs,
+        permissive=cfg.permissive,
     )
     if spec.sink == "jsonl":
         write_jsonl(
@@ -269,6 +273,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--audit", action="store_true")
     p.add_argument("--sink", choices=["keyed", "jsonl"], default="keyed")
     # reference steps/corporate_data_ingestion.py:64-71
+    p.add_argument(
+        "--permissive",
+        action="store_true",
+        help="quarantine unparseable envelope lines (counted) instead of"
+        " failing the day",
+    )
     p.add_argument("--force-collection-update", action="store_true")
     p.add_argument("--force-export-to-hive", action="store_true")
     p.add_argument("--exports-root", default="")
@@ -337,6 +347,7 @@ def main(argv: list[str] | None = None) -> int:
         key_service=key_service,
         force_collection_update=args.force_collection_update,
         force_export_to_hive=args.force_export_to_hive,
+        permissive=args.permissive,
     )
     spark = get_session(app_name=f"cdi-{args.collection}")
     run_range(spark, cfg)

@@ -74,6 +74,50 @@ class TestIngestDaily:
         )
         assert vals == want
 
+    def test_permissive_mode_quarantines_poison_lines(self, spark, tmp_path):
+        """A day with 2 corrupt lines (invalid JSON; JSON missing the
+        'message' envelope) completes in permissive mode: both land in
+        quarantine with their raw bytes preserved, the observation counts
+        them, and the clean rows are byte-identical to a corrupt-free run."""
+        from pyspark.sql import Observation
+
+        lines, _ = make_batch(8, n_keys=2)
+        clean_src = _write_lines(tmp_path, list(lines), name="clean.jsonl")
+        poisoned = list(lines)
+        bad1 = '{"this is not json'
+        bad2 = json.dumps({"not_message": {"x": 1}})
+        poisoned.insert(3, bad1)
+        poisoned.append(bad2)
+        poison_src = _write_lines(tmp_path, poisoned, name="poison.jsonl")
+
+        # strict mode (the default, reference parity): the day fails
+        rows_strict, _ = ingest_daily(
+            spark, poison_src, "calculator:calculationParts",
+            IdentityKeyService(), "2023-05-02",
+        )
+        with pytest.raises(Exception):
+            rows_strict.count()
+
+        obs = Observation("poison_metrics")
+        rows, quarantined = ingest_daily(
+            spark, poison_src, "calculator:calculationParts",
+            IdentityKeyService(), "2023-05-02",
+            observation=obs, permissive=True,
+        )
+        got = sorted((r["id"], r["val"]) for r in rows.collect())
+        assert obs.get["n_quarantined"] == 2
+        assert obs.get["n_envelopes"] == 10
+        q = quarantined.collect()
+        assert sorted(r["value"] for r in q) == sorted([bad1, bad2])
+        assert all(r["db_object"] is None for r in q)
+
+        clean_rows, _ = ingest_daily(
+            spark, clean_src, "calculator:calculationParts",
+            IdentityKeyService(), "2023-05-02",
+        )
+        want = sorted((r["id"], r["val"]) for r in clean_rows.collect())
+        assert got == want
+
     def test_missing_db_object_quarantined(self, spark, tmp_path):
         lines, _ = make_batch(5)
         broken = json.loads(lines[0])
