@@ -4,6 +4,7 @@ collection runner (CLI path) end-to-end."""
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -493,8 +494,32 @@ class TestDynamoDBStateStore:
 class TestHiveDdlAuditPath:
     """The metastore-backed audit publication variant: DDL strings are
     asserted verbatim against the reference sequence
-    (steps/ingesters.py:181-206); execution stays gated on a Hive-enabled
-    session, which the sandbox doesn't have."""
+    (steps/ingesters.py:181-206), AND executed for real against an
+    embedded-Derby Hive metastore in a subprocess (static catalog conf
+    means the shared in-memory session can't do it in-process)."""
+
+    def test_ddl_executes_against_embedded_derby_metastore(self):
+        """Executed (not asserted) round trip of the reference's audit load:
+        EXTERNAL TABLE over the day's JSONL -> ADD PARTITION -> INSERT
+        OVERWRITE into the ORC raw table -> DROP, then the projected view.
+        Skips only if the Derby metastore itself cannot start."""
+        import subprocess
+        import sys
+
+        import pytest
+
+        script = os.path.join(os.path.dirname(__file__), "hive_ddl_subprocess.py")
+        proc = subprocess.run(
+            [sys.executable, script],
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        out = proc.stdout
+        if "DERBY_FAIL" in out:
+            pytest.skip(f"embedded Derby metastore unavailable: {out.strip()}")
+        assert proc.returncode == 0, (out, proc.stderr[-2000:])
+        assert "HIVE_DDL_OK 7" in out, (out, proc.stderr[-2000:])
 
     def test_raw_load_sequence_matches_reference(self):
         from dataworks_aws_corporate_data_ingestion_spark.plans.publish import (
