@@ -578,3 +578,54 @@ WRITE_BENCH_PLAN_PROBES["snapshot_update_cycle"] = _probe_update_cycle
 # Extension modules register additional queries on import; this must stay at
 # the bottom so `register` and the helpers above exist when they import us.
 from . import workloads  # noqa: E402,F401  (intentional circular-safe import)
+
+
+def _cli(argv: list[str] | None = None) -> int:
+    """One-query runner so users can execute any registered query without
+    writing code:
+
+        python -m dataworks_aws_corporate_data_ingestion_spark.workload list [--tag TAG]
+        python -m dataworks_aws_corporate_data_ingestion_spark.workload run NAME [SF_DIR]
+                [--limit N] [--explain]
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(prog="...workload", description=_cli.__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    p_list = sub.add_parser("list", help="list registered queries")
+    p_list.add_argument("--tag", default=None, help="filter by tag substring")
+    p_run = sub.add_parser("run", help="run one registered query")
+    p_run.add_argument("name", choices=sorted(QUERIES), metavar="NAME")
+    p_run.add_argument(
+        "sf_dir", nargs="?", default="/root/testdata/sf0.01", metavar="SF_DIR"
+    )
+    p_run.add_argument("--limit", type=int, default=20)
+    p_run.add_argument(
+        "--explain", action="store_true", help="print the formatted plan too"
+    )
+    args = p.parse_args(argv)
+
+    if args.cmd == "list":
+        for name in sorted(QUERIES):
+            spec = QUERIES[name]
+            if args.tag and not any(args.tag in t for t in spec.tags):
+                continue
+            print(f"{name}\t{','.join(spec.tags)}")
+        return 0
+
+    from .session import get_session
+
+    spark = get_session(app_name=f"cdi-run-{args.name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = QUERIES[args.name].fn(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    n = df.count()
+    df.show(args.limit, truncate=40)
+    print(f"{args.name}: {n} rows ({args.sf_dir})")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_cli())

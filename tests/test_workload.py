@@ -82,3 +82,66 @@ class TestMergeSnapshotProperties:
                 assert got[1] in {v for t, v in model[key] if t == want_type}
 
         run()
+
+
+class TestRegistryCli:
+    """Smoke tests for the no-code query runner and tag-filtered registry
+    report (README: Registry CLI)."""
+
+    def test_list_filters_by_tag(self):
+        import subprocess
+        import sys
+
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "dataworks_aws_corporate_data_ingestion_spark.workload",
+                "list",
+                "--tag",
+                "aggregation",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=120,
+            cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-1000:]
+        names = [ln.split("\t")[0] for ln in proc.stdout.splitlines() if ln]
+        assert "q1_pricing_summary" in names
+        assert 0 < len(names) < 148
+
+    def test_run_rejects_unknown_query(self):
+        import subprocess
+        import sys
+
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "dataworks_aws_corporate_data_ingestion_spark.workload",
+                "run",
+                "no_such_query",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=120,
+            cwd="/root/repo",
+        )
+        assert proc.returncode == 2
+        assert "invalid choice" in proc.stderr
+
+    def test_registry_report_tag_filter(self):
+        import subprocess
+        import sys
+
+        proc = subprocess.run(
+            [sys.executable, "tools/registry_report.py", "--tag", "similarity"],
+            capture_output=True,
+            text=True,
+            timeout=120,
+            cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-1000:]
+        assert "queries match tag 'similarity'" in proc.stdout
+        assert "ann_pq_topk" in proc.stdout
