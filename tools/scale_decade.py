@@ -1,0 +1,167 @@
+#!/usr/bin/env python3
+"""Measured scale-up decade for the 5 flagship ops (VERDICT r5 #2).
+
+Runs cdi_ingest_pipeline, write_daily_clustered_orc (dependency) +
+merge_and_write_snapshot + snapshot_update_cycle, near_dup_pairs_minhash
+and bm25_search_postings at sf0.01 / sf0.1 / sf1.0 over the
+tools/make_scale_data.py tables (same generator recipe at every sf, so
+exponents measure the ENGINE, not generator drift), best-of-N per point,
+with executor-side stage metrics (shuffle MB) for the final repeat.
+
+Fits the per-op scaling exponent b in t = a * sf^b over the decade
+(log-log least squares across the three points).  b <= ~1 + shuffle
+growth means the op holds its contract (the merge must stay one-exchange
+linear, reference steps/ingesters.py:448-457); local fixed overhead
+(session, task launch on 32 threads) biases b DOWN at tiny sf, so the
+top decade (sf0.1 -> sf1.0) slope is also reported.
+
+Usage: python tools/scale_decade.py [--repeats N] [--out FILE]
+Writes JSON to SCALE_DECADE.json and prints a markdown table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SFS = [0.01, 0.1, 1.0]
+
+FLAGSHIP_QUERIES = ["cdi_ingest_pipeline", "near_dup_pairs_minhash", "bm25_search_postings"]
+# ordered: merge + update read write_daily's output
+FLAGSHIP_WRITES = ["write_daily_clustered_orc", "merge_and_write_snapshot", "snapshot_update_cycle"]
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--out", default=os.path.join(REPO, "SCALE_DECADE.json"))
+    args = p.parse_args()
+
+    from bench import _completed_stage_ids, _end_repeat, _stage_metrics_since
+    from dataworks_aws_corporate_data_ingestion_spark.session import get_session
+    from dataworks_aws_corporate_data_ingestion_spark.workload import (
+        QUERIES,
+        WRITE_BENCHES,
+    )
+
+    for sf in SFS:
+        d = os.path.join(REPO, ".scaledata", f"sf{sf}")
+        if not os.path.isdir(d):
+            raise SystemExit(
+                f"{d} missing -- run: python tools/make_scale_data.py {sf}"
+            )
+
+    spark = get_session(app_name="cdi-scale-decade")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm every plan once at the smallest sf BEFORE any timing: the first
+    # execution pays JVM codegen + Python-UDF worker spin-up, which
+    # otherwise lands in the sf0.01 points and bends the fitted exponent
+    # negative (observed on the first pass of this tool)
+    warm_dir = os.path.join(REPO, ".scaledata", "sf0.01")
+    warm_out = tempfile.mkdtemp(prefix="cdi-scale-warm-")
+    try:
+        for name in FLAGSHIP_QUERIES:
+            QUERIES[name].fn(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        for name in FLAGSHIP_WRITES:
+            WRITE_BENCHES[name](spark, warm_dir, warm_out)
+    finally:
+        shutil.rmtree(warm_out, ignore_errors=True)
+    _end_repeat(spark)
+
+    results: dict[str, dict] = {}
+
+    def run_op(name, run_once, sf):
+        times = []
+        metrics = None
+        for rep in range(args.repeats):
+            before = (
+                _completed_stage_ids(spark) if rep == args.repeats - 1 else None
+            )
+            t0 = time.perf_counter()
+            run_once()
+            times.append(time.perf_counter() - t0)
+            if before is not None:
+                metrics = _stage_metrics_since(spark, before)
+            _end_repeat(spark)
+        rec = results.setdefault(name, {"points": {}})
+        rec["points"][str(sf)] = {
+            "best_sec": round(min(times), 3),
+            "median_sec": round(statistics.median(times), 3),
+            "shuffle_write_mb": (metrics or {}).get("shuffle_write_mb"),
+            "input_mb": (metrics or {}).get("input_mb"),
+            "n_tasks": (metrics or {}).get("n_tasks"),
+        }
+        print(
+            f"  {name} sf{sf}: best {min(times):.3f}s "
+            f"shuffleW {(metrics or {}).get('shuffle_write_mb')}MB",
+            flush=True,
+        )
+
+    for sf in SFS:
+        sf_dir = os.path.join(REPO, ".scaledata", f"sf{sf}")
+        print(f"== sf{sf} ({sf_dir})", flush=True)
+        out_dir = tempfile.mkdtemp(prefix=f"cdi-scale-{sf}-")
+        try:
+            for name in FLAGSHIP_QUERIES:
+                fn = QUERIES[name].fn
+                run_op(
+                    name,
+                    lambda: fn(spark, sf_dir)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save(),
+                    sf,
+                )
+            for name in FLAGSHIP_WRITES:
+                fn = WRITE_BENCHES[name]
+                run_op(name, lambda: fn(spark, sf_dir, out_dir), sf)
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    # log-log least-squares exponent over all points + top-decade slope
+    for name, rec in results.items():
+        xs = [math.log10(float(s)) for s in rec["points"]]
+        ys = [math.log10(p["best_sec"]) for p in rec["points"].values()]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        b = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs
+        )
+        rec["exponent_full"] = round(b, 3)
+        t01, t10 = (
+            rec["points"]["0.1"]["best_sec"],
+            rec["points"]["1.0"]["best_sec"],
+        )
+        rec["exponent_top_decade"] = round(math.log10(t10 / t01), 3)
+
+    with open(args.out, "w") as fd:
+        json.dump({"repeats": args.repeats, "results": results}, fd, indent=1)
+    print(f"\nwrote {args.out}\n")
+    print("| op | sf0.01 | sf0.1 | sf1.0 | shufW MB @1.0 | b (full) | b (0.1->1.0) |")
+    print("|---|---|---|---|---|---|---|")
+    for name, rec in results.items():
+        pts = rec["points"]
+        print(
+            f"| {name} | {pts['0.01']['best_sec']} | {pts['0.1']['best_sec']} |"
+            f" {pts['1.0']['best_sec']} | {pts['1.0']['shuffle_write_mb']} |"
+            f" {rec['exponent_full']} | {rec['exponent_top_decade']} |"
+        )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
