@@ -167,6 +167,26 @@ class TestAnnPq:
         # SFs at 256 candidates); 0.7 pins sane behavior
         assert recall >= 0.7, f"PQ recall too low: {recall}"
 
+    def test_certificate_setting_recall(self, spark):
+        # the registered certificate pins m=16/cand=256 with a 0.85 floor
+        # (round-6 sweep measured 1.00 at sf0.1; curves in ROUND_NOTES.md)
+        from dataworks_aws_corporate_data_ingestion_spark.operators.similarity import pq_topk
+
+        emb = load_table(spark, "embeddings", SF)
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(emb, queries, k=5).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_topk(
+                emb, queries, dim=64, k=5, m=16, n_candidates=256
+            ).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.85, f"PQ cert-setting recall too low: {recall}"
+
     def test_codes_and_codebooks_deterministic(self, spark):
         from dataworks_aws_corporate_data_ingestion_spark.operators.similarity import (
             pq_encode,
@@ -209,6 +229,26 @@ class TestAnnIvf:
         # the synthetic corpus is near-isotropic (IVF's worst case);
         # 0.7 pins sane behavior without overfitting the fixture
         assert recall >= 0.7, f"IVF recall too low: {recall}"
+
+    def test_certificate_setting_recall(self, spark):
+        # the registered certificate pins (16 lists, 12 probes) with a
+        # 0.85 floor (round-6 sweep measured 0.98 at sf0.1)
+        from dataworks_aws_corporate_data_ingestion_spark.operators.similarity import ivf_topk
+
+        emb = load_table(spark, "embeddings", SF)
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(emb, queries, k=5).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                emb, queries, dim=64, k=5, n_lists=16, n_probe=12
+            ).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.85, f"IVF cert-setting recall too low: {recall}"
 
     def test_centroids_deterministic(self, spark):
         from dataworks_aws_corporate_data_ingestion_spark.operators.similarity import (
