@@ -13,7 +13,9 @@ from . import (  # noqa: F401
     relational5,
     sampling_suite,
     similarity_search,
+    span_dedup,
     streaming_ops,
     text_analysis,
+    textrank_lm,
     timeseries_ops,
 )

@@ -1,0 +1,143 @@
+"""Span-level substring-dedup workload (duplicate n-gram masking).
+
+The distributed analogue of the ExactSubstr pass in Lee et al. (ACL
+2022): find every 8-token window that appears verbatim in >= 2 distinct
+documents, merge overlapping windows into maximal spans per document,
+and rebuild the text with those spans removed.  Complements the
+doc-level dedup suite (dedup_suite.py), which can only keep or drop
+whole documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.spandedup import mask_duplicated_spans, top_repeated_grams
+from ..sources.tables import load_table
+from ..workload import register
+
+# Shared oracle prelude: 0-based window positions and the portable
+# 60-bit md5 gram key, exactly as operators/spandedup.py computes them.
+_POSITIONS = """
+    toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    pos_gram AS (
+        SELECT doc_id, i - 1 AS pos,
+               ('0x' || substr(md5(array_to_string(list_slice(t, i, i + 7),
+                                                   ' ')), 1, 15))::BIGINT
+                   AS gram_key
+        FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+    ),
+    dup AS (
+        SELECT gram_key FROM pos_gram
+        GROUP BY gram_key HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dpos AS (
+        SELECT p.doc_id, p.pos FROM pos_gram p JOIN dup USING (gram_key)
+    ),
+    brk AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                    THEN 1 ELSE 0 END AS b
+        FROM dpos
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+        FROM brk
+    ),
+    spans AS (
+        SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 8 AS e
+        FROM isl GROUP BY doc_id, island
+    )
+"""
+
+
+@register(
+    "dup_ngram_span_stats",
+    bench=True,
+    tags=("dedup", "span-dedup", "exact-substring", "masking"),
+    oracle=f"""
+        WITH {_POSITIONS},
+        span_agg AS (
+            SELECT doc_id, COUNT(*) AS n_dup_spans,
+                   SUM(e - s) AS dup_tokens
+            FROM spans GROUP BY doc_id
+        ),
+        tokpos AS (
+            SELECT doc_id, unnest(t) AS tok,
+                   generate_subscripts(t, 1) - 1 AS pos
+            FROM toks
+        ),
+        clean AS (
+            SELECT tp.doc_id,
+                   string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean_text
+            FROM tokpos tp
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans sp
+                WHERE sp.doc_id = tp.doc_id
+                  AND tp.pos >= sp.s AND tp.pos < sp.e)
+            GROUP BY tp.doc_id
+        )
+        SELECT k.doc_id AS doc_id,
+               CAST(len(k.t) AS BIGINT) AS total_tokens,
+               CAST(coalesce(sa.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+               CAST(coalesce(sa.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               coalesce(c.clean_text, '') AS clean_text,
+               CAST(coalesce(sa.dup_tokens, 0) AS DOUBLE) / len(k.t)
+                   AS dup_ratio
+        FROM toks k
+        LEFT JOIN span_agg sa ON k.doc_id = sa.doc_id
+        LEFT JOIN clean c ON k.doc_id = c.doc_id
+    """,
+)
+def dup_ngram_span_stats_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document duplicated-span report + masked clean text.
+
+    Scale path (operators/spandedup.py): one linear gram-key shuffle
+    (8 B keys), one doc_id-keyed island merge over duplicated positions
+    only, and a codegen positional-filter rebuild -- never a pairwise
+    comparison.  The reference engine has no span-level dedup at all
+    (beyond-parity; its closest pass is whole-record latest-wins,
+    steps/ingesters.py:448-457)."""
+    return mask_duplicated_spans(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "dup_ngram_top_repeated",
+    tags=("dedup", "span-dedup", "report", "top-k"),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents
+        ),
+        pg AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+            FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+        )
+        SELECT gram,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+               CAST(count(*) AS BIGINT) AS occurrences
+        FROM pg
+        GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY doc_freq DESC, occurrences DESC, gram ASC
+        LIMIT 20
+    """,
+)
+def dup_ngram_top_repeated_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 verbatim-repeated 8-grams by distinct-document frequency
+    -- the audit view a curation run reads before deciding a masking
+    threshold.  Bounded top-k (TakeOrderedAndProject), total ordering
+    via the (doc_freq, occurrences, gram) tiebreak."""
+    return top_repeated_grams(load_table(spark, "documents", sf_dir))

@@ -1,0 +1,159 @@
+"""Span-level substring dedup (operators/spandedup.py).
+
+Synthetic fixtures with hand-computable duplicated windows pin the
+semantics: window enumeration, the >=2-distinct-docs duplication rule,
+overlapping/touching span merge, masking, and the short-document guard
+against Spark's descending-sequence quirk.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dataworks_aws_corporate_data_ingestion_spark.operators.spandedup import (
+    duplicated_spans,
+    mask_duplicated_spans,
+    ngram_positions,
+    top_repeated_grams,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+WORDS = "w{}"
+
+
+def _text(*idx):
+    return " ".join(WORDS.format(i) for i in idx)
+
+
+class TestNgramPositions:
+    def test_window_count_and_positions(self, spark):
+        df = _docs(spark, [(1, _text(*range(10)))])
+        rows = ngram_positions(df, n=8).collect()
+        # 10 tokens -> windows at pos 0, 1, 2
+        assert sorted(r.pos for r in rows) == [0, 1, 2]
+
+    def test_short_doc_contributes_nothing(self, spark):
+        # 7 tokens < n=8: sequence(0, -1) would count DOWN without the
+        # guard and fabricate windows
+        df = _docs(spark, [(1, _text(*range(7)))])
+        assert ngram_positions(df, n=8).count() == 0
+
+    def test_exact_length_doc_one_window(self, spark):
+        df = _docs(spark, [(1, _text(*range(8)))])
+        rows = ngram_positions(df, n=8).collect()
+        assert [r.pos for r in rows] == [0]
+
+
+class TestDuplicatedSpans:
+    def test_within_doc_repeat_is_not_duplication(self, spark):
+        # same 8-gram twice in ONE doc: doc_freq=1, below min_docs=2
+        t = _text(*range(8)) + " x " + _text(*range(8))
+        df = _docs(spark, [(1, t)])
+        pos = ngram_positions(df, n=8)
+        assert duplicated_spans(pos, min_docs=2, n=8).count() == 0
+
+    def test_cross_doc_window_merges_overlaps(self, spark):
+        # docs 1 and 2 share tokens 0..9 (3 overlapping windows at
+        # pos 0,1,2 in doc 1) -> ONE merged span [0, 10)
+        shared = _text(*range(10))
+        df = _docs(
+            spark,
+            [(1, shared + " " + _text(100, 101)), (2, shared)],
+        )
+        pos = ngram_positions(df, n=8)
+        spans = {
+            r.doc_id: (r.span_start, r.span_end)
+            for r in duplicated_spans(pos, min_docs=2, n=8).collect()
+        }
+        assert spans[1] == (0, 10)
+        assert spans[2] == (0, 10)
+
+    def test_disjoint_shared_passages_stay_separate(self, spark):
+        # two shared 8-gram passages separated by >8 unique tokens ->
+        # two spans
+        a = _text(*range(8))
+        b = _text(*range(50, 58))
+        gap1 = _text(*range(200, 212))
+        gap2 = _text(*range(300, 312))
+        df = _docs(
+            spark,
+            [(1, a + " " + gap1 + " " + b), (2, a + " " + gap2 + " " + b)],
+        )
+        pos = ngram_positions(df, n=8)
+        d1 = sorted(
+            (r.span_start, r.span_end)
+            for r in duplicated_spans(pos, min_docs=2, n=8)
+            .filter("doc_id = 1")
+            .collect()
+        )
+        assert d1 == [(0, 8), (20, 28)]
+
+
+class TestMasking:
+    def test_mask_removes_exactly_the_span(self, spark):
+        shared = _text(*range(10))
+        tail = _text(500, 501, 502)
+        df = _docs(spark, [(1, shared + " " + tail), (2, shared)])
+        out = {
+            r.doc_id: r for r in mask_duplicated_spans(df, n=8).collect()
+        }
+        assert out[1].clean_text == tail
+        assert out[1].n_dup_spans == 1
+        assert out[1].dup_tokens == 10
+        assert out[1].total_tokens == 13
+        assert out[2].clean_text == ""
+        assert out[2].dup_ratio == pytest.approx(1.0)
+
+    def test_unduplicated_doc_passes_through(self, spark):
+        df = _docs(
+            spark,
+            [(1, _text(*range(20))), (2, _text(*range(100, 120)))],
+        )
+        out = {r.doc_id: r for r in mask_duplicated_spans(df, n=8).collect()}
+        for r in out.values():
+            assert r.n_dup_spans == 0
+            assert r.dup_tokens == 0
+            assert r.clean_text == r.clean_text.lower()
+            assert len(r.clean_text.split(" ")) == 20
+
+    def test_every_input_doc_appears_once(self, spark):
+        df = _docs(
+            spark,
+            [(i, _text(*range(i, i + 12))) for i in range(1, 6)],
+        )
+        out = mask_duplicated_spans(df, n=8)
+        assert out.count() == 5
+        assert out.select("doc_id").distinct().count() == 5
+
+
+class TestTopRepeated:
+    def test_orders_by_doc_freq_then_gram(self, spark):
+        shared = _text(*range(8))
+        df = _docs(
+            spark,
+            [
+                (1, shared),
+                (2, shared),
+                (3, shared),
+                (4, _text(*range(50, 58))),
+                (5, _text(*range(50, 58))),
+            ],
+        )
+        rows = top_repeated_grams(df, n=8, k=10).collect()
+        assert rows[0].gram == shared.lower()
+        assert rows[0].doc_freq == 3
+        assert rows[1].doc_freq == 2
+
+    def test_plan_is_take_ordered(self, spark):
+        df = _docs(spark, [(1, _text(*range(9))), (2, _text(*range(9)))])
+        plan = (
+            top_repeated_grams(df, n=8, k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
