@@ -710,3 +710,54 @@ def semantic_dedup(
         )
         .drop("__component")
     )
+
+
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification for a bounded query set.
+
+    Output: (query_id, predicted_label, votes, true_label, correct) --
+    one row per query; ties break on the smallest label so the result
+    is a total order cross-engine.
+
+    Scale notes: for a FIXED query set this is linear in the corpus
+    (broadcast queries, one scan, k*|queries| surviving rows); the
+    neighbor-label join keys on the corpus id.  For corpus-scale query
+    sets swap brute_force_topk for lsh_topk / ivf_topk -- the vote
+    logic is identical (they share the (query_id, neighbor_id) output
+    contract)."""
+    topk = brute_force_topk(corpus, queries, k, id_col, vec_col)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "neighbor_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("neighbor_label").asc()
+    )
+    winner = (
+        votes.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_label").alias("predicted_label"),
+            F.col("votes").cast("bigint").alias("votes"),
+        )
+    )
+    truth = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("true_label"),
+    )
+    return winner.join(truth, "query_id").withColumn(
+        "correct", F.col("predicted_label") == F.col("true_label")
+    )

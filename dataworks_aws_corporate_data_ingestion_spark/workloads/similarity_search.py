@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine
 from ..operators.similarity import (
     brute_force_topk,
+    knn_label_vote,
     ivf_topk,
     lsh_near_dup_pairs,
     lsh_topk,
@@ -518,3 +519,51 @@ def embedding_l2_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l2_norm", F.sqrt(F.col("ssq").cast("double")) * F.lit(1e-6)
         )
     )
+
+
+@register(
+    "knn_label_classification",
+    tags=("similarity", "knn", "classification", "vectors"),
+    oracle=f"""
+        WITH topk AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_COS_SQL.format(a="q.embedding", b="c.embedding")} DESC,
+                                    c.vec_id ASC
+                       ) AS rn
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+            ) WHERE rn <= 5
+        ),
+        votes AS (
+            SELECT t.query_id, e.label AS predicted_label,
+                   count(*) AS votes,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY t.query_id
+                       ORDER BY count(*) DESC, e.label ASC
+                   ) AS vr
+            FROM topk t JOIN embeddings e ON t.neighbor_id = e.vec_id
+            GROUP BY t.query_id, e.label
+        )
+        SELECT v.query_id AS query_id, v.predicted_label,
+               CAST(v.votes AS BIGINT) AS votes,
+               q.label AS true_label,
+               v.predicted_label = q.label AS correct
+        FROM votes v JOIN embeddings q ON v.query_id = q.vec_id
+        WHERE v.vr = 1
+    """,
+)
+def knn_label_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-vote label prediction for the 10 probe vectors,
+    with correctness against each probe's own label -- the k-NN
+    classification / auto-labeling application of the similarity stack.
+
+    Scale notes: linear in the corpus for a bounded probe set
+    (broadcast probes, one scan); the vote/argmax runs on k*|probes|
+    rows.  Corpus-scale labeling swaps in lsh_topk/ivf_topk, which
+    share the (query_id, neighbor_id) contract (see
+    operators/similarity.py:knn_label_vote)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return knn_label_vote(emb, emb.filter(F.col("vec_id") < 10), k=5)

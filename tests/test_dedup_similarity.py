@@ -569,3 +569,55 @@ class TestPruneFrequentSegments:
             for r in prune_frequent_segments(docs, max_doc_pct=40).collect()
         }
         assert out[1] == "x\nx\nx\nx\nx"  # 1 of 3 docs = 33% <= 40%
+
+
+class TestKnnLabelVote:
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        )
+
+    def test_majority_vote_and_tiebreak(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.similarity import (
+            knn_label_vote,
+        )
+
+        # query 0 at origin-ish; 3 close label-1 neighbours, 2 close
+        # label-2 -> predicts 1
+        rows = [
+            (0, [1.0, 0.0], 1),
+            (1, [0.99, 0.1], 1),
+            (2, [0.98, 0.12], 1),
+            (3, [0.97, 0.14], 1),
+            (4, [0.9, 0.3], 2),
+            (5, [0.88, 0.33], 2),
+            (6, [-1.0, 0.0], 9),
+        ]
+        emb = self._emb(spark, rows)
+        out = knn_label_vote(
+            emb, emb.filter("vec_id = 0"), k=5
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.predicted_label == 1
+        assert r.votes == 3
+        assert r.true_label == 1
+        assert bool(r.correct) is True
+
+    def test_tie_breaks_to_smaller_label(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.similarity import (
+            knn_label_vote,
+        )
+
+        rows = [
+            (0, [1.0, 0.0], 7),
+            (1, [0.99, 0.1], 5),
+            (2, [0.98, 0.12], 5),
+            (3, [0.9, 0.3], 3),
+            (4, [0.88, 0.33], 3),
+        ]
+        emb = self._emb(spark, rows)
+        r = knn_label_vote(emb, emb.filter("vec_id = 0"), k=4).collect()[0]
+        # 2 votes each for labels 3 and 5 -> smaller label wins
+        assert r.predicted_label == 3
+        assert bool(r.correct) is False
