@@ -157,3 +157,80 @@ class TestTopRepeated:
             .toString()
         )
         assert "TakeOrderedAndProject" in plan
+
+
+def _mask_py(docs: dict[int, list[str]], n: int = 8, min_docs: int = 2):
+    """Pure-Python reference for mask_duplicated_spans."""
+    gram_docs: dict[tuple, set[int]] = {}
+    gram_pos: dict[int, list[tuple[int, tuple]]] = {}
+    for did, toks in docs.items():
+        gram_pos[did] = []
+        for p in range(len(toks) - n + 1):
+            g = tuple(toks[p : p + n])
+            gram_docs.setdefault(g, set()).add(did)
+            gram_pos[did].append((p, g))
+    out = {}
+    for did, toks in docs.items():
+        dup_pos = sorted(
+            p for p, g in gram_pos[did] if len(gram_docs[g]) >= min_docs
+        )
+        spans = []
+        for p in dup_pos:
+            if spans and p <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + n))
+            else:
+                spans.append((p, p + n))
+        covered = set()
+        for s, e in spans:
+            covered.update(range(s, e))
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        out[did] = {
+            "total_tokens": len(toks),
+            "n_dup_spans": len(spans),
+            "dup_tokens": sum(e - s for s, e in spans),
+            "clean_text": " ".join(kept),
+        }
+    return out
+
+
+class TestMaskingProperties:
+    """Hypothesis: the distributed masking equals the sequential
+    reference on random corpora drawn from a tiny vocabulary (high
+    collision pressure)."""
+
+    def test_random_corpora_match_reference(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        vocab = ["a", "b", "c", "d"]
+        corpus_strategy = st.lists(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=30),
+            min_size=1,
+            max_size=8,
+        )
+
+        @settings(
+            max_examples=25,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(corpus_strategy)
+        def check(corpus):
+            docs = {i: toks for i, toks in enumerate(corpus)}
+            df = spark.createDataFrame(
+                [(i, " ".join(t)) for i, t in docs.items()],
+                "doc_id bigint, text string",
+            )
+            got = {
+                r.doc_id: r for r in mask_duplicated_spans(df, n=8).collect()
+            }
+            want = _mask_py(docs, n=8)
+            assert set(got) == set(want)
+            for did, w in want.items():
+                g = got[did]
+                assert g.total_tokens == w["total_tokens"], did
+                assert g.n_dup_spans == w["n_dup_spans"], did
+                assert g.dup_tokens == w["dup_tokens"], did
+                assert g.clean_text == w["clean_text"], did
+
+        check()
