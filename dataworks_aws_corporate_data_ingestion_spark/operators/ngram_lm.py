@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import fan_out
+
 P_SCALE = 1_000_000_000  # nano-units
 
 
@@ -74,6 +76,7 @@ def score_documents_bigram_lm(
     smoothed bigram probabilities), mean_p_nano (double; null for
     documents with < 2 tokens).
     """
+    docs = fan_out(docs)
     bi = _doc_bigrams(docs, text_col, id_col)
 
     toks = F.split(F.lower(F.col(text_col)), " ")

@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..partitioning import fan_out
+
 N_GRAM = 8
 MIN_DOCS = 2
 
@@ -66,7 +68,12 @@ def ngram_positions(
     token rows, one output row per window via posexplode.  Documents
     shorter than n contribute nothing (guarded: Spark's sequence()
     counts DOWN when stop < start, which would fabricate windows).
+
+    The input fans out to session parallelism BEFORE the window
+    amplification when it arrives under-partitioned (partitioning.py)
+    -- a no-op on an already-parallel scan.
     """
+    docs = fan_out(docs)
     toks = F.split(F.lower(F.col(text_col)), " ")
     grams = F.when(
         F.size(toks) >= n,
@@ -209,6 +216,7 @@ def top_repeated_grams(
     Carries the gram TEXT through the groupBy -- acceptable because
     this is a bounded top-k report, and TakeOrderedAndProject keeps the
     driver-side result at k rows."""
+    docs = fan_out(docs)
     toks = F.split(F.lower(F.col(text_col)), " ")
     grams = F.when(
         F.size(toks) >= n,
@@ -232,3 +240,193 @@ def top_repeated_grams(
         )
         .limit(k)
     )
+
+
+def mask_duplicated_spans_incremental(
+    corpus: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = N_GRAM,
+    min_docs: int = MIN_DOCS,
+    corpus_gram_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Span-dedup a NEW batch against corpus+delta duplication without
+    re-masking the corpus: output is mask_duplicated_spans() restricted
+    to delta documents, where a gram counts as duplicated iff its
+    distinct-doc frequency across corpus AND delta reaches min_docs.
+
+    The daily-cadence shape (same contract as
+    near_dup_pairs_minhash_incremental): only DELTA positions flow into
+    the span merge and the masking rebuild, so the per-day cost scales
+    with |delta|.  The corpus contributes one gram-count aggregation --
+    or ZERO recomputation when `corpus_gram_counts` is a materialised
+    (gram_key, doc_freq) index (materialize_gram_index): then the only
+    corpus-side work is the join against the stored counts.
+    """
+    if corpus_gram_counts is None:
+        corpus_gram_counts = (
+            ngram_positions(corpus, text_col, id_col, n)
+            .groupBy("gram_key")
+            .agg(F.countDistinct("doc_id").alias("doc_freq"))
+        )
+    delta_pos = ngram_positions(delta, text_col, id_col, n)
+    delta_counts = delta_pos.groupBy("gram_key").agg(
+        F.countDistinct("doc_id").alias("delta_freq")
+    )
+    dup_keys = (
+        delta_counts.join(
+            corpus_gram_counts.withColumnRenamed("doc_freq", "corpus_freq"),
+            "gram_key",
+            "left",
+        )
+        .filter(
+            F.coalesce(F.col("corpus_freq"), F.lit(0))
+            + F.col("delta_freq")
+            >= min_docs
+        )
+        .select("gram_key")
+    )
+    dpos = delta_pos.join(dup_keys, "gram_key").select("doc_id", "pos")
+
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        dpos.withColumn(
+            "brk",
+            F.when(
+                F.col("pos")
+                > F.coalesce(
+                    F.max(F.col("pos") + n).over(w_prev), F.lit(-1)
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("brk").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("spans")
+        )
+    )
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    base = delta.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    ).join(spans, "doc_id", "left")
+    spans_arr = F.coalesce(
+        F.col("spans"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"),
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        spans_arr,
+        lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+    )
+    kept = F.filter("toks", lambda t, i: ~covered(i))
+    return base.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("total_tokens"),
+        F.coalesce(F.size("spans"), F.lit(0)).cast("bigint").alias(
+            "n_dup_spans"
+        ),
+        F.coalesce(
+            F.aggregate(
+                spans_arr,
+                F.lit(0),
+                lambda acc, s: acc + (s["span_end"] - s["span_start"]),
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("dup_tokens"),
+        F.array_join(kept, " ").alias("clean_text"),
+    ).withColumn(
+        "dup_ratio",
+        F.col("dup_tokens").cast("double") / F.col("total_tokens"),
+    )
+
+
+def materialize_gram_index(
+    spark,
+    docs: DataFrame,
+    prefix: str,
+    n_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = N_GRAM,
+) -> DataFrame:
+    """Persist the corpus gram universe as a catalog table
+    `{prefix}_grams` (gram_key, doc_freq) BUCKETED BY gram_key: daily
+    span-dedup admission then joins delta counts against a
+    pre-shuffled layout and pays zero corpus recomputation (the
+    materialize_minhash_index trade applied to span dedup)."""
+    counts = (
+        ngram_positions(docs, text_col, id_col, n)
+        .groupBy("gram_key")
+        .agg(F.countDistinct("doc_id").alias("doc_freq"))
+    )
+    name = f"{prefix}_grams"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        counts.write.bucketBy(n_buckets, "gram_key")
+        .sortBy("gram_key")
+        .format("parquet")
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
+def append_to_gram_index(
+    spark,
+    delta: DataFrame,
+    prefix: str,
+    n_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = N_GRAM,
+) -> DataFrame:
+    """Fold a new batch into the materialised gram index: doc_freqs are
+    distinct-doc counts over DISJOINT doc sets, so the merge is a
+    bucket-local sum -- append-then-merge is bit-identical to a full
+    rebuild over corpus+delta (asserted in tests, the bm25 append
+    contract)."""
+    name = f"{prefix}_grams"
+    existing = spark.table(name)
+    delta_counts = (
+        ngram_positions(delta, text_col, id_col, n)
+        .groupBy("gram_key")
+        .agg(F.countDistinct("doc_id").alias("doc_freq"))
+    )
+    merged = (
+        existing.unionByName(delta_counts)
+        .groupBy("gram_key")
+        .agg(F.sum("doc_freq").alias("doc_freq"))
+    )
+    tmp = f"{prefix}_grams_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    (
+        merged.write.bucketBy(n_buckets, "gram_key")
+        .sortBy("gram_key")
+        .format("parquet")
+        .mode("overwrite")
+        .saveAsTable(tmp)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+    return spark.table(name)

@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import fan_out
+
 SCALE = 1_000_000
 DAMPING_NUM = 85
 DAMPING_DEN = 100
@@ -57,6 +59,7 @@ def word_cooccurrence_graph(
     """Undirected TextRank word graph: (src, dst) token pairs adjacent
     somewhere in the corpus at least min_count times (directed count),
     symmetrised and distinct.  Self-loops dropped."""
+    docs = fan_out(docs)
     toks = F.split(F.lower(F.col(text_col)), " ")
     pairs = F.when(
         F.size(toks) >= 2,

@@ -11,8 +11,13 @@ whole documents.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..operators.spandedup import mask_duplicated_spans, top_repeated_grams
+from ..operators.spandedup import (
+    mask_duplicated_spans,
+    mask_duplicated_spans_incremental,
+    top_repeated_grams,
+)
 from ..sources.tables import load_table
 from ..workload import register
 
@@ -141,3 +146,59 @@ def dup_ngram_top_repeated_query(
     threshold.  Bounded top-k (TakeOrderedAndProject), total ordering
     via the (doc_freq, occurrences, gram) tiebreak."""
     return top_repeated_grams(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "dup_ngram_spans_incremental",
+    tags=("dedup", "span-dedup", "exact-substring", "incremental"),
+    oracle=f"""
+        WITH {_POSITIONS},
+        span_agg AS (
+            SELECT doc_id, COUNT(*) AS n_dup_spans,
+                   SUM(e - s) AS dup_tokens
+            FROM spans GROUP BY doc_id
+        ),
+        tokpos AS (
+            SELECT doc_id, unnest(t) AS tok,
+                   generate_subscripts(t, 1) - 1 AS pos
+            FROM toks
+        ),
+        clean AS (
+            SELECT tp.doc_id,
+                   string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean_text
+            FROM tokpos tp
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans sp
+                WHERE sp.doc_id = tp.doc_id
+                  AND tp.pos >= sp.s AND tp.pos < sp.e)
+            GROUP BY tp.doc_id
+        )
+        SELECT k.doc_id AS doc_id,
+               CAST(len(k.t) AS BIGINT) AS total_tokens,
+               CAST(coalesce(sa.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+               CAST(coalesce(sa.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               coalesce(c.clean_text, '') AS clean_text,
+               CAST(coalesce(sa.dup_tokens, 0) AS DOUBLE) / len(k.t)
+                   AS dup_ratio
+        FROM toks k
+        LEFT JOIN span_agg sa ON k.doc_id = sa.doc_id
+        LEFT JOIN clean c ON k.doc_id = c.doc_id
+        WHERE k.doc_id % 10 = 0
+    """,
+)
+def dup_ngram_spans_incremental_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily-delta span dedup: docs with doc_id % 10 == 0 play the
+    incoming batch, the rest the standing corpus; output = the batch
+    masking report where duplication counts distinct docs across
+    corpus+delta.  Identical numbers to running the full batch pass and
+    filtering to the delta (the oracle does exactly that) -- but only
+    delta positions ever reach the span merge, and the corpus side
+    collapses to one gram-count aggregation (or zero work against the
+    materialised gram index; see operators/spandedup.py)."""
+    d = load_table(spark, "documents", sf_dir)
+    return mask_duplicated_spans_incremental(
+        corpus=d.filter(F.col("doc_id") % 10 != 0),
+        delta=d.filter(F.col("doc_id") % 10 == 0),
+    )

@@ -234,3 +234,119 @@ class TestMaskingProperties:
                 assert g.clean_text == w["clean_text"], did
 
         check()
+
+
+class TestIncrementalSpans:
+    def _split(self, spark):
+        shared = _text(*range(10))
+        rows = [
+            (10, shared + " " + _text(500, 501)),   # delta, dup vs corpus
+            (20, _text(*range(900, 930))),          # delta, clean
+            (30, shared),                           # delta, fully dup
+            (1, shared + " " + _text(600, 601)),    # corpus
+            (2, _text(*range(700, 712))),           # corpus
+        ]
+        df = _docs(spark, rows)
+        delta = df.filter("doc_id >= 10")
+        corpus = df.filter("doc_id < 10")
+        return df, corpus, delta
+
+    def test_matches_batch_restricted_to_delta(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.spandedup import (
+            mask_duplicated_spans_incremental,
+        )
+
+        full, corpus, delta = self._split(spark)
+        want = {
+            r.doc_id: r
+            for r in mask_duplicated_spans(full, n=8).collect()
+            if r.doc_id >= 10
+        }
+        got = {
+            r.doc_id: r
+            for r in mask_duplicated_spans_incremental(
+                corpus, delta, n=8
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for did in want:
+            for c in (
+                "total_tokens",
+                "n_dup_spans",
+                "dup_tokens",
+                "clean_text",
+                "dup_ratio",
+            ):
+                assert getattr(got[did], c) == getattr(want[did], c), (
+                    did,
+                    c,
+                )
+
+    def test_delta_internal_duplication_counts(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.spandedup import (
+            mask_duplicated_spans_incremental,
+        )
+
+        # two delta docs share a passage absent from the corpus: both
+        # must be masked (delta-vs-delta duplication)
+        shared = _text(*range(50, 60))
+        corpus = _docs(spark, [(1, _text(*range(100, 130)))])
+        delta = _docs(spark, [(10, shared), (11, shared)])
+        got = {
+            r.doc_id: r
+            for r in mask_duplicated_spans_incremental(
+                corpus, delta, n=8
+            ).collect()
+        }
+        assert got[10].clean_text == "" and got[11].clean_text == ""
+
+    def test_materialized_index_path_is_identical(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.spandedup import (
+            mask_duplicated_spans_incremental,
+            materialize_gram_index,
+        )
+
+        _, corpus, delta = self._split(spark)
+        idx = materialize_gram_index(
+            spark, corpus, "spandedup_t1", n_buckets=4
+        )
+        try:
+            direct = mask_duplicated_spans_incremental(
+                corpus, delta, n=8
+            ).collect()
+            via_index = mask_duplicated_spans_incremental(
+                corpus, delta, n=8, corpus_gram_counts=idx
+            ).collect()
+            key = lambda rows: sorted(  # noqa: E731
+                (r.doc_id, r.n_dup_spans, r.dup_tokens, r.clean_text)
+                for r in rows
+            )
+            assert key(direct) == key(via_index)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS spandedup_t1_grams")
+
+    def test_append_equals_rebuild(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.spandedup import (
+            append_to_gram_index,
+            materialize_gram_index,
+        )
+
+        full, corpus, delta = self._split(spark)
+        try:
+            materialize_gram_index(spark, corpus, "spandedup_t2", n_buckets=4)
+            appended = append_to_gram_index(
+                spark, delta, "spandedup_t2", n_buckets=4
+            )
+            rebuilt = materialize_gram_index(
+                spark, full, "spandedup_t3", n_buckets=4
+            )
+            a = sorted(
+                (r.gram_key, r.doc_freq) for r in appended.collect()
+            )
+            b = sorted(
+                (r.gram_key, r.doc_freq) for r in rebuilt.collect()
+            )
+            assert a == b
+        finally:
+            spark.sql("DROP TABLE IF EXISTS spandedup_t2_grams")
+            spark.sql("DROP TABLE IF EXISTS spandedup_t3_grams")
