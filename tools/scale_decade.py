@@ -45,6 +45,13 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--out", default=os.path.join(REPO, "SCALE_DECADE.json"))
+    p.add_argument(
+        "--queries",
+        nargs="*",
+        default=None,
+        help="restrict to these registry queries (skips the write ops) "
+        "and MERGE the measured ops into an existing --out JSON",
+    )
     args = p.parse_args()
 
     from bench import _completed_stage_ids, _end_repeat, _stage_metrics_since
@@ -53,6 +60,11 @@ def main() -> int:
         QUERIES,
         WRITE_BENCHES,
     )
+
+    flagship_queries = (
+        args.queries if args.queries else FLAGSHIP_QUERIES
+    )
+    flagship_writes = [] if args.queries else FLAGSHIP_WRITES
 
     for sf in SFS:
         d = os.path.join(REPO, ".scaledata", f"sf{sf}")
@@ -71,11 +83,11 @@ def main() -> int:
     warm_dir = os.path.join(REPO, ".scaledata", "sf0.01")
     warm_out = tempfile.mkdtemp(prefix="cdi-scale-warm-")
     try:
-        for name in FLAGSHIP_QUERIES:
+        for name in flagship_queries:
             QUERIES[name].fn(spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-        for name in FLAGSHIP_WRITES:
+        for name in flagship_writes:
             WRITE_BENCHES[name](spark, warm_dir, warm_out)
     finally:
         shutil.rmtree(warm_out, ignore_errors=True)
@@ -115,7 +127,7 @@ def main() -> int:
         print(f"== sf{sf} ({sf_dir})", flush=True)
         out_dir = tempfile.mkdtemp(prefix=f"cdi-scale-{sf}-")
         try:
-            for name in FLAGSHIP_QUERIES:
+            for name in flagship_queries:
                 fn = QUERIES[name].fn
                 run_op(
                     name,
@@ -125,7 +137,7 @@ def main() -> int:
                     .save(),
                     sf,
                 )
-            for name in FLAGSHIP_WRITES:
+            for name in flagship_writes:
                 fn = WRITE_BENCHES[name]
                 run_op(name, lambda: fn(spark, sf_dir, out_dir), sf)
         finally:
@@ -147,6 +159,11 @@ def main() -> int:
         )
         rec["exponent_top_decade"] = round(math.log10(t10 / t01), 3)
 
+    if args.queries and os.path.exists(args.out):
+        with open(args.out) as fd:
+            prior = json.load(fd)
+        prior.get("results", {}).update(results)
+        results = prior["results"]
     with open(args.out, "w") as fd:
         json.dump({"repeats": args.repeats, "results": results}, fd, indent=1)
     print(f"\nwrote {args.out}\n")
