@@ -202,3 +202,140 @@ def dup_ngram_spans_incremental_query(
         corpus=d.filter(F.col("doc_id") % 10 != 0),
         delta=d.filter(F.col("doc_id") % 10 == 0),
     )
+
+
+@register(
+    "curation_pipeline_spanlm",
+    tags=(
+        "training-data",
+        "composition",
+        "span-dedup",
+        "language-model",
+        "masking",
+    ),
+    oracle=f"""
+        WITH {_POSITIONS},
+        span_agg AS (
+            SELECT doc_id, SUM(e - s) AS dup_tokens
+            FROM spans GROUP BY doc_id
+        ),
+        doc_gate AS (
+            -- dup_tokens * 2 <= total_tokens (integer compare, no ratio)
+            SELECT k.doc_id, k.t
+            FROM toks k LEFT JOIN span_agg sa ON k.doc_id = sa.doc_id
+            WHERE coalesce(sa.dup_tokens, 0) * 2 <= len(k.t)
+        ),
+        tokpos AS (
+            SELECT doc_id, unnest(t) AS tok,
+                   generate_subscripts(t, 1) - 1 AS pos
+            FROM doc_gate
+        ),
+        kept AS (
+            SELECT tp.doc_id, tp.tok, tp.pos
+            FROM tokpos tp
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans sp
+                WHERE sp.doc_id = tp.doc_id
+                  AND tp.pos >= sp.s AND tp.pos < sp.e)
+        ),
+        clean_len AS (
+            SELECT doc_id, COUNT(*) AS n_clean FROM kept GROUP BY doc_id
+        ),
+        bi AS (
+            SELECT doc_id, tok AS w1,
+                   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM kept
+        ),
+        bi2 AS (SELECT doc_id, w1, w2 FROM bi WHERE w2 IS NOT NULL),
+        uni AS (
+            SELECT tok AS w1, COUNT(*) AS c1 FROM kept GROUP BY tok
+        ),
+        voc AS (SELECT COUNT(*)::BIGINT AS v FROM uni),
+        bc AS (
+            SELECT w1, w2, COUNT(*) AS c12 FROM bi2 GROUP BY w1, w2
+        ),
+        scored AS (
+            SELECT b.doc_id,
+                   coalesce(c.c12, 0) AS c12,
+                   (1000000000 * (coalesce(c.c12, 0) + 1))
+                       // (u.c1 + voc.v) AS p_nano
+            FROM bi2 b
+            LEFT JOIN bc c ON b.w1 = c.w1 AND b.w2 = c.w2
+            JOIN uni u ON b.w1 = u.w1
+            CROSS JOIN voc
+        ),
+        per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   SUM(CASE WHEN c12 = 0 THEN 1 ELSE 0 END) AS oov,
+                   SUM(p_nano) AS sum_p
+            FROM scored GROUP BY doc_id
+        ),
+        final_docs AS (
+            SELECT p.doc_id, cl.n_clean, p.n_bigrams, p.sum_p
+            FROM per_doc p JOIN clean_len cl ON p.doc_id = cl.doc_id
+            WHERE p.oov * 5 <= p.n_bigrams AND p.n_bigrams >= 8
+        )
+        SELECT d.source AS source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(f.n_clean) AS BIGINT) AS total_clean_tokens,
+               CAST(SUM(f.sum_p) AS BIGINT) AS sum_p_nano,
+               CAST(SUM(f.sum_p) AS DOUBLE) / SUM(f.n_bigrams)
+                   AS mean_p_nano
+        FROM final_docs f JOIN documents d ON f.doc_id = d.doc_id
+        GROUP BY d.source
+        ORDER BY d.source
+    """,
+)
+def curation_pipeline_spanlm_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-6 capstone composition: span-mask boilerplate -> drop docs
+    that are majority duplicated passage (integer gate: dup_tokens*2 <=
+    total_tokens) -> train the bigram LM on the MASKED survivor corpus
+    -> gate on familiarity (oov*5 <= n_bigrams, n_bigrams >= 8) ->
+    per-source accounting of the curated corpus.
+
+    Every stage reuses an operator that hash-matches its own oracle
+    (spandedup masking, ngram_lm scoring); this query certifies the
+    COMPOSITION, incl. the subtlety that masking changes adjacency (the
+    LM sees bigrams across excised spans) and that the LM trains on the
+    post-mask, post-gate corpus -- exactly what a real curation run
+    feeds the tokenizer.  All thresholds are cross-multiplied integers;
+    the only doubles are final divisions of exact sums."""
+    from ..operators.ngram_lm import score_documents_bigram_lm
+
+    docs = load_table(spark, "documents", sf_dir)
+    masked = mask_duplicated_spans(docs)
+    gated = masked.filter(
+        F.col("dup_tokens") * 2 <= F.col("total_tokens")
+    )
+    clean_docs = gated.select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    clean_len = clean_docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), " "))
+        .cast("bigint")
+        .alias("n_clean"),
+    )
+    lm = score_documents_bigram_lm(clean_docs)
+    final_docs = lm.filter(
+        (F.col("oov_bigrams") * 5 <= F.col("n_bigrams"))
+        & (F.col("n_bigrams") >= 8)
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        final_docs.join(clean_len, "doc_id")
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_clean").cast("bigint").alias("total_clean_tokens"),
+            F.sum("sum_p_nano").cast("bigint").alias("sum_p_nano"),
+            (
+                F.sum("sum_p_nano").cast("double")
+                / F.sum("n_bigrams")
+            ).alias("mean_p_nano"),
+        )
+        .orderBy("source")
+    )
