@@ -132,3 +132,77 @@ class TestRecordTimeline:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters: [" in plan
         assert "IsNotNull(id)" in plan or "EqualTo(id" in plan
+
+
+class TestOpsCli:
+    def test_timeline_cli_prints_json_lines(self, spark, tmp_path, capsys):
+        from dataworks_aws_corporate_data_ingestion_spark.plans.ops_cli import main
+
+        daily_root, snap_root, rid, other = TestRecordTimeline()._build(
+            spark, tmp_path
+        )
+        rc = main(
+            [
+                "timeline",
+                "--daily-root",
+                daily_root,
+                "--snapshot-root",
+                snap_root,
+                "--record-id",
+                other,
+                "--daily-fmt",
+                "parquet",
+                "--snapshot-fmt",
+                "parquet",
+            ],
+            spark=spark,
+        )
+        assert rc == 0
+        import json as _json
+
+        lines = [
+            _json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()
+        ]
+        assert [r["source"] for r in lines] == ["daily", "daily", "snapshot"]
+
+    def test_purge_cli_erases_and_audits(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from dataworks_aws_corporate_data_ingestion_spark.plans.ops_cli import main
+        from dataworks_aws_corporate_data_ingestion_spark.sinks.writers import (
+            write_snapshot,
+        )
+
+        snap_root = str(tmp_path / "snap")
+        snap = spark.createDataFrame(
+            [
+                (_rid("aa", n), "aa", "INSERT", f"v{n}")
+                for n in range(4)
+            ],
+            "id string, id_part string, db_type string, val string",
+        )
+        write_snapshot(snap, snap_root, fmt="parquet", compression="snappy")
+        keys_file = tmp_path / "keys.txt"
+        keys_file.write_text(_rid("aa", 1) + "\n" + _rid("aa", 3) + "\n")
+        rc = main(
+            [
+                "purge",
+                "--snapshot-root",
+                snap_root,
+                "--keys-file",
+                str(keys_file),
+                "--fmt",
+                "parquet",
+            ],
+            spark=spark,
+        )
+        assert rc == 0
+        audit = [
+            _json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()
+        ]
+        assert audit == [
+            {"id_part": "aa", "rows_before": 4, "rows_after": 2, "purged": 2}
+        ]
+        assert spark.read.parquet(snap_root).count() == 2
