@@ -1027,3 +1027,117 @@ class TestTransformWithState:
         assert latest[3] == (1, 1.0)
         # user 1 emitted once per touched batch: 2 rows
         assert sum(1 for r in rows if r.user_id == 1) == 2
+
+
+class TestSpanAdmission:
+    SHARED = " ".join(f"s{i}" for i in range(12))
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def _cleanup(self, spark, prefix):
+        for t in (f"{prefix}_grams", f"{prefix}_spandocs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_cross_batch_masking(self, spark):
+        """Batch 2's copy of a batch-1 passage must be masked even
+        though no single batch contains it twice."""
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.span_admission import (
+            admit_span_batch,
+            init_span_index,
+        )
+
+        try:
+            init_span_index(spark, "t_span1", n_buckets=4)
+            uniq1 = " ".join(f"a{i}" for i in range(20))
+            b1 = self._docs(
+                spark, [(1, self.SHARED + " " + uniq1)]
+            )
+            out1 = {r.doc_id: r for r in admit_span_batch(spark, b1, "t_span1").collect()}
+            # nothing else seen: no masking yet
+            assert out1[1].n_dup_spans == 0
+
+            uniq2 = " ".join(f"b{i}" for i in range(20))
+            b2 = self._docs(
+                spark, [(2, self.SHARED + " " + uniq2)]
+            )
+            out2 = {r.doc_id: r for r in admit_span_batch(spark, b2, "t_span1").collect()}
+            assert out2[2].n_dup_spans == 1
+            assert out2[2].dup_tokens == 12
+            assert out2[2].clean_text == uniq2
+        finally:
+            self._cleanup(spark, "t_span1")
+
+    def test_replayed_batch_converges(self, spark):
+        """Re-admitting an already-admitted batch (at-least-once replay)
+        yields the SAME masked output and appends nothing."""
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.span_admission import (
+            admit_span_batch,
+            init_span_index,
+        )
+
+        try:
+            init_span_index(spark, "t_span2", n_buckets=4)
+            uniq = " ".join(f"c{i}" for i in range(20))
+            b1 = self._docs(spark, [(1, self.SHARED + " " + uniq)])
+            first = sorted(
+                tuple(r) for r in admit_span_batch(spark, b1, "t_span2").collect()
+            )
+            n_gram_rows = spark.table("t_span2_grams").count()
+            replay = sorted(
+                tuple(r) for r in admit_span_batch(spark, b1, "t_span2").collect()
+            )
+            assert replay == first
+            assert spark.table("t_span2_grams").count() == n_gram_rows
+            assert spark.table("t_span2_spandocs").count() == 1
+        finally:
+            self._cleanup(spark, "t_span2")
+
+    def test_within_batch_duplication_still_masks(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.span_admission import (
+            admit_span_batch,
+            init_span_index,
+        )
+
+        try:
+            init_span_index(spark, "t_span3", n_buckets=4)
+            b = self._docs(spark, [(1, self.SHARED), (2, self.SHARED)])
+            out = {r.doc_id: r for r in admit_span_batch(spark, b, "t_span3").collect()}
+            assert out[1].clean_text == "" and out[2].clean_text == ""
+        finally:
+            self._cleanup(spark, "t_span3")
+
+    def test_foreachbatch_stream_writes_batch_dirs(self, spark, tmp_path):
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.span_admission import (
+            init_span_index,
+            span_admission_applier,
+        )
+
+        try:
+            init_span_index(spark, "t_span4", n_buckets=4)
+            src = tmp_path / "src"
+            src.mkdir()
+            out = tmp_path / "masked"
+            ckpt = tmp_path / "ckpt"
+            uniq = " ".join(f"d{i}" for i in range(20))
+            self._docs(spark, [(1, self.SHARED + " " + uniq)]).write.mode(
+                "overwrite"
+            ).parquet(str(src / "day1"))
+            stream = (
+                spark.readStream.schema("doc_id bigint, text string")
+                .parquet(str(src / "day1"))
+            )
+            q = (
+                stream.writeStream.foreachBatch(
+                    span_admission_applier(spark, "t_span4", str(out))
+                )
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            got = spark.read.parquet(str(out / "batch_id=0"))
+            assert got.count() == 1
+            assert got.collect()[0].n_dup_spans == 0
+        finally:
+            self._cleanup(spark, "t_span4")
