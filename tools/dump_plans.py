@@ -42,6 +42,12 @@ SHOWCASE = [
     ("embedding_l2_norms", "HOF fold in-row: zero exchange"),
     ("incremental_monthly_rollup", "two-level partial-agg merge"),
     ("leakage_safe_split", "LSH pairs -> components -> cluster-hashed split"),
+    ("dup_ngram_span_stats", "gram-key agg -> dup join-back -> one doc_id exchange for both span windows -> positional-filter rebuild"),
+    ("dup_ngram_spans_incremental", "delta counts vs corpus counts; only delta positions reach the span merge"),
+    ("bigram_lm_familiarity", "two vocab-sized count aggs broadcast against the bigram stream"),
+    ("textrank_keywords", "5 checkpointed join+agg rounds over a vocabulary-sized graph"),
+    ("curation_pipeline_spanlm", "mask -> integer gate -> LM on masked corpus -> OOV gate -> rollup"),
+    ("knn_label_classification", "broadcast probes -> corpus scan -> vote argmax"),
 ]
 
 
