@@ -9,6 +9,7 @@ oracle unrolls into five chained CTEs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.ngram_lm import P_SCALE, score_documents_bigram_lm
 from ..operators.textrank import (
@@ -20,6 +21,7 @@ from ..operators.textrank import (
 )
 from ..sources.tables import load_table
 from ..workload import register
+from .text_analysis import _LANG_SCORES, _STOP_SQL
 
 
 def _textrank_oracle(iterations: int = 5, k: int = 20) -> str:
@@ -144,3 +146,162 @@ def bigram_lm_familiarity_query(
     operators/ngram_lm.py for why not log-space).  The corpus-as-model
     quality-filter step of a curation pipeline."""
     return score_documents_bigram_lm(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "document_feature_matrix",
+    tags=(
+        "training-data",
+        "features",
+        "text-quality",
+        "span-dedup",
+        "language-model",
+    ),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, string_split(lower(text), ' ') AS t
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, source, t,
+                   len(t) AS n_tokens,
+                   len(list_distinct(t)) AS n_distinct,
+                   len(list_filter(t, x -> list_contains({{stop}}, x)))
+                       AS n_stop,
+                   {{lang}}
+            FROM (SELECT doc_id, source, t, t AS toks FROM toks)
+        ),
+        pos_gram AS (
+            SELECT doc_id, i - 1 AS pos,
+                   ('0x' || substr(md5(array_to_string(
+                        list_slice(t, i, i + 7), ' ')), 1, 15))::BIGINT
+                       AS gram_key
+            FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+        ),
+        dup AS (
+            SELECT gram_key FROM pos_gram
+            GROUP BY gram_key HAVING count(DISTINCT doc_id) >= 2
+        ),
+        dpos AS (
+            SELECT p.doc_id, p.pos FROM pos_gram p JOIN dup USING (gram_key)
+        ),
+        brk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS b
+            FROM dpos
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS island
+            FROM brk
+        ),
+        spans AS (
+            SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 8 AS e
+            FROM isl GROUP BY doc_id, island
+        ),
+        span_agg AS (
+            SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(e - s) AS dup_tokens
+            FROM spans GROUP BY doc_id
+        ),
+        bi AS (
+            SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+            FROM toks, unnest(range(1, len(t))) AS u(i)
+        ),
+        uni AS (
+            SELECT w1, count(*) AS c1 FROM (
+                SELECT unnest(t) AS w1 FROM toks
+            ) GROUP BY w1
+        ),
+        voc AS (SELECT count(*)::BIGINT AS v FROM uni),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+        lm_scored AS (
+            SELECT b.doc_id, coalesce(c.c12, 0) AS c12,
+                   ({P_SCALE} * (coalesce(c.c12, 0) + 1))
+                       // (u.c1 + voc.v) AS p_nano
+            FROM bi b
+            LEFT JOIN bc c ON b.w1 = c.w1 AND b.w2 = c.w2
+            JOIN uni u ON b.w1 = u.w1
+            CROSS JOIN voc
+        ),
+        lm_doc AS (
+            SELECT doc_id, count(*) AS n_bigrams,
+                   SUM(CASE WHEN c12 = 0 THEN 1 ELSE 0 END) AS oov,
+                   SUM(p_nano) AS sum_p
+            FROM lm_scored GROUP BY doc_id
+        )
+        SELECT s.doc_id AS doc_id, s.source AS source,
+               CAST(s.n_tokens AS BIGINT) AS n_tokens,
+               CAST(s.n_stop AS DOUBLE) / s.n_tokens AS stop_ratio,
+               CAST(s.n_distinct AS DOUBLE) / s.n_tokens AS distinct_ratio,
+               (CAST(s.n_distinct AS DOUBLE) / s.n_tokens) * 0.5
+                 + LEAST(1.0, CAST(s.n_tokens AS DOUBLE) / 100.0) * 0.3
+                 + (1.0 - CAST(s.n_stop AS DOUBLE) / s.n_tokens) * 0.2
+                   AS quality,
+               CASE
+                 WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de, s_zh)
+                      AND s_en > 0 THEN 'en'
+                 WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de, s_zh)
+                      AND s_es > 0 THEN 'es'
+                 WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de, s_zh)
+                      AND s_fr > 0 THEN 'fr'
+                 WHEN s_de = GREATEST(s_en, s_es, s_fr, s_de, s_zh)
+                      AND s_de > 0 THEN 'de'
+                 WHEN s_zh = GREATEST(s_en, s_es, s_fr, s_de, s_zh)
+                      AND s_zh > 0 THEN 'zh'
+                 ELSE 'und'
+               END AS lang_guess,
+               CAST(coalesce(sa.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+               CAST(coalesce(sa.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               CAST(coalesce(sa.dup_tokens, 0) AS DOUBLE) / s.n_tokens
+                   AS dup_ratio,
+               CAST(coalesce(l.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(l.oov, 0) AS BIGINT) AS oov_bigrams,
+               CASE WHEN coalesce(l.n_bigrams, 0) > 0
+                    THEN CAST(l.sum_p AS DOUBLE) / l.n_bigrams
+               END AS mean_p_nano
+        FROM scored s
+        LEFT JOIN span_agg sa ON s.doc_id = sa.doc_id
+        LEFT JOIN lm_doc l ON s.doc_id = l.doc_id
+    """.replace("{stop}", _STOP_SQL).replace("{lang}", _LANG_SCORES),
+)
+def document_feature_matrix_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document FEATURE MATRIX for training a quality classifier:
+    the scalar text metrics (token/stopword/diversity/quality/lang),
+    the span-dedup duplication profile, and the bigram-LM familiarity
+    scores, joined into one frame -- the labeled-data prep step of a
+    learned quality filter (each family hash-matches its own oracle;
+    this query certifies the join).
+
+    Scale notes: the scalar metrics ride the scan stage (zero
+    shuffles); the span and LM branches are the linear shapes audited
+    in PLANS.md; the three branches share one documents scan via Spark
+    plan reuse and join on doc_id."""
+    from ..functions import text as T
+    from ..operators.ngram_lm import score_documents_bigram_lm
+    from ..operators.spandedup import mask_duplicated_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    base = docs.select(
+        "doc_id",
+        "source",
+        T.token_count(t).alias("n_tokens"),
+        T.stopword_ratio(t).alias("stop_ratio"),
+        T.distinct_token_ratio(t).alias("distinct_ratio"),
+        T.quality_score(t).alias("quality"),
+        T.lang_id(t).alias("lang_guess"),
+    )
+    spans = mask_duplicated_spans(docs).select(
+        "doc_id", "n_dup_spans", "dup_tokens", "dup_ratio"
+    )
+    lm = score_documents_bigram_lm(docs).select(
+        "doc_id", "n_bigrams", "oov_bigrams", "mean_p_nano"
+    )
+    return base.join(spans, "doc_id").join(lm, "doc_id")
