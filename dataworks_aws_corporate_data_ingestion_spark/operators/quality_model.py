@@ -1,0 +1,106 @@
+"""Learned quality filter: train a classifier on the document feature
+matrix and score the corpus with it.
+
+The last step of the curation stack: heuristic gates (quality_score,
+LM familiarity, dup_ratio) bootstrap WEAK LABELS, a distributed
+logistic regression (pyspark.ml, LBFGS on the JVM) generalises them,
+and the fitted model scores every document in one broadcast-free map
+pass -- the FastText/fasttext-quality-classifier pattern of public
+LLM-data pipelines (CCNet, RedPajama), built entirely on Spark ML.
+
+Determinism: LBFGS over a fixed feature frame is deterministic given
+fixed partitioning, but float coefficients are NOT cross-engine
+reproducible (no DuckDB twin exists), so this operator is pytest-pinned
+(separability on planted structure, train/apply round-trip) rather
+than oracle-registered -- the feature matrix feeding it IS
+oracle-certified (document_feature_matrix).
+
+Scale notes: training cost is iterations x one pass over the
+vocabulary-of-features frame (13 doubles/doc); scoring is a pure
+narrow map (the model broadcasts as part of the plan).  Both are
+corpus-linear with no extra exchanges beyond ml's treeAggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURES = [
+    "n_tokens",
+    "stop_ratio",
+    "distinct_ratio",
+    "quality",
+    "dup_ratio",
+    "oov_rate",
+    "mean_p_nano",
+]
+
+
+def _prepare(features_df: DataFrame) -> DataFrame:
+    """Numeric feature columns (nulls -> 0, oov rate derived)."""
+    return features_df.select(
+        "doc_id",
+        F.col("n_tokens").cast("double").alias("n_tokens"),
+        "stop_ratio",
+        "distinct_ratio",
+        "quality",
+        "dup_ratio",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("oov_bigrams").cast("double") / F.col("n_bigrams"),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("oov_rate"),
+        F.coalesce("mean_p_nano", F.lit(0.0)).alias("mean_p_nano"),
+    )
+
+
+def weak_labels(features_df: DataFrame) -> DataFrame:
+    """Bootstrap labels from the heuristic gates: a doc is a positive
+    example iff it passes the quality score AND is not
+    majority-duplicated.  (The classifier's job is to smooth and
+    generalise these gates, not to reproduce them exactly.)"""
+    return _prepare(features_df).withColumn(
+        "label",
+        (
+            (F.col("quality") >= 0.5) & (F.col("dup_ratio") <= 0.5)
+        ).cast("double"),
+    )
+
+
+def train_quality_model(features_df: DataFrame, max_iter: int = 25):
+    """Fit the logistic quality model on weak labels; returns the
+    fitted pyspark.ml PipelineModel (assembler + scaler + LR)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    labeled = weak_labels(features_df)
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=FEATURES, outputCol="raw_features"),
+            StandardScaler(
+                inputCol="raw_features",
+                outputCol="features",
+                withMean=True,
+                withStd=True,
+            ),
+            LogisticRegression(
+                maxIter=max_iter, featuresCol="features", labelCol="label"
+            ),
+        ]
+    )
+    return pipe.fit(labeled)
+
+
+def score_quality(features_df: DataFrame, model) -> DataFrame:
+    """(doc_id, quality_prob) for every document: P(keep) under the
+    learned filter.  Pure map pass; the model rides the plan."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(_prepare(features_df))
+    return scored.select(
+        "doc_id",
+        vector_to_array(F.col("probability"))[1].alias("quality_prob"),
+    )
