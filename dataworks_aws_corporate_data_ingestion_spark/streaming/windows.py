@@ -134,3 +134,23 @@ def apply_stateful_dedup(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def apply_watermark_dedup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("user_id", "event_id"),
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Built-in twin of apply_stateful_dedup: exactly-once admission of
+    `keys` across micro-batches via dropDuplicatesWithinWatermark --
+    state per key is managed AND EVICTED by the engine once the
+    watermark passes, which is the property the custom
+    applyInPandasWithState form lacks (its per-user high-water mark
+    lives forever).  Use this form when keys are time-scoped (at-least-
+    once replays arrive within a bounded delay); the custom form when
+    admission needs a domain rule (monotonic ids) rather than a time
+    horizon."""
+    return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

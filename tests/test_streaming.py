@@ -1141,3 +1141,50 @@ class TestSpanAdmission:
             assert got.collect()[0].n_dup_spans == 0
         finally:
             self._cleanup(spark, "t_span4")
+
+
+class TestWatermarkDedup:
+    def test_replays_within_watermark_admitted_once(self, spark, tmp_path):
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.windows import (
+            apply_watermark_dedup,
+        )
+
+        src = tmp_path / "stream"
+        src.mkdir()
+        base = "2025-03-01T10:{:02d}:00.000Z"
+        rows1 = [
+            {"user_id": 1, "event_id": i, "ts": base.format(i)}
+            for i in range(5)
+        ]
+        rows2 = [
+            {"user_id": 1, "event_id": i, "ts": base.format(i)}
+            for i in range(3, 9)
+        ]  # 3,4 replays inside the watermark
+        (src / "b1.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in rows1)
+        )
+        time.sleep(1.1)
+        (src / "b2.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in rows2)
+        )
+        stream = (
+            spark.readStream.schema(
+                "user_id bigint, event_id bigint, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        sq = (
+            apply_watermark_dedup(stream)
+            .writeStream.format("memory")
+            .queryName("wm_dedup_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(120)
+        ids = sorted(
+            r["event_id"]
+            for r in spark.sql("select * from wm_dedup_out").collect()
+        )
+        assert ids == list(range(9))
