@@ -69,14 +69,36 @@ def weak_labels(features_df: DataFrame) -> DataFrame:
     )
 
 
-def train_quality_model(features_df: DataFrame, max_iter: int = 25):
+def train_quality_model(
+    features_df: DataFrame, max_iter: int = 25, model_dir: str | None = None
+):
     """Fit the logistic quality model on weak labels; returns the
-    fitted pyspark.ml PipelineModel (assembler + scaler + LR)."""
-    from pyspark.ml import Pipeline
+    fitted pyspark.ml PipelineModel (assembler + scaler + LR).
+
+    The fitted model round-trips through ML persistence (save/load into
+    ``model_dir``, a temp dir by default) before being returned.  This
+    is not just a persistence exercise: a freshly-fit
+    LogisticRegressionModel retains its trainingSummary, which holds
+    the live SparkSession -- serialising the model into the scoring
+    UDF's task closure then drags session state (ObservationManager)
+    onto executors and throws Task-not-serializable whenever any prior
+    query in the session used an Observation.  Loading from disk
+    returns a summary-free model that closes over coefficients only.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.ml import Pipeline, PipelineModel
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import StandardScaler, VectorAssembler
 
-    labeled = weak_labels(features_df)
+    # eager localCheckpoint: (a) iterative LBFGS re-reads the frame every
+    # pass, so materialising it once is the standard ml-input practice;
+    # (b) it truncates lineage to an RDD-backed plan, so closure
+    # serialisation for ml's .rdd conversion cannot drag in session
+    # state captured by upstream plan nodes (observed: a pending
+    # Observation's manager riding a shared session's lineage)
+    labeled = weak_labels(features_df).localCheckpoint(eager=True)
     pipe = Pipeline(
         stages=[
             VectorAssembler(inputCols=FEATURES, outputCol="raw_features"),
@@ -91,7 +113,14 @@ def train_quality_model(features_df: DataFrame, max_iter: int = 25):
             ),
         ]
     )
-    return pipe.fit(labeled)
+    fitted = pipe.fit(labeled)
+    out_dir = model_dir or tempfile.mkdtemp(prefix="cdi-quality-model-")
+    try:
+        fitted.write().overwrite().save(out_dir)
+        return PipelineModel.load(out_dir)
+    finally:
+        if model_dir is None:
+            shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def score_quality(features_df: DataFrame, model) -> DataFrame:
@@ -99,7 +128,7 @@ def score_quality(features_df: DataFrame, model) -> DataFrame:
     learned filter.  Pure map pass; the model rides the plan."""
     from pyspark.ml.functions import vector_to_array
 
-    scored = model.transform(_prepare(features_df))
+    scored = model.transform(_prepare(features_df).localCheckpoint(eager=True))
     return scored.select(
         "doc_id",
         vector_to_array(F.col("probability"))[1].alias("quality_prob"),
