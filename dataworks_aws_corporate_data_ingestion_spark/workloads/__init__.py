@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     relational2,
     relational3,
     relational4,
+    provenance,
     relational5,
     sampling_suite,
     similarity_search,
