@@ -52,7 +52,9 @@ from ..workload import register
 def source_vocabulary_overlap(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Pairwise vocabulary Jaccard between sources.
+    """Pairwise vocabulary Jaccard between sources.  SPARSE: pairs
+    sharing zero tokens emit no row (jaccard 0 by absence) -- at real
+    source counts the dense pair matrix is almost entirely zeros.
 
     Scale notes: the frame collapses to DISTINCT (source, token) before
     any join, so everything downstream is vocabulary x source bounded
