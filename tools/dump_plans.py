@@ -48,6 +48,8 @@ SHOWCASE = [
     ("textrank_keywords", "5 checkpointed join+agg rounds over a vocabulary-sized graph"),
     ("curation_pipeline_spanlm", "mask -> integer gate -> LM on masked corpus -> OOV gate -> rollup"),
     ("knn_label_classification", "broadcast probes -> corpus scan -> vote argmax"),
+    ("source_vocabulary_overlap", "DISTINCT-collapsed vocab self-join; vocab-bounded"),
+    ("per_source_ngram_novelty", "distinct (source, gram) -> spread count -> rollup"),
 ]
 
 
