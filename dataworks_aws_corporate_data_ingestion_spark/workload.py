@@ -628,4 +628,12 @@ def _cli(argv: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(_cli())
+    # under `python -m`, this file executes as the `__main__` module while
+    # every workloads/ submodule registers into the CANONICAL
+    # `...workload` instance -- so the local QUERIES only holds the five
+    # core entries.  Delegate to the canonical instance's CLI.
+    from dataworks_aws_corporate_data_ingestion_spark.workload import (
+        _cli as _canonical_cli,
+    )
+
+    raise SystemExit(_canonical_cli())

@@ -145,3 +145,31 @@ class TestRegistryCli:
         assert proc.returncode == 0, proc.stderr[-1000:]
         assert "queries match tag 'similarity'" in proc.stdout
         assert "ann_pq_topk" in proc.stdout
+
+
+class TestCliModuleEntry:
+    def test_dash_m_list_sees_full_registry(self):
+        """`python -m ...workload list` must expose EVERY registered
+        query, not just the five core entries -- regression for the
+        __main__ double-module-instance trap (workloads/ submodules
+        register into the canonical module, not the __main__ copy)."""
+        import subprocess
+        import sys
+
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "dataworks_aws_corporate_data_ingestion_spark.workload",
+                "list",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=120,
+            cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-1000:]
+        names = {line.split("\t")[0] for line in proc.stdout.splitlines()}
+        assert len(names) > 150, f"only {len(names)} queries visible via -m"
+        assert "per_source_ngram_novelty" in names
+        assert "q18_large_orders" in names
