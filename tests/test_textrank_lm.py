@@ -188,3 +188,100 @@ class TestBigramLm:
             "doc_id bigint, text string",
         )
         assert score_documents_bigram_lm(docs).count() == 10
+
+
+def _lm_py(docs: dict[int, list[str]]):
+    """Pure-Python reference for score_documents_bigram_lm."""
+    from collections import Counter
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for toks in docs.values():
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    v = len(uni)
+    out = {}
+    for did, toks in docs.items():
+        pairs = list(zip(toks, toks[1:]))
+        s = sum(
+            (P_SCALE * (bi[p] + 1)) // (uni[p[0]] + v) for p in pairs
+        )
+        out[did] = {
+            "n_bigrams": len(pairs),
+            "oov_bigrams": sum(1 for p in pairs if bi[p] == 0),
+            "sum_p_nano": s,
+        }
+    return out
+
+
+class TestLmProperties:
+    def test_random_corpora_match_reference(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        vocab = ["a", "b", "c"]
+        corpus_strategy = st.lists(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=12),
+            min_size=1,
+            max_size=6,
+        )
+
+        @settings(
+            max_examples=20,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(corpus_strategy)
+        def check(corpus):
+            docs = {i: t for i, t in enumerate(corpus)}
+            df = spark.createDataFrame(
+                [(i, " ".join(t)) for i, t in docs.items()],
+                "doc_id bigint, text string",
+            )
+            got = {
+                r.doc_id: r
+                for r in score_documents_bigram_lm(df).collect()
+            }
+            want = _lm_py(docs)
+            for did, w in want.items():
+                g = got[did]
+                assert g.n_bigrams == w["n_bigrams"], did
+                assert g.oov_bigrams == w["oov_bigrams"], did
+                assert g.sum_p_nano == w["sum_p_nano"], did
+
+        check()
+
+
+class TestPagerankProperties:
+    def test_random_symmetric_graphs_match_reference(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from tests.test_textrank_lm import _pagerank_py  # self-import ok
+
+        nodes = ["n0", "n1", "n2", "n3", "n4"]
+        edge_strategy = st.sets(
+            st.tuples(st.sampled_from(nodes), st.sampled_from(nodes)).filter(
+                lambda e: e[0] != e[1]
+            ),
+            min_size=1,
+            max_size=10,
+        )
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(edge_strategy)
+        def check(raw_edges):
+            # symmetrise (the operator contract: no dangling nodes)
+            edges = sorted({e for p in raw_edges for e in (p, p[::-1])})
+            df = spark.createDataFrame(edges, "src string, dst string")
+            got = {
+                r.node: r.rank_micro
+                for r in pagerank_fixed_point(df, iterations=3).collect()
+            }
+            assert got == _pagerank_py(edges, iterations=3)
+
+        check()
