@@ -3,6 +3,7 @@ query into dataworks_aws_corporate_data_ingestion_spark.workload.QUERIES."""
 
 from . import (  # noqa: F401
     analytic,
+    audit_stats,
     cdi_pipeline,
     curation,
     dedup_suite,
