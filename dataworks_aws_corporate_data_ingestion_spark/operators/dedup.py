@@ -29,6 +29,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
 from ..caching import tracked_persist
+from ..partitioning import fan_out
 from ..functions.text import jaccard, word_shingles
 
 # fixed 61-bit Mersenne prime universe for the affine permutations
@@ -177,7 +178,7 @@ def near_dup_pairs_minhash(
     bucket-join -> verify.  Returns (a, b, jaccard_sim) pairs."""
     # shingling + signatures are CPU-bound per row: spread them over every
     # core regardless of how few input splits the corpus arrived in
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    docs = fan_out(docs)
     # the shingled frame feeds BOTH the signature branch and the final
     # jaccard verification join; persist it so the shingle arrays are
     # computed (and Arrow-serialised) once, not once per consumer -- the
@@ -226,9 +227,8 @@ def near_dup_pairs_minhash_incremental(
     side); they are recomputed here because the registry query is
     self-contained.  Recall math is identical to near_dup_pairs_minhash
     (same bands x rows)."""
-    spark_parallelism = corpus.sparkSession.sparkContext.defaultParallelism
     shingled = lambda df: tracked_persist(  # noqa: E731
-        df.repartition(spark_parallelism).select(
+        fan_out(df).select(
             F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles")
         )
     )
@@ -280,9 +280,9 @@ def materialize_minhash_index(
     index build; daily admission cost scales with the delta."""
     from ..sinks.bucketing import _clear_orphan_location, write_bucketed
 
-    sh = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism
-    ).select(F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles"))
+    sh = fan_out(docs).select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles")
+    )
     _clear_orphan_location(spark, f"{prefix}_shingles")
     sh.write.mode("overwrite").saveAsTable(f"{prefix}_shingles")
     stored = spark.table(f"{prefix}_shingles")
@@ -385,9 +385,9 @@ def append_to_minhash_index(
     the delta-side-only exchange.  Caller is responsible for having
     deduped `docs` first (admission order: check, then append)."""
     k, bands, rows, n_buckets = index_params(spark, prefix, k, bands, rows)
-    sh = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism
-    ).select(F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles"))
+    sh = fan_out(docs).select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles")
+    )
     sh.write.mode("append").saveAsTable(f"{prefix}_shingles")
     # buckets derive from the SAME frame we just appended (recomputing
     # from the table would re-shingle the whole corpus)
@@ -421,9 +421,9 @@ def near_dup_pairs_against_index(
     explicit mismatching arguments raise (see index_params)."""
     k, bands, rows, _ = index_params(spark, prefix, k, bands, rows)
     delta_sh = tracked_persist(
-        delta.repartition(
-            delta.sparkSession.sparkContext.defaultParallelism
-        ).select(F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles"))
+        fan_out(delta).select(
+            F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles")
+        )
     )
     delta_buckets = tracked_persist(
         lsh_band_buckets(
@@ -477,7 +477,7 @@ def near_dup_pairs_exact(
     text stop looking similar, while true near-dups still share nearly
     all distinctive shingles.  None = exact jaccard over all shingles;
     very large corpora should switch to near_dup_pairs_minhash."""
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    docs = fan_out(docs)
     sh = docs.select(
         F.col(id_col).alias("a"), word_shingles(F.col(text_col), k).alias("sh")
     )
@@ -655,7 +655,7 @@ def simhash_near_dup_pairs(
     # even when the corpus arrived as one split (same discipline as
     # minhash above); the banding helper persists the signed+chunked
     # frame so the UDF runs ONCE across both sides of the self-join
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    docs = fan_out(docs)
     signed = simhash_signatures(docs, id_col=id_col, text_col=text_col)
     return simhash_pairs_from_signatures(
         signed,
@@ -722,7 +722,7 @@ def simhash_near_dup_pairs_hex(
     """Hamming-banded dedup over the oracle-checkable 60-bit md5 simhash
     (simhash_signatures_hex) -- the fully SQL-reproducible twin of
     simhash_near_dup_pairs."""
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    docs = fan_out(docs)
     signed = simhash_signatures_hex(docs, id_col=id_col, text_col=text_col)
     return simhash_pairs_from_signatures(
         signed,

@@ -32,13 +32,25 @@ counts -- the evidence record a compliance workflow files.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _MAX_BUCKETS = 256
+
+
+def _delete_dir_any_scheme(spark: SparkSession, path: str) -> bool:
+    """Recursive directory delete through the Hadoop FileSystem API so
+    every URI scheme the snapshot can live on (file:, hdfs:, s3a:, ...)
+    is covered -- os.path/shutil only see the driver's local disk, which
+    would silently leave stale bytes on a remote store (the compliance
+    gap this step exists to close).  Returns True iff the path existed
+    and was deleted."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        return bool(fs.delete(hpath, True))
+    return False
 
 
 def keys_with_parts(keys: DataFrame) -> DataFrame:
@@ -115,12 +127,13 @@ def purge_keys(
                 writer = writer.option("compression", compression)
             writer.save(snapshot_path)
         # all-purged buckets: dynamic overwrite never saw them -- drop
-        # the stale partition directories outright
+        # the stale partition directories outright, via the Hadoop
+        # FileSystem API so non-local snapshot URIs are covered too
         for p in parts:
             if p in before and after.get(p, 0) == 0:
-                part_dir = os.path.join(snapshot_path, f"id_part={p}")
-                if os.path.isdir(part_dir):
-                    shutil.rmtree(part_dir)
+                _delete_dir_any_scheme(
+                    spark, f"{snapshot_path.rstrip('/')}/id_part={p}"
+                )
     finally:
         remaining.unpersist()
 

@@ -39,6 +39,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import fan_out
+
 K1 = 1.2
 B = 0.75
 
@@ -55,7 +57,14 @@ def build_postings(
 
     (doc_id, dl) ride the aggregate key -- dl is functionally dependent
     on doc_id, so this adds no groups, and it keeps the plan one
-    aggregate instead of an aggregate plus a self-join."""
+    aggregate instead of an aggregate plus a self-join.
+
+    The token explode amplifies rows ~dl x before the first exchange, so
+    a corpus that arrived as few splits would serialise the whole
+    amplification onto few cores (the one-file-one-partition trap);
+    fan_out spreads the un-amplified docs across the session parallelism
+    first and is a no-op when the scan is already parallel."""
+    docs = fan_out(docs)
     toks = tokens(F.col(text_col))
     return (
         docs.select(

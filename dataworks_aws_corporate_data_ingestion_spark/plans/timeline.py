@@ -35,13 +35,24 @@ _DAILY_SCHEMA = (
 
 
 def id_part_of(record_id: str) -> str:
-    """Driver-side twin of the ingest id_part rule: first 2 chars of
-    the wrapped inner id, raw prefix for primitive ids."""
+    """Driver-side twin of the ingest id_part rule (operators/
+    ingest.py:to_daily_rows): first 2 chars of the wrapped inner id,
+    raw prefix for primitive ids.  Mirrors get_json_object semantics
+    exactly -- that function STRINGIFIES non-string inner values
+    (123 -> "123", true -> "true", objects/lists -> compact JSON
+    text), so a wrapped numeric id '{"id": 123}' lives under id_part
+    "12", not the raw-prefix fallback; only a missing/null inner id
+    (or unparseable record_id) falls back to record_id[:2]."""
     try:
-        inner = json.loads(record_id).get("id")
-    except (ValueError, AttributeError):
+        parsed = json.loads(record_id)
+        inner = parsed.get("id") if isinstance(parsed, dict) else None
+    except ValueError:
         inner = None
-    return (inner if isinstance(inner, str) else record_id)[:2]
+    if inner is None:
+        return record_id[:2]
+    if isinstance(inner, str):
+        return inner[:2]
+    return json.dumps(inner, separators=(",", ":"))[:2]
 
 
 def record_timeline(

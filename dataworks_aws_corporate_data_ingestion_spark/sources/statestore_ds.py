@@ -120,15 +120,19 @@ class StateStoreReader(DataSourceReader):
                     continue
             elif status != partition.status:
                 continue
+            # explicit None checks: `or` would also catch a legitimate
+            # 0, silently rewriting run_id 0 -> 1 / updated_at 0 -> 0.0
+            rid = rec.get("run_id")
+            upd = rec.get("updated_at")
             yield (
                 rec.get("correlation_id"),
                 rec.get("data_product"),
                 rec.get("date"),
                 status,
-                int(rec.get("run_id") or 1),
+                int(rid) if rid is not None else 1,
                 rec.get("cluster_id", ""),
                 rec.get("export_prefix"),
-                float(rec.get("updated_at") or 0.0),
+                float(upd) if upd is not None else 0.0,
             )
 
 

@@ -6,12 +6,16 @@ The streaming twin of the batch incremental span dedup
 same catalog-as-state design as dedup_admission.py: cross-batch state
 is two append-only tables --
 
-  {prefix}_grams     (gram_key, doc_freq) partial counts, bucketed by
-                     gram_key; the LOGICAL count is SUM(doc_freq) per
-                     key (read_gram_counts), so a batch admission is a
-                     cheap bucketed APPEND of batch-sized rows, never
-                     an index rewrite.  Periodic compaction = the batch
-                     materialize_gram_index over the same layout.
+  {prefix}_grams     (gram_key, doc_freq, batch_token) partial counts,
+                     bucketed by gram_key; the LOGICAL count is
+                     SUM(doc_freq) per key (read_gram_counts), so a
+                     batch admission is a cheap bucketed APPEND of
+                     batch-sized rows, never an index rewrite.
+                     Periodic compaction = the batch
+                     materialize_gram_index over the same layout (only
+                     safe when no batches are in flight, or it must
+                     preserve the distinct batch_token set -- tokens
+                     are the crash-recovery markers below).
   {prefix}_spandocs  (doc_id) admitted ids -- the replay ledger.
 
 Replay idempotence (at-least-once delivery): a replayed batch's docs
@@ -23,6 +27,20 @@ identical on replay (same source offsets), so the subtraction exactly
 recovers the pre-append corpus and the masked output converges
 bit-for-bit; the per-batch output directory is written with overwrite,
 so a replay replaces rather than duplicates.
+
+Crash atomicity (the two appends cannot be one transaction): each
+batch derives a deterministic ``batch_token`` (foreachBatch's batch_id,
+else a content hash of the batch's doc ids -- identical on replay) and
+the gram rows CARRY it.  A parquet saveAsTable append is job-atomic
+(the committer publishes all files or none), so the token's presence in
+{prefix}_grams is a commit marker for the gram append itself.  The
+recovery rule in admit_span_batch: docs whose counts are already in the
+index = (docs in the ledger) UNION (this batch's fresh docs IF the
+batch token is already in the index).  A crash after the gram append
+but before the ledger append therefore cannot double-count -- the
+replay sees its own token, skips the gram re-append, subtracts the
+full batch contribution for masking, and completes the missing ledger
+append; a crash before the gram append replays as a plain fresh batch.
 
 Scale notes: per batch the exchanges are batch-sized (the batch's gram
 keys + one join against the bucketed index layout); the span merge and
@@ -51,7 +69,7 @@ def init_span_index(
     for name in (f"{prefix}_grams", f"{prefix}_spandocs"):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
     empty_grams = spark.createDataFrame(
-        [], "gram_key long, doc_freq long"
+        [], "gram_key long, doc_freq long, batch_token long"
     )
     (
         empty_grams.write.bucketBy(n_buckets, "gram_key")
@@ -84,6 +102,19 @@ def read_gram_counts(spark: SparkSession, prefix: str) -> DataFrame:
     )
 
 
+def batch_content_token(
+    batch_df: DataFrame, id_col: str = "doc_id"
+) -> int:
+    """Deterministic 62-bit token from the batch's doc-id set (order
+    independent; a replay of the same source offsets reproduces it)."""
+    row = batch_df.agg(
+        F.sum(
+            F.xxhash64(F.col(id_col).cast("string")).cast("decimal(38,0)")
+        ).alias("t")
+    ).collect()[0]
+    return int(row.t or 0) % (1 << 62)
+
+
 def admit_span_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -92,11 +123,26 @@ def admit_span_batch(
     text_col: str = "text",
     n: int = N_GRAM,
     min_docs: int = MIN_DOCS,
+    batch_token: int | None = None,
 ) -> DataFrame:
     """One admission round: mask the batch against (corpus + batch)
     duplication, append the FRESH docs' gram counts and ids, return the
-    masked report for the whole batch.  Replay-stable (see module
-    docstring)."""
+    masked report for the whole batch.  Replay-stable AND crash-stable:
+    the gram append carries `batch_token` as its own commit marker, so
+    a crash between the gram append and the ledger append cannot
+    double-count on replay (see module docstring)."""
+    if batch_token is None:
+        batch_token = batch_content_token(batch_df, id_col=id_col)
+    # has this batch's gram contribution already been committed?  The
+    # token scan is column-pruned + footer-min/max-pruned parquet; the
+    # table holds one distinct token per admitted batch.
+    grams_committed = (
+        spark.table(f"{prefix}_grams")
+        .filter(F.col("batch_token") == F.lit(batch_token))
+        .limit(1)
+        .count()
+        > 0
+    )
     admitted_ids = spark.table(f"{prefix}_spandocs").select(
         F.col("doc_id")
     )
@@ -110,11 +156,18 @@ def admit_span_batch(
         batch_df[id_col] == F.col("__f"),
         "left_anti",
     )
+    # docs whose counts are already IN the stored index: ledgered docs,
+    # plus -- when this batch's token is already committed -- its fresh
+    # docs too (the crash-between-appends window: grams landed, ledger
+    # did not).  Subtracting exactly these recovers the pre-batch corpus.
+    contributed = (
+        batch_df if grams_committed else replayed
+    )
 
-    # stored counts minus the replayed docs' own contribution: exactly
-    # the corpus as it stood before this batch's first attempt
+    # stored counts minus the already-contributed docs' own counts:
+    # exactly the corpus as it stood before this batch's first attempt
     replayed_contrib = (
-        ngram_positions(replayed, text_col, id_col, n)
+        ngram_positions(contributed, text_col, id_col, n)
         .groupBy("gram_key")
         .agg(F.countDistinct("doc_id").alias("__replayed"))
     )
@@ -139,18 +192,20 @@ def admit_span_batch(
         corpus_gram_counts=corpus_counts,
     ).localCheckpoint(eager=True)
 
-    fresh_counts = (
-        ngram_positions(fresh, text_col, id_col, n)
-        .groupBy("gram_key")
-        .agg(F.countDistinct("doc_id").alias("doc_freq"))
-    )
-    (
-        fresh_counts.write.mode("append")
-        .bucketBy(_n_buckets(spark, prefix), "gram_key")
-        .sortBy("gram_key")
-        .format("parquet")
-        .saveAsTable(f"{prefix}_grams")
-    )
+    if not grams_committed:
+        fresh_counts = (
+            ngram_positions(fresh, text_col, id_col, n)
+            .groupBy("gram_key")
+            .agg(F.countDistinct("doc_id").alias("doc_freq"))
+            .withColumn("batch_token", F.lit(batch_token))
+        )
+        (
+            fresh_counts.write.mode("append")
+            .bucketBy(_n_buckets(spark, prefix), "gram_key")
+            .sortBy("gram_key")
+            .format("parquet")
+            .saveAsTable(f"{prefix}_grams")
+        )
     fresh.select(F.col(id_col).alias("doc_id")).write.mode(
         "append"
     ).format("parquet").saveAsTable(f"{prefix}_spandocs")
@@ -170,8 +225,16 @@ def span_admission_applier(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         try:
+            # stream batch ids are stable across replays of the same
+            # offsets; offset them past the 62-bit content-token range
+            # so mixed direct/stream use of one index cannot collide
             masked = admit_span_batch(
-                spark, batch_df, prefix, id_col=id_col, text_col=text_col
+                spark,
+                batch_df,
+                prefix,
+                id_col=id_col,
+                text_col=text_col,
+                batch_token=(1 << 62) + batch_id,
             )
             masked.write.mode("overwrite").parquet(
                 f"{masked_dir}/batch_id={batch_id}"

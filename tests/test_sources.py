@@ -237,6 +237,16 @@ class TestStateStoreDataSource:
                         "run_id": 2,
                         "updated_at": 1.0,
                     },
+                    {
+                        # a legitimate 0 must NOT be rewritten to the
+                        # null-default (advisor r6: `or` caught 0 too)
+                        "correlation_id": "c0",
+                        "data_product": "CDI-z",
+                        "date": "2024-02-01",
+                        "status": "COMPLETED",
+                        "run_id": 0,
+                        "updated_at": 0,
+                    },
                 ]
             )
             + "\n"
@@ -253,3 +263,5 @@ class TestStateStoreDataSource:
         assert rows["c9"].run_id == 1
         assert rows["c1"].status == "COMPLETED"
         assert rows["c1"].run_id == 2
+        assert rows["c0"].run_id == 0
+        assert rows["c0"].updated_at == 0.0

@@ -1142,6 +1142,80 @@ class TestSpanAdmission:
         finally:
             self._cleanup(spark, "t_span4")
 
+    def test_crash_between_appends_cannot_double_count(self, spark):
+        """Simulate the crash window: the gram append committed but the
+        ledger append did not (the advisor's non-atomicity finding).
+        The replay must see its own batch_token in the index, skip the
+        gram re-append (no doc_freq inflation), subtract the full batch
+        contribution when masking, and complete the ledger append --
+        output identical to the uncrashed run."""
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.span_admission import (
+            admit_span_batch,
+            init_span_index,
+        )
+        from pyspark.sql import functions as F
+
+        try:
+            # reference run (no crash) on its own index
+            init_span_index(spark, "t_span_ref", n_buckets=4)
+            uniq = " ".join(f"e{i}" for i in range(20))
+            b1 = self._docs(spark, [(1, self.SHARED + " " + uniq)])
+            clean = sorted(
+                tuple(r)
+                for r in admit_span_batch(spark, b1, "t_span_ref").collect()
+            )
+            ref_grams = {
+                (r.gram_key, r.doc_freq)
+                for r in spark.table("t_span_ref_grams").collect()
+            }
+
+            # crashed run: replicate ONLY the gram append (with the
+            # content token admit_span_batch would derive), no ledger row
+            init_span_index(spark, "t_span_cr", n_buckets=4)
+            from dataworks_aws_corporate_data_ingestion_spark.streaming.span_admission import (
+                batch_content_token,
+            )
+            from dataworks_aws_corporate_data_ingestion_spark.operators.spandedup import (
+                ngram_positions,
+            )
+
+            token = batch_content_token(b1)
+            (
+                ngram_positions(b1, "text", "doc_id", 8)
+                .groupBy("gram_key")
+                .agg(F.countDistinct("doc_id").alias("doc_freq"))
+                .withColumn("batch_token", F.lit(token))
+                .write.mode("append")
+                .bucketBy(4, "gram_key")
+                .sortBy("gram_key")
+                .format("parquet")
+                .saveAsTable("t_span_cr_grams")
+            )
+            assert spark.table("t_span_cr_spandocs").count() == 0
+
+            # the replay after the crash
+            healed = sorted(
+                tuple(r)
+                for r in admit_span_batch(spark, b1, "t_span_cr").collect()
+            )
+            assert healed == clean
+            got_grams = {
+                (r.gram_key, r.doc_freq)
+                for r in spark.table("t_span_cr_grams").collect()
+            }
+            assert got_grams == ref_grams  # no double-counted doc_freq
+            assert spark.table("t_span_cr_spandocs").count() == 1  # healed
+
+            # and a SECOND replay (now a plain ledgered replay) converges
+            again = sorted(
+                tuple(r)
+                for r in admit_span_batch(spark, b1, "t_span_cr").collect()
+            )
+            assert again == clean
+        finally:
+            self._cleanup(spark, "t_span_ref")
+            self._cleanup(spark, "t_span_cr")
+
 
 class TestWatermarkDedup:
     def test_replays_within_watermark_admitted_once(self, spark, tmp_path):

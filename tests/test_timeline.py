@@ -42,6 +42,35 @@ class TestIdPartOf:
     def test_primitive(self):
         assert id_part_of("zq-plain") == "zq"
 
+    def test_matches_spark_derivation_for_nonstring_inner_ids(self, spark):
+        """The driver twin must agree with the ingest column expression
+        (coalesce(get_json_object(id,'$.id')[:2], id[:2])) for EVERY
+        inner-id shape -- get_json_object stringifies non-string values,
+        so '{"id": 123}' buckets under '12', not '{\"' (advisor r6)."""
+        cases = [
+            json.dumps({"id": "ab-rec-1"}),  # wrapped string
+            json.dumps({"id": 123456}),  # wrapped int -> "12"
+            json.dumps({"id": 1.5}),  # wrapped float -> "1."
+            json.dumps({"id": True}),  # wrapped bool -> "tr"
+            json.dumps({"id": None}),  # wrapped null -> fallback
+            json.dumps({"id": {"$oid": "x"}}),  # wrapped object
+            json.dumps({"noid": 1}),  # missing key -> fallback
+            "zq-plain",  # unparseable -> fallback
+        ]
+        df = spark.createDataFrame([(c,) for c in cases], "id string")
+        inner = F.get_json_object(F.col("id"), "$.id")
+        got = {
+            r.id: r.part
+            for r in df.select(
+                "id",
+                F.coalesce(
+                    F.substring(inner, 1, 2), F.substring("id", 1, 2)
+                ).alias("part"),
+            ).collect()
+        }
+        for c in cases:
+            assert id_part_of(c) == got[c], c
+
 
 class TestRecordTimeline:
     def _build(self, spark, tmp_path):
