@@ -40,29 +40,81 @@ def _decrypt_series(
     encrypted_key: pd.Series,
     iv: pd.Series,
     kek_id: pd.Series,
+    permissive: bool = False,
 ) -> list:
     """Decrypt a whole Arrow batch, grouping records by resolved data key so
     each group pays ONE cipher operation (aes_ctr_decrypt_batch) instead of
     a Cipher per record.  Key-cache lookups stay per-record, preserving the
-    reference's hit/miss accounting contract exactly."""
+    reference's hit/miss accounting contract exactly.
+
+    ``permissive=True``: a record whose ciphertext/key/IV is malformed
+    (bad base64, wrong AES key or IV length, DKS refusing that record's
+    key, non-UTF-8 plaintext) yields None instead of raising -- the
+    caller diverts Nones to the quarantine branch so one poison record
+    cannot fail a whole day.  Success always yields a str, so None is an
+    unambiguous failure marker.  Default stays strict (reference
+    steps/dks.py:142-143 raises)."""
     import base64
 
     ct_list = ciphertext.tolist()
     iv_list = iv.tolist()
-    keys = []
-    for ct, ek, kek in zip(ct_list, encrypted_key.tolist(), kek_id.tolist()):
+    n = len(ct_list)
+    out: list = [None] * n
+    failed = [False] * n
+    keys: list = [None] * n
+    for i, (ct, ek, kek) in enumerate(
+        zip(ct_list, encrypted_key.tolist(), kek_id.tolist())
+    ):
         if ct is None:
-            raise ValueError("dbObject is missing (None)")
-        keys.append(client.data_key(ek, kek))
+            if not permissive:
+                raise ValueError("dbObject is missing (None)")
+            failed[i] = True
+            continue
+        try:
+            keys[i] = client.data_key(ek, kek)
+        except Exception:
+            if not permissive:
+                raise
+            failed[i] = True
     groups: dict = {}
     for i, k in enumerate(keys):
-        groups.setdefault(k, []).append(i)
-    out = [None] * len(ct_list)
+        if not failed[i]:
+            groups.setdefault(k, []).append(i)
     for k, idxs in groups.items():
-        cts = [base64.b64decode(ct_list[i]) for i in idxs]
-        ivs = [base64.b64decode(iv_list[i]) for i in idxs]
-        for i, pt in zip(idxs, aes_ctr_decrypt_batch(cts, base64.b64decode(k), ivs)):
-            out[i] = pt.decode("utf8")
+        try:
+            key_bytes = base64.b64decode(k)
+        except Exception:
+            if not permissive:
+                raise
+            key_bytes = None
+        if permissive and (
+            key_bytes is None or len(key_bytes) not in (16, 24, 32)
+        ):
+            for i in idxs:
+                failed[i] = True
+            continue
+        good_idx, cts, ivs = [], [], []
+        for i in idxs:
+            try:
+                ct_b = base64.b64decode(ct_list[i])
+                iv_b = base64.b64decode(iv_list[i])
+                if permissive and len(iv_b) != 16:
+                    raise ValueError("bad IV length")
+            except Exception:
+                if not permissive:
+                    raise
+                failed[i] = True
+                continue
+            good_idx.append(i)
+            cts.append(ct_b)
+            ivs.append(iv_b)
+        for i, pt in zip(good_idx, aes_ctr_decrypt_batch(cts, key_bytes, ivs)):
+            try:
+                out[i] = pt.decode("utf8")
+            except UnicodeDecodeError:
+                if not permissive:
+                    raise
+                failed[i] = True
     return out
 
 ENVELOPE_STRUCT = StructType(
@@ -145,7 +197,9 @@ def envelope_udf(
     return _parse.asNondeterministic()
 
 
-def decrypt_udf(key_service: KeyService, hit_acc=None, miss_acc=None):
+def decrypt_udf(
+    key_service: KeyService, hit_acc=None, miss_acc=None, permissive: bool = False
+):
     """AES-CTR decrypt as a scalar pandas UDF.
 
     The key cache is a module-level per-worker dict (closure state is not
@@ -163,7 +217,9 @@ def decrypt_udf(key_service: KeyService, hit_acc=None, miss_acc=None):
         ciphertext: pd.Series, encrypted_key: pd.Series, iv: pd.Series, kek_id: pd.Series
     ) -> pd.Series:
         return pd.Series(
-            _decrypt_series(client, ciphertext, encrypted_key, iv, kek_id),
+            _decrypt_series(
+                client, ciphertext, encrypted_key, iv, kek_id, permissive=permissive
+            ),
             dtype="object",
         )
 
@@ -202,7 +258,11 @@ def payload_udf(audit: bool = False):
 
 
 def decrypt_process_udf(
-    key_service: KeyService, audit: bool = False, hit_acc=None, miss_acc=None
+    key_service: KeyService,
+    audit: bool = False,
+    hit_acc=None,
+    miss_acc=None,
+    permissive: bool = False,
 ):
     """Decrypt + (audit transform) + validate + sanitise + canonicalise in
     ONE Arrow crossing -- the SURVEY.md section-7 target shape (envelope
@@ -211,7 +271,13 @@ def decrypt_process_udf(
     decrypted payload.
 
     Args are columns: (ciphertext, encrypted_key, iv, kek_id, db,
-    collection, envelope_stamp)."""
+    collection, envelope_stamp).
+
+    ``permissive=True``: a record that fails decrypt (see
+    _decrypt_series) OR the downstream transform/validate pass yields
+    (val=NULL, is_delete=NULL) instead of failing the task -- val is
+    never null on success, so the caller splits on it.  Clean rows are
+    byte-identical to the strict path."""
     client = CachingKeyClient(key_service, hit_acc=hit_acc, miss_acc=miss_acc)
 
     @pandas_udf(PAYLOAD_STRUCT)
@@ -224,15 +290,27 @@ def decrypt_process_udf(
         collection: pd.Series,
         stamp: pd.Series,
     ) -> pd.DataFrame:
-        decrypted = _decrypt_series(client, ciphertext, encrypted_key, iv, kek_id)
+        decrypted = _decrypt_series(
+            client, ciphertext, encrypted_key, iv, kek_id, permissive=permissive
+        )
         vals, deletes = [], []
         for rec, d, c, s in zip(decrypted, db, collection, stamp):
-            if audit and d == "data" and c == "businessAudit":
-                rec = record.audit_transform(rec, s)
-            rec, is_delete = record.validate_record(rec)
-            rec = record.sanitise_text(rec, d or "", c or "")
-            vals.append(record.finalise_record(rec))
-            deletes.append(is_delete)
+            if rec is None and permissive:
+                vals.append(None)
+                deletes.append(None)
+                continue
+            try:
+                if audit and d == "data" and c == "businessAudit":
+                    rec = record.audit_transform(rec, s)
+                rec, is_delete = record.validate_record(rec)
+                rec = record.sanitise_text(rec, d or "", c or "")
+                vals.append(record.finalise_record(rec))
+                deletes.append(is_delete)
+            except Exception:
+                if not permissive:
+                    raise
+                vals.append(None)
+                deletes.append(None)
         return pd.DataFrame({"val": vals, "is_delete": deletes})
 
     # optimizer barrier (see envelope_udf)

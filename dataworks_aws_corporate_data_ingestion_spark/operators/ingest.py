@@ -109,11 +109,23 @@ def decrypt_and_process(
     audit: bool = False,
     hit_acc=None,
     miss_acc=None,
+    permissive: bool = False,
 ) -> DataFrame:
     """Fused decrypt + transform + validate + sanitise + canonicalise:
     one Arrow crossing instead of decrypt_records |> process_payloads'
-    two.  Same output columns as process_payloads."""
-    proc = decrypt_process_udf(key_service, audit=audit, hit_acc=hit_acc, miss_acc=miss_acc)
+    two.  Same output columns as process_payloads.
+
+    ``permissive=True``: per-record decrypt/transform failures yield
+    val=NULL rows instead of failing the task (see decrypt_process_udf),
+    and the raw ``value`` line is KEPT so the caller can divert failures
+    to the quarantine branch with the envelope-quarantine schema."""
+    proc = decrypt_process_udf(
+        key_service,
+        audit=audit,
+        hit_acc=hit_acc,
+        miss_acc=miss_acc,
+        permissive=permissive,
+    )
     out = df.withColumn(
         "payload",
         proc(
@@ -126,8 +138,11 @@ def decrypt_and_process(
             F.col("last_modified"),
         ),
     )
+    keep = (
+        df.columns if permissive else [c for c in df.columns if c != "value"]
+    )
     return out.select(
-        *[c for c in df.columns if c != "value"],
+        *keep,
         F.col("payload.val").alias("val"),
         F.col("payload.is_delete").alias("is_delete"),
     )
@@ -187,6 +202,7 @@ def ingest_daily(
     miss_acc=None,
     observation=None,
     permissive: bool = False,
+    decrypt_observation=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full daily pipeline; returns (rows, quarantined_envelopes).
 
@@ -204,7 +220,14 @@ def ingest_daily(
 
     ``permissive``: unparseable lines join the quarantine branch (raw
     line preserved in its ``value`` column, counted in
-    ``n_quarantined``) instead of failing the day."""
+    ``n_quarantined``) instead of failing the day -- and so do records
+    that fail DECRYPT or transform (bad base64 ciphertext/key/IV, DKS
+    refusing one record's key, non-UTF-8 or invalid payload): the fused
+    pass yields val=NULL for them and they are diverted into the same
+    quarantine schema, counted as ``n_undecryptable`` on
+    ``decrypt_observation`` (a second Observation -- the parse-level one
+    rides the pre-split frame and cannot be observed twice).  Clean rows
+    stay byte-identical to the strict run."""
     env = read_envelopes(
         spark, source_path, collection, expand=False, permissive=permissive
     )
@@ -217,5 +240,26 @@ def ingest_daily(
             ),
         )
     good, quarantined = quarantine_missing_db_object(env)
-    processed = decrypt_and_process(good, key_service, audit=audit, hit_acc=hit_acc, miss_acc=miss_acc)
+    processed = decrypt_and_process(
+        good,
+        key_service,
+        audit=audit,
+        hit_acc=hit_acc,
+        miss_acc=miss_acc,
+        permissive=permissive,
+    )
+    if permissive:
+        if decrypt_observation is not None:
+            processed = processed.observe(
+                decrypt_observation,
+                F.count(F.when(F.col("val").isNull(), 1)).alias(
+                    "n_undecryptable"
+                ),
+            )
+        ok = processed.filter(F.col("val").isNotNull()).drop("value")
+        undecryptable = processed.filter(F.col("val").isNull()).select(
+            *quarantined.columns
+        )
+        quarantined = quarantined.unionByName(undecryptable)
+        return to_daily_rows(ok, export_date), quarantined
     return to_daily_rows(processed, export_date), quarantined

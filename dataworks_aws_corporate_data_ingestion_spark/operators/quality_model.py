@@ -133,3 +133,74 @@ def score_quality(features_df: DataFrame, model) -> DataFrame:
         "doc_id",
         vector_to_array(F.col("probability"))[1].alias("quality_prob"),
     )
+
+
+def quality_model_certificate(
+    features_df: DataFrame,
+    min_agreement_pct: int = 90,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Single-row, driver-checkable claim about the learned filter.
+
+    LBFGS coefficients are floats whose last ulps shift with
+    partitioning/treeAggregate order, so no cross-engine oracle can
+    restate them -- but the model's BEHAVIOUR vs its own weak labels
+    can be stated in integer-exact, jitter-robust terms (the
+    simhash_recall_certificate pattern):
+
+      n_docs, n_weak_pos   exact counts an oracle recomputes from the
+                           oracle-certified feature matrix + the weak
+                           label formula (quality >= 0.5 AND
+                           dup_ratio <= 0.5 -- IEEE-identical doubles
+                           in both engines, so identical label sets);
+      agreement_ok         prediction (prob >= 0.5) matches the weak
+                           label on >= min_agreement_pct% of docs,
+                           integer cross-multiplied (measured 96-100%
+                           across sf0.001-0.1; 90 leaves jitter room);
+      separation_ok        mean prob over weak positives exceeds mean
+                           prob over weak negatives, cross-multiplied
+                           as sum_pos * n_neg > sum_neg * n_pos (the
+                           gap is ~0.5, far above coefficient jitter);
+      bounds_ok            every probability lies in [0, 1].
+
+    A model regression (bad training data, broken feature prep, a
+    pyspark.ml upgrade changing defaults) flips a boolean and the
+    driver's hash check catches it -- without ever comparing floats
+    across engines."""
+    model = train_quality_model(features_df, max_iter=max_iter)
+    labeled = weak_labels(features_df).select("doc_id", "label")
+    scored = score_quality(features_df, model)
+    j = labeled.join(scored, "doc_id")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("label").cast("bigint")).alias("__n_pos"),
+        F.sum(
+            F.when(
+                (F.col("quality_prob") >= 0.5) == (F.col("label") == 1.0),
+                1,
+            ).otherwise(0)
+        ).alias("__n_agree"),
+        F.sum(F.when(F.col("label") == 1.0, F.col("quality_prob"))).alias(
+            "__sum_p_pos"
+        ),
+        F.sum(F.when(F.col("label") == 0.0, F.col("quality_prob"))).alias(
+            "__sum_p_neg"
+        ),
+        F.min("quality_prob").alias("__min_p"),
+        F.max("quality_prob").alias("__max_p"),
+    )
+    return agg.select(
+        F.col("__n").cast("bigint").alias("n_docs"),
+        F.col("__n_pos").cast("bigint").alias("n_weak_pos"),
+        (
+            F.col("__n_agree") * 100 >= F.col("__n") * min_agreement_pct
+        ).alias("agreement_ok"),
+        (
+            F.coalesce(F.col("__sum_p_pos"), F.lit(0.0))
+            * (F.col("__n") - F.col("__n_pos"))
+            > F.coalesce(F.col("__sum_p_neg"), F.lit(0.0)) * F.col("__n_pos")
+        ).alias("separation_ok"),
+        (
+            (F.col("__min_p") >= 0.0) & (F.col("__max_p") <= 1.0)
+        ).alias("bounds_ok"),
+    )

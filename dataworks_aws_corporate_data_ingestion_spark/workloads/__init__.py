@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     analytic,
     audit_stats,
     cdi_pipeline,
+    ops_certificates,
     curation,
     dedup_suite,
     relational,

@@ -148,16 +148,10 @@ def bigram_lm_familiarity_query(
     return score_documents_bigram_lm(load_table(spark, "documents", sf_dir))
 
 
-@register(
-    "document_feature_matrix",
-    tags=(
-        "training-data",
-        "features",
-        "text-quality",
-        "span-dedup",
-        "language-model",
-    ),
-    oracle=f"""
+# the per-document feature matrix as one reusable oracle CTE body --
+# document_feature_matrix certifies it directly and
+# quality_model_certificate builds its weak-label ground truth on it
+_FEATURE_MATRIX_ORACLE = f"""
         WITH toks AS (
             SELECT doc_id, source, string_split(lower(text), ' ') AS t
             FROM documents
@@ -267,7 +261,19 @@ def bigram_lm_familiarity_query(
         FROM scored s
         LEFT JOIN span_agg sa ON s.doc_id = sa.doc_id
         LEFT JOIN lm_doc l ON s.doc_id = l.doc_id
-    """.replace("{stop}", _STOP_SQL).replace("{lang}", _LANG_SCORES),
+""".replace("{stop}", _STOP_SQL).replace("{lang}", _LANG_SCORES)
+
+
+@register(
+    "document_feature_matrix",
+    tags=(
+        "training-data",
+        "features",
+        "text-quality",
+        "span-dedup",
+        "language-model",
+    ),
+    oracle=_FEATURE_MATRIX_ORACLE,
 )
 def document_feature_matrix_query(
     spark: SparkSession, sf_dir: str
@@ -305,3 +311,43 @@ def document_feature_matrix_query(
         "doc_id", "n_bigrams", "oov_bigrams", "mean_p_nano"
     )
     return base.join(spans, "doc_id").join(lm, "doc_id")
+
+
+@register(
+    "quality_model_certificate",
+    tags=("training-data", "quality-model", "recall-certificate", "ml"),
+    oracle="WITH fm AS ("
+    + _FEATURE_MATRIX_ORACLE
+    + """
+    ),
+    lab AS (
+        SELECT doc_id,
+               CASE WHEN quality >= 0.5 AND dup_ratio <= 0.5
+                    THEN 1 ELSE 0 END AS label
+        FROM fm
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(label) AS BIGINT) AS n_weak_pos,
+           TRUE AS agreement_ok,
+           TRUE AS separation_ok,
+           TRUE AS bounds_ok
+    FROM lab
+    """,
+)
+def quality_model_certificate_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-checkable certificate for the LEARNED quality filter
+    (operators/quality_model.py): trains the logistic model on weak
+    labels bootstrapped from the oracle-certified feature matrix, then
+    states integer-exact behavioural claims -- label counts the DuckDB
+    oracle recomputes independently from the same feature SQL, plus
+    agreement/separation/bounds booleans that hold far outside LBFGS
+    coefficient jitter (see quality_model_certificate).  This is the
+    certificate pattern that lets a float-valued ML artifact join the
+    hash-checked registry without cross-engine float comparison."""
+    from ..operators.quality_model import quality_model_certificate
+
+    return quality_model_certificate(
+        document_feature_matrix_query(spark, sf_dir)
+    )

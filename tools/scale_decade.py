@@ -52,6 +52,21 @@ def main() -> int:
         help="restrict to these registry queries (skips the write ops) "
         "and MERGE the measured ops into an existing --out JSON",
     )
+    p.add_argument(
+        "--writes",
+        nargs="*",
+        default=None,
+        help="restrict to these WRITE_BENCHES ops (skips the queries) "
+        "and MERGE the measured ops into an existing --out JSON",
+    )
+    p.add_argument(
+        "--sfs",
+        nargs="*",
+        type=float,
+        default=None,
+        help="scale factors to measure (default 0.01 0.1 1.0); new "
+        "points MERGE into existing per-op records in --out",
+    )
     args = p.parse_args()
 
     from bench import _completed_stage_ids, _end_repeat, _stage_metrics_since
@@ -61,12 +76,20 @@ def main() -> int:
         WRITE_BENCHES,
     )
 
+    restricted = args.queries is not None or args.writes is not None
     flagship_queries = (
-        args.queries if args.queries else FLAGSHIP_QUERIES
+        args.queries
+        if args.queries is not None
+        else ([] if restricted else FLAGSHIP_QUERIES)
     )
-    flagship_writes = [] if args.queries else FLAGSHIP_WRITES
+    flagship_writes = (
+        args.writes
+        if args.writes is not None
+        else ([] if restricted else FLAGSHIP_WRITES)
+    )
+    sfs = args.sfs if args.sfs else SFS
 
-    for sf in SFS:
+    for sf in sfs:
         d = os.path.join(REPO, ".scaledata", f"sf{sf}")
         if not os.path.isdir(d):
             raise SystemExit(
@@ -122,7 +145,7 @@ def main() -> int:
             flush=True,
         )
 
-    for sf in SFS:
+    for sf in sfs:
         sf_dir = os.path.join(REPO, ".scaledata", f"sf{sf}")
         print(f"== sf{sf} ({sf_dir})", flush=True)
         out_dir = tempfile.mkdtemp(prefix=f"cdi-scale-{sf}-")
@@ -143,38 +166,74 @@ def main() -> int:
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 
-    # log-log least-squares exponent over all points + top-decade slope
-    for name, rec in results.items():
-        xs = [math.log10(float(s)) for s in rec["points"]]
-        ys = [math.log10(p["best_sec"]) for p in rec["points"].values()]
+    # merge new points into per-op records already in --out (so a
+    # targeted rerun -- one op at a new sf -- extends its curve instead
+    # of replacing it)
+    if restricted or args.sfs:
+        if os.path.exists(args.out):
+            with open(args.out) as fd:
+                prior = json.load(fd)
+            for name, rec in results.items():
+                old = prior.get("results", {}).setdefault(
+                    name, {"points": {}}
+                )
+                old["points"].update(rec["points"])
+            results = prior["results"]
+
+    def _fit(name, rec):
+        """Exponent fits over the op's measured points.
+
+        Fixed overhead (session, task launch on 32 local threads)
+        dominates the smallest sfs for fast ops and bends the fitted
+        exponent negative/meaningless; any point whose time EXCEEDS the
+        next-larger sf's time is overhead-dominated by definition, so
+        the full fit drops leading points until times are
+        non-decreasing, and records which points it dropped.  The
+        top-decade slope uses the two LARGEST sfs -- the most
+        data-dominated pair measured."""
+        pts = sorted(
+            ((float(s), p["best_sec"]) for s, p in rec["points"].items())
+        )
+        fit_pts = list(pts)
+        dropped = []
+        while len(fit_pts) > 2 and fit_pts[0][1] > fit_pts[1][1]:
+            dropped.append(fit_pts.pop(0)[0])
+        xs = [math.log10(s) for s, _ in fit_pts]
+        ys = [math.log10(t) for _, t in fit_pts]
         n = len(xs)
         mx, my = sum(xs) / n, sum(ys) / n
         b = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
             (x - mx) ** 2 for x in xs
         )
         rec["exponent_full"] = round(b, 3)
-        t01, t10 = (
-            rec["points"]["0.1"]["best_sec"],
-            rec["points"]["1.0"]["best_sec"],
+        if dropped:
+            rec["overhead_dominated_sfs_excluded"] = dropped
+        else:
+            rec.pop("overhead_dominated_sfs_excluded", None)
+        (s_lo, t_lo), (s_hi, t_hi) = pts[-2], pts[-1]
+        rec["exponent_top_decade"] = round(
+            math.log10(t_hi / t_lo) / math.log10(s_hi / s_lo), 3
         )
-        rec["exponent_top_decade"] = round(math.log10(t10 / t01), 3)
+        rec["top_decade_sfs"] = [s_lo, s_hi]
 
-    if args.queries and os.path.exists(args.out):
-        with open(args.out) as fd:
-            prior = json.load(fd)
-        prior.get("results", {}).update(results)
-        results = prior["results"]
+    for name, rec in results.items():
+        _fit(name, rec)
+
     with open(args.out, "w") as fd:
         json.dump({"repeats": args.repeats, "results": results}, fd, indent=1)
     print(f"\nwrote {args.out}\n")
-    print("| op | sf0.01 | sf0.1 | sf1.0 | shufW MB @1.0 | b (full) | b (0.1->1.0) |")
-    print("|---|---|---|---|---|---|---|")
+    print("| op | points (sf: best_sec) | b (full) | b (top decade) |")
+    print("|---|---|---|---|")
     for name, rec in results.items():
-        pts = rec["points"]
+        pts = " ".join(
+            f"{s}:{p['best_sec']}"
+            for s, p in sorted(
+                rec["points"].items(), key=lambda kv: float(kv[0])
+            )
+        )
         print(
-            f"| {name} | {pts['0.01']['best_sec']} | {pts['0.1']['best_sec']} |"
-            f" {pts['1.0']['best_sec']} | {pts['1.0']['shuffle_write_mb']} |"
-            f" {rec['exponent_full']} | {rec['exponent_top_decade']} |"
+            f"| {name} | {pts} | {rec['exponent_full']} |"
+            f" {rec['exponent_top_decade']} |"
         )
     spark.stop()
     return 0
