@@ -57,6 +57,7 @@ from dataworks_aws_corporate_data_ingestion_spark.session import get_session
 from dataworks_aws_corporate_data_ingestion_spark.workload import (
     HARNESS_PROBES,
     QUERIES,
+    WRITE_BENCH_ENRICHERS,
     WRITE_BENCH_PLAN_PROBES,
     WRITE_BENCHES,
 )
@@ -310,6 +311,9 @@ def main() -> None:
             rec["plan_sha"] = (
                 plan_sha(probe(spark, sf_dir, out_dir)) if probe else None
             )
+            enrich = WRITE_BENCH_ENRICHERS.get(name)
+            if enrich is not None:
+                enrich(spark, sf_dir, out_dir, rec)
             timings[name] = rec["best"]
             details[name] = rec
         total = round(sum(timings.values()), 3)

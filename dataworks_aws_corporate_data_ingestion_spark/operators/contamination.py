@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import word_shingles
+from ..partitioning import fan_out
 
 
 def benchmark_shingles(
@@ -61,7 +62,9 @@ def contamination_hits(
     bench = benchmark_shingles(benchmark, text_col=text_col, n=n)
     # word_shingles is already distinct-per-doc, so the per-doc count
     # below is "distinct benchmark shingles present", not occurrences
-    corpus = docs.select(
+    # shingle explode amplifies ~|tokens| x before the join: guard the
+    # one-file-one-partition trap (no-op on already-parallel scans)
+    corpus = fan_out(docs).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )

@@ -252,3 +252,147 @@ def bm25_search(
         ).alias("bm25")
     )
     return folded.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def _tombstone_table(prefix: str) -> str:
+    return f"{prefix}_deleted"
+
+
+def delete_from_search_index(
+    spark, doc_ids: DataFrame, prefix: str, id_col: str = "doc_id"
+) -> None:
+    """Targeted document deletion from a materialised search index
+    WITHOUT rewriting the corpus-sized postings table -- the search
+    twin of operators/purge.py (an RTBF request must disappear from
+    search results too, and a 100 TB postings rewrite per erasure batch
+    is not viable).
+
+    Protocol (idempotent per id):
+
+      1. incoming ids are anti-joined against the existing tombstone
+         set, so re-deleting an id cannot double-subtract dimensions;
+      2. the FRESH ids append to `{prefix}_deleted` (the tombstone
+         table searches anti-join against) -- compliance-first order:
+         from this point the docs are gone from results even if a
+         crash interrupts step 3;
+      3. `{prefix}_dfs` / `{prefix}_stats` subtract exactly the
+         deleted docs' contribution (one postings scan filtered by the
+         broadcast id set -- erasure batches are small by nature), so
+         rankings equal a from-scratch rebuild on the surviving corpus
+         (terms whose df reaches 0 are dropped, as a rebuild omits
+         them).
+
+    A crash between 2 and 3 leaves dims overcounting deleted docs --
+    results stay correct (the docs are tombstoned) but idf/avgdl are
+    slightly stale; `compact_search_index` restores exactness.  Cost
+    per deletion batch: one postings scan + vocabulary-sized dim
+    rewrites; the postings bytes are untouched until compaction."""
+    ids = (
+        doc_ids.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tomb = _tombstone_table(prefix)
+    if spark.catalog.tableExists(tomb):
+        ids = ids.join(
+            spark.table(tomb), "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)
+    else:
+        # a fresh session may still see the last session's warehouse dir
+        from ..sinks.bucketing import _clear_orphan_location
+
+        _clear_orphan_location(spark, tomb)
+    ids.write.mode("append").format("parquet").saveAsTable(tomb)
+
+    removed = (
+        spark.table(f"{prefix}_postings")
+        .join(F.broadcast(ids), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    merged_dfs = (
+        spark.table(f"{prefix}_dfs")
+        .join(
+            term_stats(removed).withColumnRenamed("df", "__rm"),
+            "term",
+            "left",
+        )
+        .select(
+            "term",
+            (F.col("df") - F.coalesce(F.col("__rm"), F.lit(0))).alias("df"),
+        )
+        .filter(F.col("df") > 0)
+        .localCheckpoint(eager=True)
+    )
+    merged_dfs.write.mode("overwrite").saveAsTable(f"{prefix}_dfs")
+    merged_stats = (
+        spark.table(f"{prefix}_stats")
+        .unionByName(
+            corpus_stats(removed).select(
+                (-F.col("n_docs")).alias("n_docs"),
+                (-F.col("sum_dl")).alias("sum_dl"),
+            )
+        )
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merged_stats.write.mode("overwrite").saveAsTable(f"{prefix}_stats")
+
+
+def live_index_frames(spark, prefix: str):
+    """(postings, dfs, stats) with tombstoned documents excluded:
+    postings anti-join the broadcast tombstone set (erasure batches are
+    small; the join is exchange-free on the postings side), dims come
+    off the stored tables (already corrected at delete time).  With no
+    tombstone table this is exactly the stored index."""
+    postings = spark.table(f"{prefix}_postings")
+    tomb = _tombstone_table(prefix)
+    if spark.catalog.tableExists(tomb):
+        ids = spark.table(tomb).select("doc_id").distinct()
+        postings = postings.join(F.broadcast(ids), "doc_id", "left_anti")
+    return (
+        postings,
+        spark.table(f"{prefix}_dfs"),
+        spark.table(f"{prefix}_stats"),
+    )
+
+
+def compact_search_index(spark, prefix: str) -> None:
+    """Physically remove tombstoned documents: rewrite the postings
+    table (same bucket spec) minus tombstones, recompute the dims from
+    the surviving postings (restoring exactness if a deletion crash
+    left them stale), and clear the tombstone set.  This is the RTBF
+    completion step -- after it, the deleted docs' bytes are gone from
+    disk, not just masked.  Run at compaction cadence, not per
+    deletion."""
+    tomb = _tombstone_table(prefix)
+    if not spark.catalog.tableExists(tomb):
+        return
+    n_buckets = _index_bucket_count(spark, prefix)
+    ids = spark.table(tomb).select("doc_id").distinct()
+    live = (
+        spark.table(f"{prefix}_postings")
+        .join(F.broadcast(ids), "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    (
+        live.write.mode("overwrite")
+        .bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .saveAsTable(f"{prefix}_postings")
+    )
+    spark.sql(
+        f"ALTER TABLE {prefix}_postings SET TBLPROPERTIES"
+        f" ('bm25.n_buckets'='{n_buckets}')"
+    )
+    stored = spark.table(f"{prefix}_postings")
+    for suffix, frame in (
+        ("dfs", term_stats(stored)),
+        ("stats", corpus_stats(stored)),
+    ):
+        frame.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(
+            f"{prefix}_{suffix}"
+        )
+    spark.sql(f"DROP TABLE {tomb}")

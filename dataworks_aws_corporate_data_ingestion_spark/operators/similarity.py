@@ -20,6 +20,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from ..functions.vectors import cosine
+from ..partitioning import fan_out
 
 _SEED = 0xA11CE
 
@@ -43,7 +44,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    # the broadcast cross join amplifies each corpus row by |queries|
+    # before any exchange: guard against the one-file-one-partition trap
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -94,7 +97,10 @@ def random_hyperplane_signatures(
         packed = (per_table * weights[None, :, :]).sum(axis=2).astype(np.int64)
         return pd.Series(list(packed))
 
-    return df.withColumn(out_col, _sigs(F.col(vec_col)))
+    # the signature matmul is CPU-bound per row: spread the input over
+    # every core even when it arrived as one parquet split (no-op on
+    # already-parallel scans)
+    return fan_out(df).withColumn(out_col, _sigs(F.col(vec_col)))
 
 
 def lsh_near_dup_pairs(
@@ -227,7 +233,7 @@ def ivf_topk(
     centroids = train_ivf_centroids(corpus, dim, n_lists, vec_col=vec_col, id_col=id_col)
     assign = _nearest_lists_udf(centroids, 1)
     probe = _nearest_lists_udf(centroids, n_probe)
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.element_at(assign(F.col(vec_col)), 1).alias("list_id"),
@@ -325,7 +331,8 @@ def pq_encode(
             codes[:, j] = d2.argmin(axis=1)
         return pd.Series(list(codes))
 
-    return df.withColumn(out_col, _encode(F.col(vec_col)))
+    # CPU-bound per-row encode: spread the un-encoded vectors first
+    return fan_out(df).withColumn(out_col, _encode(F.col(vec_col)))
 
 
 def pq_topk(
@@ -659,7 +666,7 @@ def cluster_candidate_pairs(
         corpus, dim, n_lists, vec_col=vec_col, id_col=id_col
     )
     probe = _nearest_lists_udf(centroids, n_assign)
-    assigned = corpus.select(
+    assigned = fan_out(corpus).select(
         F.col(id_col),
         F.col(vec_col),
         F.explode(probe(F.col(vec_col))).alias("list_id"),

@@ -490,11 +490,57 @@ def _bench_write_daily_zordered(spark: SparkSession, sf_dir: str, out_dir: str) 
     )
 
 
+def _bench_streaming_ingest(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Trigger-once streaming ingest over the day's encrypted-envelope
+    landing directory (streaming/ingest.py): readStream text ->
+    envelope parse -> fused decrypt/validate/sanitise -> parquet
+    append sink, availableNow.
+
+    The encrypted JSONL fixture is built ONCE (first call) into
+    out_dir; every repeat resets the checkpoint and sink so
+    availableNow re-drains the same backlog -- the steady state timed
+    is "a day's files land, the stream catches up", the streaming twin
+    of cdi_ingest_pipeline's batch cost.  Best-of-N therefore excludes
+    the fixture-build repeat automatically."""
+    import os as _os
+    import shutil as _shutil
+
+    from .functions.crypto import IdentityKeyService
+    from .streaming.ingest import streaming_ingest_query
+
+    src = f"{out_dir}/stream_src"
+    if not _os.path.exists(src):
+        from .workloads.cdi_pipeline import envelope_lines_from_events
+
+        envelope_lines_from_events(spark, sf_dir).write.mode(
+            "overwrite"
+        ).text(src)
+    ckpt = f"{out_dir}/stream_ckpt"
+    sink = f"{out_dir}/stream_out"
+    _shutil.rmtree(ckpt, ignore_errors=True)
+    _shutil.rmtree(sink, ignore_errors=True)
+    q = streaming_ingest_query(
+        spark,
+        src,
+        sink,
+        ckpt,
+        "calculator:calculationParts",
+        IdentityKeyService(),
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("streaming ingest did not drain in 600s")
+    finally:
+        if q.isActive:
+            q.stop()
+
+
 WRITE_BENCHES["write_daily_clustered_orc"] = _bench_write_daily
 WRITE_BENCHES["write_daily_flat_zordered"] = _bench_write_daily_zordered
 WRITE_BENCHES["merge_and_write_snapshot"] = _bench_merge_write
 WRITE_BENCHES["mor_append_and_read_merged"] = _bench_mor_cycle
 WRITE_BENCHES["snapshot_update_cycle"] = _bench_update_cycle
+WRITE_BENCHES["streaming_ingest_trigger_once"] = _bench_streaming_ingest
 
 
 # Plan-fingerprint probes for the write benches: each returns the DataFrame
@@ -568,11 +614,68 @@ def _probe_write_daily_zordered(
     )
 
 
+def _probe_streaming_ingest(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> DataFrame:
+    """Batch twin of the streaming ingest's per-batch plan: identical
+    expression chain over a batch read of the same landing dir, so the
+    plan_sha pins the transformation the stream executes each
+    micro-batch (streaming physical plans carry per-run state ids that
+    would defeat the sha normalisation)."""
+    from .functions.crypto import IdentityKeyService
+    from .functions.udfs import decrypt_process_udf, envelope_udf
+
+    lines = spark.read.text(f"{out_dir}/stream_src")
+    env = lines.withColumn(
+        "env", envelope_udf("calculator:calculationParts")(F.col("value"))
+    ).select("env.*")
+    good = env.filter(F.col("db_object").isNotNull())
+    proc = decrypt_process_udf(IdentityKeyService())
+    return good.withColumn(
+        "payload",
+        proc(
+            F.col("db_object"),
+            F.col("encrypted_encryption_key"),
+            F.col("initialisation_vector"),
+            F.col("key_encryption_key_id"),
+            F.col("db"),
+            F.col("collection"),
+            F.col("last_modified"),
+        ),
+    ).select(
+        "id",
+        "db",
+        "collection",
+        F.col("payload.val").alias("val"),
+        F.when(F.col("payload.is_delete"), F.lit("DELETE"))
+        .otherwise(F.lit("INSERT"))
+        .alias("db_type"),
+    )
+
+
 WRITE_BENCH_PLAN_PROBES["write_daily_clustered_orc"] = _probe_write_daily
 WRITE_BENCH_PLAN_PROBES["write_daily_flat_zordered"] = _probe_write_daily_zordered
 WRITE_BENCH_PLAN_PROBES["merge_and_write_snapshot"] = _probe_merge_write
 WRITE_BENCH_PLAN_PROBES["mor_append_and_read_merged"] = _probe_mor_cycle
 WRITE_BENCH_PLAN_PROBES["snapshot_update_cycle"] = _probe_update_cycle
+WRITE_BENCH_PLAN_PROBES["streaming_ingest_trigger_once"] = _probe_streaming_ingest
+
+
+# per-entry post-timing enrichment: add fields to the bench record that
+# the generic timing loop cannot know (e.g. streaming rows/sec)
+WRITE_BENCH_ENRICHERS: dict[str, Callable[[SparkSession, str, str, dict], None]] = {}
+
+
+def _enrich_streaming_ingest(
+    spark: SparkSession, sf_dir: str, out_dir: str, rec: dict
+) -> None:
+    n = spark.read.parquet(f"{out_dir}/stream_out").count()
+    rec["rows"] = int(n)
+    if rec.get("best"):
+        rec["rows_per_sec"] = round(n / rec["best"], 1)
+
+
+WRITE_BENCH_ENRICHERS["streaming_ingest_trigger_once"] = _enrich_streaming_ingest
 
 
 # Extension modules register additional queries on import; this must stay at

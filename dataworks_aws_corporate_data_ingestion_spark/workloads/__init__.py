@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     provenance,
     relational5,
     sampling_suite,
+    sketches,
     similarity_search,
     span_dedup,
     streaming_ops,

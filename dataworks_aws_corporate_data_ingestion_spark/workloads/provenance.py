@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.spandedup import ngram_positions
+from ..partitioning import fan_out
 from ..sources.tables import load_table
 from ..workload import register
 
@@ -61,7 +62,9 @@ def source_vocabulary_overlap(
     regardless of corpus size; the token self-join fans out at most
     |sources|^2 per shared token."""
     docs = load_table(spark, "documents", sf_dir)
-    vocab = docs.select(
+    # token explode amplifies before the DISTINCT exchange: fan_out
+    # guards the one-file-one-partition trap
+    vocab = fan_out(docs).select(
         "source",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
     ).distinct()
@@ -145,7 +148,7 @@ def per_source_ngram_novelty(
     spread count -- both aggregations are gram-universe bounded."""
     docs = load_table(spark, "documents", sf_dir)
     grams = (
-        ngram_positions(docs.select(F.col("source").alias("doc_id"), "text"))
+        ngram_positions(fan_out(docs).select(F.col("source").alias("doc_id"), "text"))
         .select(F.col("doc_id").alias("source"), "gram_key")
         .distinct()
     )

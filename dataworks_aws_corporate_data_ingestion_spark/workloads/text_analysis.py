@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..partitioning import fan_out
 from ..sources.tables import load_table
 from ..workload import register
 
@@ -272,15 +273,19 @@ _SEARCH_TERMS = ("dup", "join", "stream", "vector", "window")
 _SEARCH_TERMS_SQL = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
 
 
-def _bm25_postings_oracle(terms_sql: str, limit: int = 20) -> str:
-    """The postings-index BM25 oracle, parameterised on the term list and
-    result size -- shared by the ad-hoc and bucketed-index registrations
-    (identical semantics; only the physical layout differs) and reused as
-    the first stage of the hybrid rerank oracle."""
+def _bm25_postings_oracle(
+    terms_sql: str, limit: int = 20, where: str = ""
+) -> str:
+    """The postings-index BM25 oracle, parameterised on the term list,
+    result size, and an optional corpus filter -- shared by the ad-hoc
+    and bucketed-index registrations (identical semantics; only the
+    physical layout differs), reused as the first stage of the hybrid
+    rerank oracle, and (with `where`) the ground truth for the
+    tombstone-deletion path (search over the SURVIVING corpus)."""
     return f"""
         WITH d AS (
             SELECT doc_id, string_split(lower(text), ' ') AS toks
-            FROM documents
+            FROM documents {where}
         ), post AS (
             SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
                    unnest(toks) AS term
@@ -455,7 +460,7 @@ def bigram_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
     )
     return (
-        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        fan_out(docs).select("doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(
             F.count(F.lit(1)).alias("freq"),
@@ -581,7 +586,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import raw_ngrams
 
     d = load_table(spark, "documents", sf_dir)
-    bg = d.select(
+    bg = fan_out(d).select(
         "doc_id", F.explode(raw_ngrams(F.col("text"), 2)).alias("bigram")
     )
     counts = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
@@ -657,7 +662,7 @@ def oov_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the per-doc count keyed by doc_id, rows ~ distinct (doc,
     token) after partial aggregation.  The vocab top-k plans as
     TakeOrderedAndProject, never a global sort."""
-    tok = load_table(spark, "documents", sf_dir).select(
+    tok = fan_out(load_table(spark, "documents", sf_dir)).select(
         "doc_id", F.explode(T.tokens(F.col("text"))).alias("token")
     )
     vocab = (
@@ -868,6 +873,7 @@ def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans as TakeOrderedAndProject."""
     docs = load_table(spark, "documents", sf_dir)
     toks = F.split(F.lower(F.col("text")), " ")
+    docs = fan_out(docs)
     pairs = docs.select(
         F.posexplode(F.slice(toks, 1, F.size(toks) - 1)).alias("i", "w1"),
         toks.alias("t"),
@@ -975,3 +981,44 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+@register(
+    "bm25_search_with_deletions",
+    tags=("text", "relevance", "search", "inverted-index",
+          "index-maintenance", "compliance", "rtbf", "topk"),
+    oracle=_bm25_postings_oracle(
+        _BUCKETED_TERMS_SQL, where="WHERE doc_id % 10 != 3"
+    ),
+)
+def bm25_search_with_deletions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deletion-tombstone certification for the search index: build the
+    bucketed index from the FULL corpus, erase every doc_id % 10 == 3
+    via operators/search.py::delete_from_search_index (tombstone append
+    + exact df/stats subtraction -- the corpus-sized postings are
+    scanned once for the erased docs' contribution, never rewritten),
+    then search through live_index_frames.  The oracle searches a
+    from-scratch index over ONLY the surviving corpus, so a hash match
+    proves tombstone-delete == rebuild, bit for bit -- rankings, idf,
+    and avgdl all reflect the post-erasure corpus exactly.  This is the
+    RTBF path extended to the search index: results exclude erased docs
+    immediately; compact_search_index later removes their bytes (append
+    == compact == rebuild is pinned in tests/test_bucketing.py)."""
+    from ..operators.search import (
+        bm25_search,
+        delete_from_search_index,
+        live_index_frames,
+        materialize_search_index,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    spark.sql("DROP TABLE IF EXISTS bm25_del_index_deleted")
+    materialize_search_index(spark, docs, "bm25_del_index", n_buckets=8)
+    delete_from_search_index(
+        spark, docs.filter(F.col("doc_id") % 10 == 3).select("doc_id"),
+        "bm25_del_index",
+    )
+    postings, dfs, stats = live_index_frames(spark, "bm25_del_index")
+    return bm25_search(postings, dfs, stats, _BUCKETED_TERMS)

@@ -39,3 +39,68 @@ def spark(tmp_path_factory):
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMALL
+
+
+# ---------------------------------------------------------------------------
+# Test tiers (VERDICT r6 #7): the FULL suite stays the gate; `-m "not slow"`
+# is the sub-5-minute developer loop.  "slow" = streaming e2e (stream
+# startup/teardown per test), ML training, hypothesis property sweeps, the
+# embedded-Derby subprocess, and the oracle params whose DuckDB ground truth
+# is quadratic (pair-closure/cluster families) or runs a write round-trip.
+_SLOW_MODULES = {
+    "test_streaming.py",
+    "test_quality_model.py",
+    "test_record_properties.py",
+    "test_dedup_similarity.py",
+    "test_spandedup.py",
+    "test_graph.py",
+    "test_multimodal.py",
+}
+_SLOW_NODE_SUBSTRINGS = (
+    "Properties",  # hypothesis sweeps (merge model, LM, pagerank, spans)
+    "TestHiveDdlAuditPath",  # embedded Derby metastore subprocess
+)
+_SLOW_ORACLE_PARAMS = {
+    "curation_pipeline",
+    "curation_pipeline_spanlm",
+    "duplicate_cluster_sizes",
+    "leakage_safe_split",
+    "dedup_keep_best_quality",
+    "duplicate_clusters",
+    "duplicate_graph_triangles",
+    "duplicate_source_matrix",
+    "near_dup_pairs_minhash",
+    "near_dup_pairs_exact",
+    "near_dup_pairs_indexed",
+    "near_dup_pairs_incremental",
+    "simhash_recall_certificate",
+    "record_timeline_certificate",
+    "rtbf_purge_certificate",
+    "quality_model_certificate",
+    "simhash_near_dups",
+    "embedding_cosine_near_dups",
+    "embedding_near_dups_lsh",
+    "semantic_dedup_survivors",
+    "semantic_dedup_recall_certificate",
+    "boilerplate_segment_pruning",
+    "dup_ngram_span_stats",
+    "dup_ngram_top_repeated",
+    "dup_ngram_spans_incremental",
+    "near_dup_pairs_edit_distance",
+    "bm25_search_with_deletions",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = pytest.mark.slow
+    for item in items:
+        fname = item.nodeid.split("::", 1)[0].rsplit("/", 1)[-1]
+        if fname in _SLOW_MODULES or any(
+            s in item.nodeid for s in _SLOW_NODE_SUBSTRINGS
+        ):
+            item.add_marker(slow)
+            continue
+        if "[" in item.nodeid and item.nodeid.rsplit("[", 1)[1].rstrip(
+            "]"
+        ) in _SLOW_ORACLE_PARAMS:
+            item.add_marker(slow)

@@ -321,3 +321,116 @@ class TestMinhashIndex:
             assert n_band_exchanges == 1, plan  # delta side only
         finally:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+class TestSearchIndexDeletion:
+    @pytest.fixture()
+    def full_index(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.search import (
+            materialize_search_index,
+        )
+        from dataworks_aws_corporate_data_ingestion_spark.sources.tables import (
+            load_table,
+        )
+
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+        materialize_search_index(spark, docs, "t_bm25d", n_buckets=4)
+        yield docs
+        for t in (
+            "t_bm25d_postings",
+            "t_bm25d_dfs",
+            "t_bm25d_stats",
+            "t_bm25d_deleted",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def _search(self, spark, frames, terms=("filter", "merge", "sort", "query")):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.search import bm25_search
+
+        return sorted(
+            tuple(r) for r in bm25_search(*frames, terms).collect()
+        )
+
+    def _rebuild_frames(self, docs):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.search import (
+            build_postings,
+            corpus_stats,
+            term_stats,
+        )
+
+        p = build_postings(docs)
+        return p, term_stats(p), corpus_stats(p)
+
+    def test_tombstone_delete_matches_rebuild(self, spark, full_index):
+        """delete_from_search_index + live_index_frames must equal a
+        from-scratch index over the surviving corpus: results, df, and
+        corpus stats all exact."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.search import (
+            delete_from_search_index,
+            live_index_frames,
+        )
+
+        docs = full_index
+        erased = docs.filter("doc_id % 7 = 1").select("doc_id")
+        delete_from_search_index(spark, erased, "t_bm25d")
+        got = self._search(spark, live_index_frames(spark, "t_bm25d"))
+        want = self._search(
+            spark, self._rebuild_frames(docs.filter("doc_id % 7 != 1"))
+        )
+        assert got == want
+        # dims exact, not just rankings
+        s = spark.table("t_bm25d_stats").collect()[0]
+        w = self._rebuild_frames(docs.filter("doc_id % 7 != 1"))[2].collect()[0]
+        assert (s.n_docs, s.sum_dl) == (w.n_docs, w.sum_dl)
+
+    def test_double_delete_is_idempotent(self, spark, full_index):
+        """Re-deleting the same ids must not double-subtract df/stats."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.search import (
+            delete_from_search_index,
+            live_index_frames,
+        )
+
+        docs = full_index
+        erased = docs.filter("doc_id % 7 = 1").select("doc_id")
+        delete_from_search_index(spark, erased, "t_bm25d")
+        first = self._search(spark, live_index_frames(spark, "t_bm25d"))
+        stats1 = spark.table("t_bm25d_stats").collect()[0]
+        delete_from_search_index(spark, erased, "t_bm25d")
+        again = self._search(spark, live_index_frames(spark, "t_bm25d"))
+        stats2 = spark.table("t_bm25d_stats").collect()[0]
+        assert again == first
+        assert (stats1.n_docs, stats1.sum_dl) == (stats2.n_docs, stats2.sum_dl)
+
+    def test_compact_matches_rebuild_and_clears_tombstones(
+        self, spark, full_index
+    ):
+        """compact_search_index must physically equal the rebuild (same
+        searches from the stored tables alone), drop the tombstone
+        table, and preserve the bucket spec for later appends."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.search import (
+            _index_bucket_count,
+            compact_search_index,
+            delete_from_search_index,
+            live_index_frames,
+        )
+
+        docs = full_index
+        erased = docs.filter("doc_id % 7 = 1").select("doc_id")
+        delete_from_search_index(spark, erased, "t_bm25d")
+        compact_search_index(spark, "t_bm25d")
+        assert not spark.catalog.tableExists("t_bm25d_deleted")
+        got = self._search(
+            spark,
+            (
+                spark.table("t_bm25d_postings"),
+                spark.table("t_bm25d_dfs"),
+                spark.table("t_bm25d_stats"),
+            ),
+        )
+        want = self._search(
+            spark, self._rebuild_frames(docs.filter("doc_id % 7 != 1"))
+        )
+        assert got == want
+        # live_index_frames with no tombstone table = the stored index
+        assert self._search(spark, live_index_frames(spark, "t_bm25d")) == got
+        assert _index_bucket_count(spark, "t_bm25d") == 4

@@ -50,6 +50,9 @@ SHOWCASE = [
     ("knn_label_classification", "broadcast probes -> corpus scan -> vote argmax"),
     ("source_vocabulary_overlap", "DISTINCT-collapsed vocab self-join; vocab-bounded"),
     ("per_source_ngram_novelty", "distinct (source, gram) -> spread count -> rollup"),
+    ("bm25_search_with_deletions", "tombstone anti-join on bucketed postings; dims pre-corrected at delete time"),
+    ("approx_distinct_certificate", "HLL registers + exact distinct side-by-side, one grouped agg"),
+    ("hll_mergeable_rollup_certificate", "per-day sketch agg -> union-merge agg; state bytes, not rows"),
 ]
 
 
