@@ -66,10 +66,31 @@ def _doc_bigrams(
     ).select("doc_id", "p.w1", "p.w2")
 
 
+def train_bigram_lm(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """The corpus-as-model count tables: (unigrams(w1, c1),
+    bigram_counts(w1, w2, c12)).  Vocabulary-sized -- the thing a daily
+    pipeline materialises once and merges deltas into, never retraining
+    over history (see materialize_bigram_lm / append_to_bigram_lm)."""
+    docs = fan_out(docs)
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    unigrams = (
+        docs.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bigram_counts = _doc_bigrams(docs, text_col).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    return unigrams, bigram_counts
+
+
 def score_documents_bigram_lm(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-document bigram-LM familiarity report.
+    """Per-document bigram-LM familiarity report (model trained on the
+    same corpus being scored -- the self-contained registry form).
 
     Output: doc_id, n_bigrams, oov_bigrams (pairs never seen as a
     bigram anywhere in the corpus), sum_p_nano (exact integer total of
@@ -77,20 +98,35 @@ def score_documents_bigram_lm(
     documents with < 2 tokens).
     """
     docs = fan_out(docs)
-    bi = _doc_bigrams(docs, text_col, id_col)
-
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    unigrams = (
-        docs.select(F.explode(toks).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c1"))
+    unigrams, bigram_counts = train_bigram_lm(docs, text_col)
+    return score_documents_against_lm(
+        docs, unigrams, bigram_counts, text_col=text_col, id_col=id_col
     )
+
+
+def score_documents_against_lm(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigram_counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against an EXISTING model (stored or in-flight
+    count tables): the incremental form -- a daily delta is scored with
+    one pass over its own bigrams joined to the vocabulary-sized model,
+    the corpus never rescanned.  Add-one smoothing semantics are
+    identical to score_documents_bigram_lm.
+
+    Caller contract: admit the delta's counts into the model FIRST
+    (append_to_bigram_lm) so every token the docs contain has a unigram
+    row -- the w1 join is inner (kept identical to the self-trained
+    plan), so a truly-unknown token's bigrams would be dropped rather
+    than floor-scored."""
+    docs = fan_out(docs)
+    bi = _doc_bigrams(docs, text_col, id_col)
     vocab = unigrams.agg(
         F.count(F.lit(1)).cast("long").alias("v")
     )  # 1-row: broadcast
-    bigram_counts = bi.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12")
-    )
 
     scored = (
         bi.join(bigram_counts, ["w1", "w2"], "left")
@@ -134,4 +170,78 @@ def score_documents_bigram_lm(
                 F.col("sum_p_nano").cast("double") / F.col("n_bigrams"),
             ),
         )
+    )
+
+
+def materialize_bigram_lm(
+    spark,
+    docs: DataFrame,
+    prefix: str,
+    n_buckets: int = 16,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Persist the LM count tables as a catalog artifact:
+    `{prefix}_uni` (w1, c1) and `{prefix}_bi` (w1, w2, c12), both
+    bucketed by w1 so later delta merges and scoring joins co-locate.
+    Vocabulary-sized -- at 100 TB the model is megabytes while the
+    corpus is the thing you never want to rescan.  Returns the frames
+    read back from the catalog."""
+    from ..sinks.bucketing import write_bucketed
+
+    unigrams, bigram_counts = train_bigram_lm(docs, text_col)
+    write_bucketed(unigrams, f"{prefix}_uni", ["w1"], n_buckets)
+    write_bucketed(bigram_counts, f"{prefix}_bi", ["w1"], n_buckets)
+    spark.sql(
+        f"ALTER TABLE {prefix}_uni SET TBLPROPERTIES"
+        f" ('lm.n_buckets'='{n_buckets}')"
+    )
+    return spark.table(f"{prefix}_uni"), spark.table(f"{prefix}_bi")
+
+
+def append_to_bigram_lm(
+    spark, delta: DataFrame, prefix: str, text_col: str = "text"
+) -> None:
+    """Admit a delta's counts into a materialised LM: unigram and
+    bigram counts merge by key (old + delta), a vocabulary-sized
+    aggregate -- the corpus is never re-read.  After this, scoring the
+    delta against the stored tables equals retraining from scratch on
+    corpus + delta, bit for bit (certified by `bigram_lm_incremental`).
+    Frames read from tables being overwritten are pinned with eager
+    localCheckpoints (same discipline as append_to_search_index)."""
+    d_uni, d_bi = train_bigram_lm(delta, text_col)
+    merged_uni = (
+        spark.table(f"{prefix}_uni")
+        .unionByName(d_uni)
+        .groupBy("w1")
+        .agg(F.sum("c1").alias("c1"))
+        .localCheckpoint(eager=True)
+    )
+    merged_bi = (
+        spark.table(f"{prefix}_bi")
+        .unionByName(d_bi)
+        .groupBy("w1", "w2")
+        .agg(F.sum("c12").alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    n_buckets = 16
+    try:
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(
+                f"SHOW TBLPROPERTIES {prefix}_uni"
+            ).collect()
+        }
+        n_buckets = int(props.get("lm.n_buckets", n_buckets))
+    except Exception:
+        pass
+    for name, frame in ((f"{prefix}_uni", merged_uni), (f"{prefix}_bi", merged_bi)):
+        (
+            frame.write.mode("overwrite")
+            .bucketBy(n_buckets, "w1")
+            .sortBy("w1")
+            .saveAsTable(name)
+        )
+    spark.sql(
+        f"ALTER TABLE {prefix}_uni SET TBLPROPERTIES"
+        f" ('lm.n_buckets'='{n_buckets}')"
     )

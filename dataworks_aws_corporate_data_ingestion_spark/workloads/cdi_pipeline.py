@@ -39,6 +39,7 @@ from ..operators.ingest import (
     to_daily_rows,
 )
 from ..functions.udfs import envelope_udf
+from ..partitioning import fan_out
 from ..sources.tables import load_table
 from ..workload import register
 
@@ -131,9 +132,7 @@ def envelope_lines_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shuffle of the small input is noise next to the per-row work
     # (on a real cluster the same holds: partition count follows input
     # splits, not CPU budget, so a pre-UDF repartition is load-bearing).
-    e = load_table(spark, "events", sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = fan_out(load_table(spark, "events", sf_dir))
     # md5-derived hex id: uniform over the 256 id_part buckets (a
     # zero-padded sequential hex id would put every row in bucket "00" --
     # the reference's ids are random hex, so first-2-chars bucketing
@@ -220,9 +219,7 @@ def cdi_audit_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     renames every $date to d_date.  Key order is the canonical ASCII
     sort: AUDIT_EVENT < TIME_STAMP < TIME_STAMP_ORIG <
     _lastModifiedDateTime < userId."""
-    e = load_table(spark, "events", sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = fan_out(load_table(spark, "events", sf_dir))
     id_str = F.lpad(F.hex(F.col("event_id")), 10, "0")
     lm = F.concat(
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS"), F.lit("+0000")

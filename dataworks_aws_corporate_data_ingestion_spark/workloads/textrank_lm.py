@@ -85,11 +85,7 @@ def textrank_keywords_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(load_table(spark, "documents", sf_dir))
 
 
-@register(
-    "bigram_lm_familiarity",
-    bench=True,
-    tags=("text-quality", "language-model", "scoring", "fixed-point"),
-    oracle=f"""
+_BIGRAM_LM_ORACLE = f"""
         WITH toks AS (
             SELECT doc_id, string_split(lower(text), ' ') AS t
             FROM documents
@@ -135,7 +131,14 @@ def textrank_keywords_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                END AS mean_p_nano
         FROM documents d
         LEFT JOIN per_doc p ON d.doc_id = p.doc_id
-    """,
+"""
+
+
+@register(
+    "bigram_lm_familiarity",
+    bench=True,
+    tags=("text-quality", "language-model", "scoring", "fixed-point"),
+    oracle=_BIGRAM_LM_ORACLE,
 )
 def bigram_lm_familiarity_query(
     spark: SparkSession, sf_dir: str
@@ -350,4 +353,40 @@ def quality_model_certificate_query(
 
     return quality_model_certificate(
         document_feature_matrix_query(spark, sf_dir)
+    )
+
+
+@register(
+    "bigram_lm_incremental",
+    tags=("text-quality", "language-model", "scoring", "fixed-point",
+          "incremental", "index-maintenance"),
+    oracle=_BIGRAM_LM_ORACLE,
+)
+def bigram_lm_incremental_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LM-model MAINTENANCE certification: materialise the bigram-LM
+    count tables from 90% of the corpus
+    (operators/ngram_lm.py::materialize_bigram_lm), admit the remaining
+    10% via append_to_bigram_lm (vocabulary-sized count merges -- the
+    corpus is never re-read), then score EVERY document against the
+    stored tables.  The oracle is the full-corpus self-trained LM, so a
+    hash match proves append == retrain, bit for bit -- the same
+    certification shape as bm25_search_appended and
+    near_dup_pairs_indexed.  Daily corpus growth at 100 TB costs one
+    delta tokenisation plus megabyte-scale count merges, not an LM
+    retrain over history."""
+    from ..operators.ngram_lm import (
+        append_to_bigram_lm,
+        materialize_bigram_lm,
+        score_documents_against_lm,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    materialize_bigram_lm(
+        spark, docs.filter(F.col("doc_id") % 10 != 0), "lm_inc", n_buckets=8
+    )
+    append_to_bigram_lm(spark, docs.filter(F.col("doc_id") % 10 == 0), "lm_inc")
+    return score_documents_against_lm(
+        docs, spark.table("lm_inc_uni"), spark.table("lm_inc_bi")
     )

@@ -88,6 +88,7 @@ _SLOW_ORACLE_PARAMS = {
     "dup_ngram_spans_incremental",
     "near_dup_pairs_edit_distance",
     "bm25_search_with_deletions",
+    "bigram_lm_incremental",
 }
 
 
