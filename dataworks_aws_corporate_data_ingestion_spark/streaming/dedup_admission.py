@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caching import release_tracked
+from .span_admission import refresh_state_tables
 from ..operators.dedup import (
     append_to_minhash_index,
     near_dup_pairs_against_index,
@@ -61,6 +62,12 @@ def admit_batch(
     and appends the fresh survivors to the index.  Replay-stable: see
     module docstring.  Used directly by tests and wrapped by the
     foreachBatch applier."""
+    # foreachBatch runs under a cloned session: earlier batches'
+    # saveAsTable appends refreshed the clone's relation cache, not the
+    # outer session's -- re-list the state tables or this batch would
+    # dedup against a stale (possibly empty) index (see
+    # span_admission.refresh_state_tables)
+    refresh_state_tables(spark, f"{prefix}_shingles", f"{prefix}_buckets")
     indexed_ids = spark.table(f"{prefix}_shingles").select(F.col(id_col))
     # pin the fresh/replayed split before the index append below changes
     # what "indexed" means for this batch's rows
@@ -95,6 +102,9 @@ def admit_batch(
     append_to_minhash_index(
         spark, survivors, prefix, id_col=id_col, text_col=text_col
     )
+    # leave the OUTER session's view fresh too: under foreachBatch the
+    # appends above implicitly refreshed only the cloned session
+    refresh_state_tables(spark, f"{prefix}_shingles", f"{prefix}_buckets")
     return survivors.unionByName(previously_admitted)
 
 

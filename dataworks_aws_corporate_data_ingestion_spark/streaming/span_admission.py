@@ -82,6 +82,20 @@ def init_span_index(
     ).saveAsTable(f"{prefix}_spandocs")
 
 
+def refresh_state_tables(spark: SparkSession, *names: str) -> None:
+    """Invalidate the session's cached file listings for cross-batch
+    state tables.  Inside foreachBatch the hook runs under a CLONED
+    SparkSession (micro-batch isolation), so a saveAsTable append's
+    implicit relation-cache refresh lands on the clone -- the captured
+    outer session keeps serving the stale pre-append FileIndex for any
+    state table it read in an earlier batch (appends become invisible:
+    batch 2 would see batch 1's index as empty).  Admission rounds call
+    this on their state tables before reading and after appending;
+    the cost is one metadata listing per table per batch."""
+    for name in names:
+        spark.catalog.refreshTable(name)
+
+
 def _n_buckets(spark: SparkSession, prefix: str) -> int:
     """Bucket count of the existing index table (appends must match)."""
     for row in spark.sql(
@@ -131,6 +145,7 @@ def admit_span_batch(
     the gram append carries `batch_token` as its own commit marker, so
     a crash between the gram append and the ledger append cannot
     double-count on replay (see module docstring)."""
+    refresh_state_tables(spark, f"{prefix}_grams", f"{prefix}_spandocs")
     if batch_token is None:
         batch_token = batch_content_token(batch_df, id_col=id_col)
     # has this batch's gram contribution already been committed?  The
@@ -209,6 +224,9 @@ def admit_span_batch(
     fresh.select(F.col(id_col).alias("doc_id")).write.mode(
         "append"
     ).format("parquet").saveAsTable(f"{prefix}_spandocs")
+    # leave the OUTER session's view fresh too: under foreachBatch the
+    # appends above implicitly refreshed only the cloned session
+    refresh_state_tables(spark, f"{prefix}_grams", f"{prefix}_spandocs")
     return masked
 
 

@@ -1142,6 +1142,66 @@ class TestSpanAdmission:
         finally:
             self._cleanup(spark, "t_span4")
 
+    def test_foreachbatch_cross_batch_masking(self, spark, tmp_path):
+        """Two micro-batches through the real foreachBatch surface: the
+        second batch's copy of a batch-1 passage must be masked.
+        Regression for the cloned-session staleness bug: foreachBatch
+        hooks run under a cloned SparkSession, so without an explicit
+        refresh the outer session serves batch 2 a stale (empty)
+        pre-append FileIndex for the gram/ledger tables and batch 2
+        masks against nothing."""
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.span_admission import (
+            init_span_index,
+            span_admission_applier,
+        )
+
+        try:
+            init_span_index(spark, "t_span5", n_buckets=4)
+            src = tmp_path / "src"
+            src.mkdir()
+            out = tmp_path / "masked"
+            ckpt = tmp_path / "ckpt"
+            uniq1 = " ".join(f"f{i}" for i in range(20))
+            uniq2 = " ".join(f"g{i}" for i in range(20))
+            # one file per day (coalesce) + maxFilesPerTrigger=1 forces
+            # two separate micro-batches
+            self._docs(spark, [(1, self.SHARED + " " + uniq1)]).coalesce(
+                1
+            ).write.mode("overwrite").parquet(str(src / "day0"))
+            self._docs(spark, [(2, self.SHARED + " " + uniq2)]).coalesce(
+                1
+            ).write.mode("overwrite").parquet(str(src / "day1"))
+            stream = (
+                spark.readStream.schema("doc_id bigint, text string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src / "day*"))
+            )
+            q = (
+                stream.writeStream.foreachBatch(
+                    span_admission_applier(spark, "t_span5", str(out))
+                )
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            rows = {}
+            for k in range(2):
+                for r in spark.read.parquet(
+                    str(out / f"batch_id={k}")
+                ).collect():
+                    rows[r.doc_id] = r
+            assert set(rows) == {1, 2}
+            first, second = (
+                (1, 2) if rows[1].n_dup_spans == 0 else (2, 1)
+            )
+            assert rows[first].n_dup_spans == 0
+            assert rows[second].n_dup_spans == 1
+            assert rows[second].dup_tokens == 12
+            assert spark.table("t_span5_spandocs").count() == 2
+        finally:
+            self._cleanup(spark, "t_span5")
+
     def test_crash_between_appends_cannot_double_count(self, spark):
         """Simulate the crash window: the gram append committed but the
         ledger append did not (the advisor's non-atomicity finding).
@@ -1262,3 +1322,253 @@ class TestWatermarkDedup:
             for r in spark.sql("select * from wm_dedup_out").collect()
         )
         assert ids == list(range(9))
+
+
+class TestLmAdmission:
+    """Streaming bigram-LM admission (streaming/lm_admission.py): the
+    streaming twin of append_to_bigram_lm -- per-batch count folds into
+    the stored model, replay/crash convergent."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def _cleanup(self, spark, prefix):
+        for t in (f"{prefix}_uni", f"{prefix}_bi", f"{prefix}_lmdocs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    BATCHES = [
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the rug")],
+        [(3, "the cat ate the fish"), (4, "a bird flew over the mat")],
+        [(5, "the cat sat on the mat"), (6, "fish swim and birds fly")],
+    ]
+
+    def test_each_batch_scores_as_prefix_retrain(self, spark):
+        """After admitting batches 0..k, batch k's report must equal
+        scoring it against a model retrained from scratch on the union
+        of batches 0..k -- streaming admission == batch retrain at
+        every prefix (the streaming extension of the
+        `bigram_lm_incremental` append==retrain certificate)."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.ngram_lm import (
+            score_documents_against_lm,
+            train_bigram_lm,
+        )
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.lm_admission import (
+            admit_lm_batch,
+            init_lm_index,
+        )
+
+        try:
+            init_lm_index(spark, "t_lm1", n_buckets=4)
+            seen = []
+            for rows in self.BATCHES:
+                seen.extend(rows)
+                b = self._docs(spark, rows)
+                got = sorted(
+                    tuple(r)
+                    for r in admit_lm_batch(spark, b, "t_lm1").collect()
+                )
+                uni, bi = train_bigram_lm(self._docs(spark, seen))
+                want = sorted(
+                    tuple(r)
+                    for r in score_documents_against_lm(
+                        b, uni, bi
+                    ).collect()
+                )
+                assert got == want
+        finally:
+            self._cleanup(spark, "t_lm1")
+
+    def test_replayed_batch_converges(self, spark):
+        """Re-admitting an already-admitted batch (at-least-once
+        replay) must append nothing and reproduce the report
+        bit-for-bit."""
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.lm_admission import (
+            admit_lm_batch,
+            init_lm_index,
+        )
+
+        try:
+            init_lm_index(spark, "t_lm2", n_buckets=4)
+            b1 = self._docs(spark, self.BATCHES[0])
+            b2 = self._docs(spark, self.BATCHES[1])
+            admit_lm_batch(spark, b1, "t_lm2")
+            first = sorted(
+                tuple(r)
+                for r in admit_lm_batch(spark, b2, "t_lm2").collect()
+            )
+
+            def _state():
+                return (
+                    sorted(
+                        (r.w1, r.c1)
+                        for r in spark.sql(
+                            "select w1, sum(c1) c1 from t_lm2_uni"
+                            " group by w1"
+                        ).collect()
+                    ),
+                    sorted(
+                        (r.w1, r.w2, r.c12)
+                        for r in spark.sql(
+                            "select w1, w2, sum(c12) c12 from t_lm2_bi"
+                            " group by w1, w2"
+                        ).collect()
+                    ),
+                    spark.table("t_lm2_lmdocs").count(),
+                )
+
+            before = _state()
+            replay = sorted(
+                tuple(r)
+                for r in admit_lm_batch(spark, b2, "t_lm2").collect()
+            )
+            assert replay == first
+            assert _state() == before  # model state unchanged
+        finally:
+            self._cleanup(spark, "t_lm2")
+
+    def test_crash_between_appends_heals(self, spark):
+        """Crash window: the unigram append committed but the bigram
+        and ledger appends did not.  The replay must see its token in
+        _uni (skip the re-append -- no c1 inflation), complete _bi and
+        the ledger, and produce the uncrashed run's exact output."""
+        from pyspark.sql import functions as F
+
+        from dataworks_aws_corporate_data_ingestion_spark.operators.ngram_lm import (
+            train_bigram_lm,
+        )
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.lm_admission import (
+            admit_lm_batch,
+            init_lm_index,
+        )
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.span_admission import (
+            batch_content_token,
+        )
+
+        try:
+            b1 = self._docs(spark, self.BATCHES[0])
+
+            # reference run (no crash) on its own model
+            init_lm_index(spark, "t_lm_ref", n_buckets=4)
+            clean = sorted(
+                tuple(r)
+                for r in admit_lm_batch(spark, b1, "t_lm_ref").collect()
+            )
+            ref_uni = sorted(
+                (r.w1, r.c1)
+                for r in spark.sql(
+                    "select w1, sum(c1) c1 from t_lm_ref_uni group by w1"
+                ).collect()
+            )
+
+            # crashed run: replicate ONLY the unigram append (with the
+            # content token admit_lm_batch would derive), no _bi rows,
+            # no ledger row
+            init_lm_index(spark, "t_lm_cr", n_buckets=4)
+            token = batch_content_token(b1)
+            d_uni, _ = train_bigram_lm(b1)
+            (
+                d_uni.withColumn("batch_token", F.lit(token))
+                .write.mode("append")
+                .bucketBy(4, "w1")
+                .sortBy("w1")
+                .format("parquet")
+                .saveAsTable("t_lm_cr_uni")
+            )
+            assert spark.table("t_lm_cr_bi").count() == 0
+            assert spark.table("t_lm_cr_lmdocs").count() == 0
+
+            healed = sorted(
+                tuple(r)
+                for r in admit_lm_batch(spark, b1, "t_lm_cr").collect()
+            )
+            assert healed == clean
+            got_uni = sorted(
+                (r.w1, r.c1)
+                for r in spark.sql(
+                    "select w1, sum(c1) c1 from t_lm_cr_uni group by w1"
+                ).collect()
+            )
+            assert got_uni == ref_uni  # no double-counted c1
+            assert spark.table("t_lm_cr_lmdocs").count() == 2  # healed
+
+            # and a SECOND replay (now a plain ledgered replay) converges
+            again = sorted(
+                tuple(r)
+                for r in admit_lm_batch(spark, b1, "t_lm_cr").collect()
+            )
+            assert again == clean
+        finally:
+            self._cleanup(spark, "t_lm_ref")
+            self._cleanup(spark, "t_lm_cr")
+
+    def test_foreachbatch_two_batches_score_as_prefix_retrain(
+        self, spark, tmp_path
+    ):
+        """Two micro-batches through the real foreachBatch surface:
+        each batch's persisted report must equal scoring it against a
+        from-scratch model over all batches so far.  Regression for the
+        cloned-session staleness bug: foreachBatch hooks run under a
+        cloned SparkSession, so without an explicit refresh the outer
+        session serves batch 2 a stale (empty) pre-append FileIndex for
+        the state tables and batch 2 scores against nothing."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.ngram_lm import (
+            score_documents_against_lm,
+            train_bigram_lm,
+        )
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.lm_admission import (
+            init_lm_index,
+            lm_admission_applier,
+        )
+
+        try:
+            init_lm_index(spark, "t_lm4", n_buckets=4)
+            src = tmp_path / "src"
+            src.mkdir()
+            out = tmp_path / "scored"
+            ckpt = tmp_path / "ckpt"
+            for i, rows in enumerate(self.BATCHES[:2]):
+                self._docs(spark, rows).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(str(src / f"day{i}"))
+            stream = (
+                spark.readStream.schema("doc_id bigint, text string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src / "day*"))
+            )
+            q = (
+                stream.writeStream.foreachBatch(
+                    lm_admission_applier(spark, "t_lm4", str(out))
+                )
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+            # batch_id order IS admission order; which day each batch
+            # carried depends on file pickup order, so recover the rows
+            # from the persisted ids
+            batch_rows = {}
+            for k in range(2):
+                got = spark.read.parquet(str(out / f"batch_id={k}"))
+                batch_rows[k] = sorted(tuple(r) for r in got.collect())
+            seen = []
+            for k in range(2):
+                ids = {t[0] for t in batch_rows[k]}
+                rows = [
+                    r
+                    for b in self.BATCHES[:2]
+                    for r in b
+                    if r[0] in ids
+                ]
+                seen.extend(rows)
+                uni, bi = train_bigram_lm(self._docs(spark, seen))
+                want = sorted(
+                    tuple(r)
+                    for r in score_documents_against_lm(
+                        self._docs(spark, rows), uni, bi
+                    ).collect()
+                )
+                assert batch_rows[k] == want
+        finally:
+            self._cleanup(spark, "t_lm4")
