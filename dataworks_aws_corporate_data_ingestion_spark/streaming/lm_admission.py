@@ -108,15 +108,65 @@ def read_lm_counts(
     over the append-only partial counts."""
     uni = (
         spark.table(f"{prefix}_uni")
+        .filter(F.col("w1").isNotNull())
         .groupBy("w1")
         .agg(F.sum("c1").alias("c1"))
     )
     bi = (
         spark.table(f"{prefix}_bi")
+        .filter(F.col("w1").isNotNull())
         .groupBy("w1", "w2")
         .agg(F.sum("c12").alias("c12"))
     )
     return uni, bi
+
+
+def compact_lm_index(spark: SparkSession, prefix: str) -> dict:
+    """Fold the append-only count partials into one row per key.  The
+    distinct batch_token set MUST survive compaction in EACH table --
+    tokens are the per-table commit markers that make replayed/crashed
+    batches heal instead of double-counting -- so each token is
+    retained as a marker row (w1 NULL, zero count; a split() token is
+    never NULL, and read_lm_counts filters the markers out).  Only safe
+    when no batches are in flight (caller contract).  Returns
+    {'rows_before', 'rows_after'} summed over both tables."""
+    n_buckets = _n_buckets(spark, prefix)
+    rows_before = rows_after = 0
+    for name, keys, cnt in (
+        (f"{prefix}_uni", ["w1"], "c1"),
+        (f"{prefix}_bi", ["w1", "w2"], "c12"),
+    ):
+        t = spark.table(name)
+        rows_before += t.count()
+        folded = (
+            t.filter(F.col("w1").isNotNull())
+            .groupBy(*keys)
+            .agg(F.sum(cnt).alias(cnt))
+            .withColumn("batch_token", F.lit(None).cast("long"))
+        )
+        markers = (
+            t.select("batch_token")
+            .filter(F.col("batch_token").isNotNull())
+            .distinct()
+        )
+        for k in keys:
+            markers = markers.withColumn(k, F.lit(None).cast("string"))
+        markers = markers.withColumn(cnt, F.lit(0).cast("long")).select(
+            *keys, cnt, "batch_token"
+        )
+        compacted = folded.unionByName(markers).localCheckpoint(
+            eager=True
+        )
+        (
+            compacted.write.mode("overwrite")
+            .bucketBy(n_buckets, "w1")
+            .sortBy("w1")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+        rows_after += compacted.count()
+    refresh_state_tables(spark, f"{prefix}_uni", f"{prefix}_bi")
+    return {"rows_before": rows_before, "rows_after": rows_after}
 
 
 def _token_committed(

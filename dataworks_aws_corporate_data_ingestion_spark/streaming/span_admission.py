@@ -108,12 +108,54 @@ def _n_buckets(spark: SparkSession, prefix: str) -> int:
 
 def read_gram_counts(spark: SparkSession, prefix: str) -> DataFrame:
     """Logical (gram_key, doc_freq) view over the append-only partial
-    counts."""
+    counts.  NULL gram_keys are compaction's token-marker rows (zero
+    count, no gram) -- excluded here."""
     return (
         spark.table(f"{prefix}_grams")
+        .filter(F.col("gram_key").isNotNull())
         .groupBy("gram_key")
         .agg(F.sum("doc_freq").alias("doc_freq"))
     )
+
+
+def compact_span_index(spark: SparkSession, prefix: str) -> dict:
+    """Fold the append-only gram partials into one row per gram_key.
+    The distinct batch_token set MUST survive compaction -- tokens are
+    the commit markers that make replayed/crashed batches heal instead
+    of double-counting -- so each token is retained as a marker row
+    (gram_key NULL, doc_freq 0; NULL can never collide with a real
+    xxhash64 gram key, and read_gram_counts filters it out).  Only safe
+    when no batches are in flight (caller contract, same as the search
+    index's compact).  Returns {'rows_before', 'rows_after'}."""
+    grams = spark.table(f"{prefix}_grams")
+    rows_before = grams.count()
+    folded = (
+        grams.filter(F.col("gram_key").isNotNull())
+        .groupBy("gram_key")
+        .agg(F.sum("doc_freq").alias("doc_freq"))
+        .withColumn("batch_token", F.lit(None).cast("long"))
+    )
+    markers = (
+        grams.select("batch_token")
+        .filter(F.col("batch_token").isNotNull())
+        .distinct()
+        .select(
+            F.lit(None).cast("long").alias("gram_key"),
+            F.lit(0).cast("long").alias("doc_freq"),
+            "batch_token",
+        )
+    )
+    compacted = folded.unionByName(markers).localCheckpoint(eager=True)
+    n_buckets = _n_buckets(spark, prefix)
+    (
+        compacted.write.mode("overwrite")
+        .bucketBy(n_buckets, "gram_key")
+        .sortBy("gram_key")
+        .format("parquet")
+        .saveAsTable(f"{prefix}_grams")
+    )
+    refresh_state_tables(spark, f"{prefix}_grams")
+    return {"rows_before": rows_before, "rows_after": compacted.count()}
 
 
 def batch_content_token(

@@ -1142,6 +1142,79 @@ class TestSpanAdmission:
         finally:
             self._cleanup(spark, "t_span4")
 
+    def test_compaction_preserves_counts_and_tokens(self, spark):
+        """compact_span_index folds partials to one row per gram but
+        must keep the logical counts AND the batch_token commit markers
+        -- a replayed batch after compaction still heals as a ledgered
+        replay, and fresh admission continues normally."""
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.span_admission import (
+            admit_span_batch,
+            compact_span_index,
+            init_span_index,
+            read_gram_counts,
+        )
+
+        try:
+            init_span_index(spark, "t_span6", n_buckets=4)
+            uniq1 = " ".join(f"h{i}" for i in range(20))
+            uniq2 = " ".join(f"i{i}" for i in range(20))
+            b1 = self._docs(spark, [(1, self.SHARED + " " + uniq1)])
+            b2 = self._docs(spark, [(2, self.SHARED + " " + uniq2)])
+            admit_span_batch(spark, b1, "t_span6")
+            admit_span_batch(spark, b2, "t_span6")
+            replay_before = sorted(
+                tuple(r)
+                for r in admit_span_batch(spark, b1, "t_span6").collect()
+            )
+            counts_before = sorted(
+                tuple(r)
+                for r in read_gram_counts(spark, "t_span6").collect()
+            )
+            tokens_before = {
+                r.batch_token
+                for r in spark.table("t_span6_grams")
+                .select("batch_token")
+                .filter("batch_token is not null")
+                .distinct()
+                .collect()
+            }
+
+            stats = compact_span_index(spark, "t_span6")
+            assert stats["rows_after"] < stats["rows_before"]
+            counts_after = sorted(
+                tuple(r)
+                for r in read_gram_counts(spark, "t_span6").collect()
+            )
+            assert counts_after == counts_before
+            tokens_after = {
+                r.batch_token
+                for r in spark.table("t_span6_grams")
+                .select("batch_token")
+                .filter("batch_token is not null")
+                .distinct()
+                .collect()
+            }
+            assert tokens_after == tokens_before
+
+            # ledgered replay after compaction converges bit-for-bit
+            replay_after = sorted(
+                tuple(r)
+                for r in admit_span_batch(spark, b1, "t_span6").collect()
+            )
+            assert replay_after == replay_before
+
+            # fresh admission continues: batch 3's copy of SHARED masks
+            uniq3 = " ".join(f"j{i}" for i in range(20))
+            b3 = self._docs(spark, [(3, self.SHARED + " " + uniq3)])
+            out3 = {
+                r.doc_id: r
+                for r in admit_span_batch(spark, b3, "t_span6").collect()
+            }
+            assert out3[3].n_dup_spans == 1
+            assert out3[3].clean_text == uniq3
+        finally:
+            self._cleanup(spark, "t_span6")
+
     def test_foreachbatch_cross_batch_masking(self, spark, tmp_path):
         """Two micro-batches through the real foreachBatch surface: the
         second batch's copy of a batch-1 passage must be masked.
@@ -1500,6 +1573,72 @@ class TestLmAdmission:
         finally:
             self._cleanup(spark, "t_lm_ref")
             self._cleanup(spark, "t_lm_cr")
+
+    def test_compaction_preserves_counts_and_tokens(self, spark):
+        """compact_lm_index folds count partials but must keep logical
+        counts AND each table's batch_token markers -- replay after
+        compaction is still a no-op, fresh admission still equals the
+        prefix retrain."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.ngram_lm import (
+            score_documents_against_lm,
+            train_bigram_lm,
+        )
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.lm_admission import (
+            admit_lm_batch,
+            compact_lm_index,
+            init_lm_index,
+            read_lm_counts,
+        )
+
+        try:
+            init_lm_index(spark, "t_lm6", n_buckets=4)
+            b1 = self._docs(spark, self.BATCHES[0])
+            b2 = self._docs(spark, self.BATCHES[1])
+            admit_lm_batch(spark, b1, "t_lm6")
+            admit_lm_batch(spark, b2, "t_lm6")
+            replay_before = sorted(
+                tuple(r)
+                for r in admit_lm_batch(spark, b1, "t_lm6").collect()
+            )
+            u, b = read_lm_counts(spark, "t_lm6")
+            counts_before = (
+                sorted(tuple(r) for r in u.collect()),
+                sorted(tuple(r) for r in b.collect()),
+            )
+
+            stats = compact_lm_index(spark, "t_lm6")
+            assert stats["rows_after"] < stats["rows_before"]
+            u, b = read_lm_counts(spark, "t_lm6")
+            assert (
+                sorted(tuple(r) for r in u.collect()),
+                sorted(tuple(r) for r in b.collect()),
+            ) == counts_before
+
+            replay_after = sorted(
+                tuple(r)
+                for r in admit_lm_batch(spark, b1, "t_lm6").collect()
+            )
+            assert replay_after == replay_before
+
+            # fresh admission after compaction == prefix retrain
+            b3 = self._docs(spark, self.BATCHES[2])
+            got = sorted(
+                tuple(r)
+                for r in admit_lm_batch(spark, b3, "t_lm6").collect()
+            )
+            uni, bi = train_bigram_lm(
+                self._docs(
+                    spark,
+                    self.BATCHES[0] + self.BATCHES[1] + self.BATCHES[2],
+                )
+            )
+            want = sorted(
+                tuple(r)
+                for r in score_documents_against_lm(b3, uni, bi).collect()
+            )
+            assert got == want
+        finally:
+            self._cleanup(spark, "t_lm6")
 
     def test_foreachbatch_two_batches_score_as_prefix_retrain(
         self, spark, tmp_path
