@@ -67,9 +67,13 @@ from .span_admission import batch_content_token, refresh_state_tables
 def init_lm_index(
     spark: SparkSession, prefix: str, n_buckets: int = 16
 ) -> None:
-    """Create the (empty) count tables and admitted-doc ledger."""
+    """Create the (empty) count tables and admitted-doc ledger.
+    Idempotent across sessions sharing a warehouse dir (orphaned
+    leftover locations are cleared like write_bucketed does)."""
+    from ..sinks.bucketing import _clear_orphan_location
+
     for name in (f"{prefix}_uni", f"{prefix}_bi", f"{prefix}_lmdocs"):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        _clear_orphan_location(spark, name)
     empty_uni = spark.createDataFrame(
         [], "w1 string, c1 long, batch_token long"
     )

@@ -65,9 +65,13 @@ from ..operators.spandedup import (
 def init_span_index(
     spark: SparkSession, prefix: str, n_buckets: int = 32
 ) -> None:
-    """Create the (empty) gram-count and admitted-doc tables."""
+    """Create the (empty) gram-count and admitted-doc tables.
+    Idempotent across sessions sharing a warehouse dir (orphaned
+    leftover locations are cleared like write_bucketed does)."""
+    from ..sinks.bucketing import _clear_orphan_location
+
     for name in (f"{prefix}_grams", f"{prefix}_spandocs"):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        _clear_orphan_location(spark, name)
     empty_grams = spark.createDataFrame(
         [], "gram_key long, doc_freq long, batch_token long"
     )

@@ -339,3 +339,50 @@ def curation_pipeline_spanlm_query(
         )
         .orderBy("source")
     )
+
+
+@register(
+    "span_admission_streaming_certificate",
+    tags=("dedup", "span-dedup", "exact-substring", "streaming",
+          "incremental", "index-maintenance"),
+    oracle=f"""
+        WITH {_POSITIONS}
+        SELECT gram_key,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM pos_gram
+        GROUP BY gram_key
+        HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def span_admission_streaming_certificate_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming span-admission INDEX-STATE certification: admit the
+    corpus in three micro-batch-shaped slices through the REAL
+    admission round (streaming/span_admission.py::admit_span_batch --
+    replay ledger, batch_token commit markers), compact the gram
+    partials mid-sequence (compact_span_index), then read back the
+    accumulated index restricted to the decision-relevant keys
+    (doc_freq >= MIN_DOCS -- the grams the masking rule fires on).
+    Hash-matching the oracle's full-corpus gram doc-frequencies proves
+    N-batch streaming admission (+ compaction) accumulates EXACTLY the
+    one-shot index: per-batch countDistinct sums across disjoint
+    ledgered batches to the corpus-wide distinct-doc count, bit for
+    bit.  At 100 TB each batch appends batch-sized bucketed partials;
+    compaction is an index-sized fold; the corpus is never rescanned."""
+    from ..streaming.span_admission import (
+        admit_span_batch,
+        compact_span_index,
+        init_span_index,
+        read_gram_counts,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    init_span_index(spark, "span_adm", n_buckets=8)
+    admit_span_batch(spark, docs.filter(F.col("doc_id") % 3 == 0), "span_adm")
+    admit_span_batch(spark, docs.filter(F.col("doc_id") % 3 == 1), "span_adm")
+    compact_span_index(spark, "span_adm")
+    admit_span_batch(spark, docs.filter(F.col("doc_id") % 3 == 2), "span_adm")
+    return read_gram_counts(spark, "span_adm").filter(
+        F.col("doc_freq") >= 2
+    )

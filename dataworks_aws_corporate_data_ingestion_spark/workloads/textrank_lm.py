@@ -390,3 +390,42 @@ def bigram_lm_incremental_query(
     return score_documents_against_lm(
         docs, spark.table("lm_inc_uni"), spark.table("lm_inc_bi")
     )
+
+
+@register(
+    "lm_admission_streaming_certificate",
+    tags=("text-quality", "language-model", "scoring", "fixed-point",
+          "streaming", "incremental", "index-maintenance"),
+    oracle=_BIGRAM_LM_ORACLE,
+)
+def lm_admission_streaming_certificate_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming-admission certification: admit the corpus in three
+    micro-batch-shaped slices through the REAL admission round
+    (streaming/lm_admission.py::admit_lm_batch -- replay ledger,
+    per-table batch_token commit markers, post-admission scoring),
+    compact the partials mid-sequence (compact_lm_index), then score
+    every document against the final stored model.  Hash-matching the
+    full self-trained oracle proves N-batch streaming admission (+ a
+    compaction in the middle) == one-shot retrain, bit for bit -- the
+    oracle-certified twin of tests/test_streaming.py::TestLmAdmission.
+    At 100 TB each batch costs its own tokenisation plus
+    vocabulary-sized bucketed appends; compaction is a vocabulary-sized
+    fold; the corpus is never rescanned."""
+    from ..operators.ngram_lm import score_documents_against_lm
+    from ..streaming.lm_admission import (
+        admit_lm_batch,
+        compact_lm_index,
+        init_lm_index,
+        read_lm_counts,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    init_lm_index(spark, "lm_adm", n_buckets=8)
+    admit_lm_batch(spark, docs.filter(F.col("doc_id") % 3 == 0), "lm_adm")
+    admit_lm_batch(spark, docs.filter(F.col("doc_id") % 3 == 1), "lm_adm")
+    compact_lm_index(spark, "lm_adm")
+    admit_lm_batch(spark, docs.filter(F.col("doc_id") % 3 == 2), "lm_adm")
+    uni, bi = read_lm_counts(spark, "lm_adm")
+    return score_documents_against_lm(docs, uni, bi)

@@ -89,6 +89,8 @@ _SLOW_ORACLE_PARAMS = {
     "near_dup_pairs_edit_distance",
     "bm25_search_with_deletions",
     "bigram_lm_incremental",
+    "lm_admission_streaming_certificate",
+    "span_admission_streaming_certificate",
 }
 
 
