@@ -1,0 +1,136 @@
+"""BPE tokenizer-vocabulary induction over the documents corpus.
+
+Registry twin of operators/bpe.py::bpe_merge_table.  The oracle unrolls
+the k-round recurrence as chained CTEs (the textrank discipline:
+fixed iteration count, engine-portable primitives only): per round a
+pair-count CTE, a deterministic top-1 CTE (count DESC, w1, w2), and a
+corpus-rewrite CTE built from literal replace() on the doubled-separator
+encoding -- replace() is non-overlapping left-to-right ALL-occurrence in
+BOTH engines, which on doubled separators is exactly BPE's greedy-left
+fuse, so the whole recurrence hash-matches bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.bpe import bpe_merge_table
+from ..sources.tables import load_table
+from ..workload import register
+
+_K = 4
+
+
+def _oracle(k: int) -> str:
+    ctes = [
+        "t0 AS (SELECT doc_id, lower(text) AS t FROM documents)"
+    ]
+    sel = []
+    for r in range(1, k + 1):
+        prev = f"t{r - 1}"
+        ctes.append(f"""
+        tok{r} AS (
+            SELECT doc_id, string_split(t, ' ') AS a FROM {prev}
+        ),
+        c{r} AS (
+            SELECT a[i] AS w1, a[i + 1] AS w2, count(*) AS pair_count
+            FROM tok{r}, unnest(range(1, len(a))) AS u(i)
+            GROUP BY 1, 2
+        ),
+        b{r} AS (
+            SELECT w1, w2, pair_count FROM c{r}
+            ORDER BY pair_count DESC, w1, w2 LIMIT 1
+        )""")
+        if r < k:
+            ctes.append(f"""
+        t{r} AS (
+            SELECT doc_id,
+                   trim(replace(replace(
+                       ' ' || replace(t, ' ', '  ') || ' ',
+                       ' ' || (SELECT w1 FROM b{r}) || '  '
+                           || (SELECT w2 FROM b{r}) || ' ',
+                       ' ' || (SELECT w1 FROM b{r}) || '+'
+                           || (SELECT w2 FROM b{r}) || ' '),
+                       '  ', ' ')) AS t
+            FROM {prev}
+        )""")
+        sel.append(
+            f"SELECT CAST({r} AS BIGINT) AS merge_round, w1, w2,"
+            f" CAST(pair_count AS BIGINT) AS pair_count,"
+            f" w1 || '+' || w2 AS merged FROM b{r}"
+        )
+    return (
+        "WITH " + ",".join(ctes) + " " + " UNION ALL ".join(sel)
+    )
+
+
+@register(
+    "bpe_merge_table",
+    tags=("text", "tokenizer", "bpe", "fixed-point", "vocabulary",
+          "training-data"),
+    oracle=_oracle(_K),
+)
+def bpe_merge_table_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 4 BPE merges learned over the documents corpus.  Per round
+    one vocabulary-sized pair-count shuffle (map-side combined), one
+    broadcast singleton, one narrow corpus rewrite; the merge table is
+    kilobytes.  See operators/bpe.py for the 100 TB cost envelope."""
+    return bpe_merge_table(load_table(spark, "documents", sf_dir), k=_K)
+
+
+def _apply_oracle(k: int) -> str:
+    """CTE chain with the FINAL fuse included, then fused-token counts:
+    top 20 vocabulary entries after k merges (ties break on token)."""
+    base = _oracle(k)
+    # reuse the training CTE chain; _oracle stops the text CTEs at
+    # t{k-1}, so extend one more fuse with b{k} before counting
+    with_part, _ = base.split(" SELECT CAST(1", 1)
+    return f"""
+        {with_part},
+        tfin AS (
+            SELECT doc_id,
+                   trim(replace(replace(
+                       ' ' || replace(t, ' ', '  ') || ' ',
+                       ' ' || (SELECT w1 FROM b{k}) || '  '
+                           || (SELECT w2 FROM b{k}) || ' ',
+                       ' ' || (SELECT w1 FROM b{k}) || '+'
+                           || (SELECT w2 FROM b{k}) || ' '),
+                       '  ', ' ')) AS t
+            FROM t{k - 1}
+        ),
+        vocab AS (
+            SELECT unnest(string_split(t, ' ')) AS token FROM tfin
+        )
+        SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM vocab GROUP BY token
+        ORDER BY n_occurrences DESC, token LIMIT 20
+    """
+
+
+@register(
+    "bpe_vocab_counts",
+    tags=("text", "tokenizer", "bpe", "fixed-point", "vocabulary",
+          "training-data", "topk"),
+    oracle=_apply_oracle(_K),
+)
+def bpe_vocab_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 vocabulary entries of the corpus re-tokenised under the 4
+    learned merges (tokenizer APPLY path, operators/bpe.py::bpe_apply):
+    fused multi-word entries surface exactly when their merged pair
+    count beats the survivors.  Train and apply share the per-round
+    fuse, so this also pins that applying the merge table reproduces
+    the training corpus state."""
+    from pyspark.sql import functions as F
+
+    from ..operators.bpe import bpe_apply
+
+    fused = bpe_apply(load_table(spark, "documents", sf_dir), k=_K)
+    return (
+        fused.select(
+            F.explode(F.split(F.col("t"), " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(20)
+    )

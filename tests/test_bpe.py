@@ -1,0 +1,97 @@
+"""BPE vocabulary induction (operators/bpe.py).
+
+The oracle gate proves Spark == DuckDB on the same recurrence; these
+tests prove the recurrence IS byte-pair encoding: a hand-worked example
+and a seeded sweep against a sequential greedy-left reference
+implementation (the textbook BPE trainer loop).
+"""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+from dataworks_aws_corporate_data_ingestion_spark.operators.bpe import (
+    bpe_merge_table,
+)
+
+
+def _ref_bpe(texts: list[str], k: int):
+    """Sequential reference: count adjacent pairs, fuse the most
+    frequent greedy-left (ties on (w1, w2) byte order), repeat."""
+    seqs = [t.lower().split(" ") for t in texts]
+    out = []
+    for r in range(1, k + 1):
+        c: Counter = Counter()
+        for toks in seqs:
+            for i in range(len(toks) - 1):
+                c[(toks[i], toks[i + 1])] += 1
+        if not c:
+            break
+        (w1, w2), cnt = sorted(
+            c.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        out.append((r, w1, w2, cnt, w1 + "+" + w2))
+        fused_seqs = []
+        for toks in seqs:
+            res, i = [], 0
+            while i < len(toks):
+                if (
+                    i + 1 < len(toks)
+                    and toks[i] == w1
+                    and toks[i + 1] == w2
+                ):
+                    res.append(w1 + "+" + w2)
+                    i += 2
+                else:
+                    res.append(toks[i])
+                    i += 1
+            fused_seqs.append(res)
+        seqs = fused_seqs
+    return out
+
+
+def _run(spark, texts, k):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    return sorted(
+        tuple(r) for r in bpe_merge_table(df, k=k).collect()
+    )
+
+
+class TestBpeMergeTable:
+    def test_hand_worked_example(self, spark):
+        texts = ["a b a b c", "a b c d"]
+        got = _run(spark, texts, 4)
+        assert got == sorted(_ref_bpe(texts, 4))
+        assert got[:3] == [
+            (1, "a", "b", 3, "a+b"),
+            (2, "a+b", "c", 2, "a+b+c"),
+            # round 3 is a count tie; (a+b, a+b+c) < (a+b+c, d) byte-wise
+            (3, "a+b", "a+b+c", 1, "a+b+a+b+c"),
+        ]
+
+    def test_greedy_left_run_semantics(self, spark):
+        """BPE fuses "x x x x x" greedy-left: two fused pairs and a
+        lone survivor -- the doubled-separator replace must not fuse
+        overlapping occurrences."""
+        got = _run(spark, ["x x x x x"], 2)
+        ref = sorted(_ref_bpe(["x x x x x"], 2))
+        assert got == ref
+        assert got[0] == (1, "x", "x", 4, "x+x")
+
+    def test_matches_sequential_reference_seeded_sweep(self, spark):
+        rng = random.Random(0xBEEF)
+        vocab = ["a", "b", "c", "ab"]
+        for case in range(6):
+            texts = [
+                " ".join(
+                    rng.choice(vocab)
+                    for _ in range(rng.randint(1, 12))
+                )
+                for _ in range(rng.randint(2, 6))
+            ]
+            got = _run(spark, texts, 3)
+            ref = sorted(_ref_bpe(texts, 3))
+            assert got == ref, (case, texts)
