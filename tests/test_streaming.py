@@ -1142,7 +1142,6 @@ class TestSpanAdmission:
         finally:
             self._cleanup(spark, "t_span4")
 
-    @pytest.mark.slow
     def test_compaction_preserves_counts_and_tokens(self, spark):
         """compact_span_index folds partials to one row per gram but
         must keep the logical counts AND the batch_token commit markers
@@ -1216,7 +1215,6 @@ class TestSpanAdmission:
         finally:
             self._cleanup(spark, "t_span6")
 
-    @pytest.mark.slow
     def test_foreachbatch_cross_batch_masking(self, spark, tmp_path):
         """Two micro-batches through the real foreachBatch surface: the
         second batch's copy of a batch-1 passage must be masked.
@@ -1576,7 +1574,6 @@ class TestLmAdmission:
             self._cleanup(spark, "t_lm_ref")
             self._cleanup(spark, "t_lm_cr")
 
-    @pytest.mark.slow
     def test_compaction_preserves_counts_and_tokens(self, spark):
         """compact_lm_index folds count partials but must keep logical
         counts AND each table's batch_token markers -- replay after
@@ -1643,7 +1640,6 @@ class TestLmAdmission:
         finally:
             self._cleanup(spark, "t_lm6")
 
-    @pytest.mark.slow
     def test_foreachbatch_two_batches_score_as_prefix_retrain(
         self, spark, tmp_path
     ):
