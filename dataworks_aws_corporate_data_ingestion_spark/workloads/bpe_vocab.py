@@ -66,6 +66,7 @@ def _oracle(k: int) -> str:
 
 @register(
     "bpe_merge_table",
+    bench=True,
     tags=("text", "tokenizer", "bpe", "fixed-point", "vocabulary",
           "training-data"),
     oracle=_oracle(_K),
