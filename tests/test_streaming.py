@@ -483,6 +483,67 @@ class TestDedupAdmission:
             for t in ("t_adm2_shingles", "t_adm2_buckets"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
 
+    def test_foreachbatch_cross_batch_rejection(self, spark, tmp_path):
+        """Two micro-batches through the real foreachBatch surface: the
+        second batch's near-copy of a batch-1 admission must be
+        rejected.  Regression for the cloned-session staleness bug
+        (same class as the span/LM twins): without the explicit state
+        refresh, batch 2 deduped against a stale empty index and
+        re-admitted the duplicate."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.dedup import (
+            materialize_minhash_index,
+        )
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.dedup_admission import (
+            dedup_admission_applier,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        out = tmp_path / "admitted"
+        try:
+            materialize_minhash_index(
+                spark,
+                spark.createDataFrame([], "doc_id bigint, text string"),
+                "t_adm3",
+                n_buckets=4,
+            )
+            self._docs(spark, [(20, self.OTHER)]).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / "day0"))
+            self._docs(spark, [(21, self.OTHER), (22, self.BASE)]).coalesce(
+                1
+            ).write.mode("overwrite").parquet(str(src / "day1"))
+            stream = (
+                spark.readStream.schema("doc_id bigint, text string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src / "day*"))
+            )
+            q = (
+                stream.writeStream.foreachBatch(
+                    dedup_admission_applier(spark, "t_adm3", str(out))
+                )
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            admitted = sorted(
+                r.doc_id for r in spark.read.parquet(str(out)).collect()
+            )
+            # whichever batch carried doc 20 vs 21: exactly one of the
+            # two OTHER copies survives, plus the unrelated BASE doc
+            assert admitted in ([20, 22], [21, 22])
+            idx = sorted(
+                r.doc_id
+                for r in spark.table("t_adm3_shingles")
+                .select("doc_id")
+                .collect()
+            )
+            assert idx == admitted
+        finally:
+            for t in ("t_adm3_shingles", "t_adm3_buckets"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
 
 class TestStreamingBatchHandoff:
     """Stream and weekly batch merge sharing one export lineage through the
