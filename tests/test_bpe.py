@@ -95,3 +95,12 @@ class TestBpeMergeTable:
             got = _run(spark, texts, 3)
             ref = sorted(_ref_bpe(texts, 3))
             assert got == ref, (case, texts)
+
+    def test_pair_exhausted_corpus_truncates(self, spark):
+        """Single-token docs have no adjacent pairs: training emits no
+        merges (never fabricates), and a corpus that exhausts its pairs
+        mid-run truncates the merge table instead of looping."""
+        assert _run(spark, ["a", "b", "c"], 3) == []
+        # "a b" fuses round 1 into one token; rounds 2-3 have no pairs
+        got = _run(spark, ["a b"], 3)
+        assert got == [(1, "a", "b", 1, "a+b")]
