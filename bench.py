@@ -189,6 +189,47 @@ def _loadavg() -> list[float] | None:
 _NOISE_RATIO = 1.5
 
 
+def _load_gate() -> dict:
+    """Run-level host-load gate: refuse to emit numbers from a loaded host.
+
+    The per-entry median/best retry above cannot catch UNIFORMLY loaded
+    repeats -- when the host is busy for an entry's whole repeat set, best
+    and median rise together and the ratio stays clean (r7 lesson: the
+    committed BENCH_r07 started at load1 10.5 and overstated the write
+    family ~1.7x vs a quiet probe).  So the run itself is gated: before
+    any Spark work starts, poll the 1-min loadavg until it drops below
+    SPARK_GRAFT_BENCH_MAX_LOAD1 (default 4.0 on this 32-CPU host) or the
+    SPARK_GRAFT_BENCH_LOAD_WAIT_S budget (default 900s) runs out.  On
+    timeout the run ABORTS with exit code 75 (EX_TEMPFAIL) after printing
+    a distinct bench_load_gate_abort line -- no numbers beat wrong numbers.
+
+    Only the run START is gated: once the bench is running, local[32]
+    saturates the host with its own tasks, so mid-run loadavg measures us,
+    not external noise (per-entry gating would deadlock against our own
+    load; per-entry load1_at_start is still recorded as evidence)."""
+    threshold = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD1", "4.0"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "900"))
+    poll_s = 15.0
+    waited = 0.0
+    load = _loadavg()
+    gate = {
+        "threshold": threshold,
+        "load1_at_gate": None if load is None else load[0],
+        "waited_s": 0.0,
+        "aborted": False,
+    }
+    while load is not None and load[0] > threshold and waited < budget_s:
+        step = min(poll_s, budget_s - waited)
+        time.sleep(step)
+        waited += step
+        load = _loadavg()
+    gate["waited_s"] = round(waited, 1)
+    gate["load1_at_gate_pass"] = None if load is None else load[0]
+    if load is not None and load[0] > threshold:
+        gate["aborted"] = True
+    return gate
+
+
 def _run_batch(spark, run_once, repeats: int):
     """One batch of timed repeats; stage metrics profiled on the last."""
     times: list[float] = []
@@ -239,6 +280,20 @@ def _timed_record(spark, run_once, repeats: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    gate = _load_gate()
+    if gate["aborted"]:
+        # distinct, parseable abort record as the LAST line; exit 75 so a
+        # caller can tell "host too loaded" from a bench failure
+        print(
+            json.dumps(
+                {
+                    "metric": "bench_load_gate_abort",
+                    "load_gate": gate,
+                    "sf": sf,
+                }
+            )
+        )
+        sys.exit(75)
     spark = get_session(app_name="cdi-engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -325,6 +380,7 @@ def main() -> None:
         "loadavg_start": load_start,
         "loadavg_end": load_end,
         "repeats": repeats,
+        "load_gate": gate,
     }
 
     # The driver captures the tail of stdout and parses the LAST line

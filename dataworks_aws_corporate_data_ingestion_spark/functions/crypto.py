@@ -107,6 +107,13 @@ def aes_ctr_encrypt(plaintext: str, data_key_b64: str, iv_b64: str) -> str:
     ).decode("ascii")
 
 
+class KeyMaterialError(ValueError):
+    """The key service answered but could not decrypt THIS record's key
+    (refused key material) -- a per-record failure, distinct from the
+    service being unreachable.  Subclasses ValueError so permissive-mode
+    quarantine policy can treat it like any other bad-key-material error."""
+
+
 class KeyService(Protocol):
     """Resolves an encrypted data key to its plaintext (base64)."""
 
@@ -180,7 +187,7 @@ class HttpKeyService:
         )
         content = response.json()
         if "plaintextDataKey" not in content:
-            raise RuntimeError("key service returned no plaintextDataKey")
+            raise KeyMaterialError("key service returned no plaintextDataKey")
         return content["plaintextDataKey"]
 
 

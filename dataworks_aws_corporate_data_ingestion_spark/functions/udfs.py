@@ -33,6 +33,16 @@ from .crypto import (
     aes_ctr_decrypt_batch,
 )
 
+# Exceptions that mean THIS RECORD's key material is bad -- malformed
+# base64 (binascii.Error is a ValueError), wrong key shape, or the key
+# service explicitly refusing the key (KeyMaterialError, a ValueError) --
+# as opposed to the service being unreachable.  Permissive mode quarantines
+# ONLY these; connectivity/transport failures (requests.ConnectionError,
+# socket errors, retries exhausted) propagate and fail the task so Spark
+# retries it: a transient DKS outage must not silently divert a whole
+# batch to quarantine as 'undecryptable'.
+_RECORD_KEY_ERRORS = (ValueError, TypeError, KeyError)
+
 
 def _decrypt_series(
     client: CachingKeyClient,
@@ -52,8 +62,10 @@ def _decrypt_series(
     key, non-UTF-8 plaintext) yields None instead of raising -- the
     caller diverts Nones to the quarantine branch so one poison record
     cannot fail a whole day.  Success always yields a str, so None is an
-    unambiguous failure marker.  Default stays strict (reference
-    steps/dks.py:142-143 raises)."""
+    unambiguous failure marker.  Transient service/connectivity failures
+    are NOT quarantined even when permissive (_RECORD_KEY_ERRORS) -- they
+    fail the task so Spark's retry machinery handles them.  Default stays
+    strict (reference steps/dks.py:142-143 raises)."""
     import base64
 
     ct_list = ciphertext.tolist()
@@ -72,7 +84,10 @@ def _decrypt_series(
             continue
         try:
             keys[i] = client.data_key(ek, kek)
-        except Exception:
+        except _RECORD_KEY_ERRORS:
+            # record-shaped failure: quarantine this record only.
+            # Anything else (connectivity, service outage) propagates
+            # even in permissive mode -- see _RECORD_KEY_ERRORS.
             if not permissive:
                 raise
             failed[i] = True

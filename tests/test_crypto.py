@@ -136,8 +136,14 @@ class TestHttpKeyService:
     def test_missing_plaintext_raises(self):
         import pytest
 
+        from dataworks_aws_corporate_data_ingestion_spark.functions.crypto import (
+            KeyMaterialError,
+        )
+
         svc, _ = self._service_with_stub([{"error": "denied"}])
-        with pytest.raises(RuntimeError, match="plaintextDataKey"):
+        # KeyMaterialError is a ValueError: a record-shaped refusal that
+        # permissive mode may quarantine, unlike connectivity failures
+        with pytest.raises(KeyMaterialError, match="plaintextDataKey"):
             svc.decrypt_data_key("enc-key", "kek-9")
 
     def test_retry_adapter_configured(self):
@@ -294,3 +300,54 @@ class TestBatchDecrypt:
         )
 
         assert aes_ctr_decrypt_batch([], b"\x00" * 16, []) == []
+
+
+class TestPermissiveKeyLookupErrorScope:
+    """Permissive mode quarantines RECORD-shaped key failures only: a
+    transient service/connectivity failure must propagate and fail the
+    task (so Spark retries it), never silently divert the whole batch to
+    quarantine as 'undecryptable' (r7 advisor finding, udfs.py)."""
+
+    def _run(self, service, permissive=True):
+        import pandas as pd
+
+        from dataworks_aws_corporate_data_ingestion_spark.functions.udfs import (
+            _decrypt_series,
+        )
+
+        key_b64 = base64.b64encode(b"0" * 16).decode()
+        iv_b64 = base64.b64encode(b"1" * 16).decode()
+        ct_b64 = aes_ctr_encrypt("hello", key_b64, iv_b64)
+        client = CachingKeyClient(service, cache={})
+        return _decrypt_series(
+            client,
+            pd.Series([ct_b64]),
+            pd.Series([key_b64]),
+            pd.Series([iv_b64]),
+            pd.Series(["kek1"]),
+            permissive=permissive,
+        )
+
+    def test_record_shaped_refusal_quarantines(self):
+        from dataworks_aws_corporate_data_ingestion_spark.functions.crypto import (
+            KeyMaterialError,
+        )
+
+        class RefusingService:
+            def decrypt_data_key(self, encrypted_key, kek_id):
+                raise KeyMaterialError("no plaintextDataKey for this key")
+
+        assert self._run(RefusingService()) == [None]
+
+    def test_connectivity_failure_propagates_even_permissive(self):
+        import pytest
+
+        class OutageService:
+            def decrypt_data_key(self, encrypted_key, kek_id):
+                raise ConnectionError("DKS unreachable")
+
+        with pytest.raises(ConnectionError):
+            self._run(OutageService(), permissive=True)
+
+    def test_clean_record_still_decrypts(self):
+        assert self._run(IdentityKeyService()) == ["hello"]

@@ -194,6 +194,17 @@ def main() -> int:
         pts = sorted(
             ((float(s), p["best_sec"]) for s, p in rec["points"].items())
         )
+        if len(pts) < 2:
+            # single-point targeted rerun (fresh --out, one --sfs value):
+            # exponents are undefined -- keep the measurement, skip the fit
+            for k in (
+                "exponent_full",
+                "exponent_top_decade",
+                "top_decade_sfs",
+                "overhead_dominated_sfs_excluded",
+            ):
+                rec.pop(k, None)
+            return
         fit_pts = list(pts)
         dropped = []
         while len(fit_pts) > 2 and fit_pts[0][1] > fit_pts[1][1]:
@@ -232,8 +243,8 @@ def main() -> int:
             )
         )
         print(
-            f"| {name} | {pts} | {rec['exponent_full']} |"
-            f" {rec['exponent_top_decade']} |"
+            f"| {name} | {pts} | {rec.get('exponent_full', '-')} |"
+            f" {rec.get('exponent_top_decade', '-')} |"
         )
     spark.stop()
     return 0
