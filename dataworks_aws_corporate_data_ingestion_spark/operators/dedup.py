@@ -124,25 +124,67 @@ def lsh_band_buckets(
 
 
 def lsh_candidate_pairs(
-    buckets: DataFrame, id_col: str = "doc_id"
+    buckets: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct same-bucket id pairs (a < b).
 
     Scale notes: the self-join shuffles on (band_id, band_hash), so only
-    genuinely colliding rows meet; hot buckets (boilerplate shingles) are
-    split by AQE skew handling."""
+    genuinely colliding rows meet; AQE skew handling splits a hot bucket's
+    SHUFFLE PARTITION, but the candidate-pair OUTPUT still grows O(f^2)
+    inside one bucket of f members (boilerplate-heavy corpora at 100 TB).
+
+    `max_bucket_size` bounds that blow-up: a bucket with f > cap members
+    emits STAR pairs (bucket-min id -> each other member, f-1 pairs)
+    instead of all f(f-1)/2.  Members of an oversized band bucket agree
+    on r consecutive minhash values -- near-certain duplicates of each
+    other -- so for dedup/clustering consumers the star preserves exactly
+    what matters: every member stays connected to the bucket (downstream
+    connected-components closes the cluster transitively), and every
+    emitted pair still passes exact-jaccard verification.  What is given
+    up is the exhaustive DIRECT pair listing within hot buckets; a
+    consumer that needs all pairs leaves the cap at None (the default,
+    bit-identical to the uncapped plan)."""
     left = buckets.select(
         F.col(id_col).alias("a"), "band_id", "band_hash"
     )
     right = buckets.select(
         F.col(id_col).alias("b"), "band_id", "band_hash"
     )
-    return (
-        left.join(right, ["band_id", "band_hash"])
+    if max_bucket_size is None:
+        return (
+            left.join(right, ["band_id", "band_hash"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+    from pyspark.sql import Window
+
+    # one window pass annotates size + representative (min id) per
+    # bucket; the exchange it introduces is on the same (band_id,
+    # band_hash) keys the self-join needs, so the shuffle is shared
+    w = Window.partitionBy("band_id", "band_hash")
+    annotated = (
+        buckets.select(F.col(id_col).alias("a"), "band_id", "band_hash")
+        .withColumn("__f", F.count(F.lit(1)).over(w))
+        .withColumn("__rep", F.min("a").over(w))
+    )
+    small = annotated.filter(F.col("__f") <= max_bucket_size)
+    small_pairs = (
+        small.select("a", "band_id", "band_hash")
+        .join(
+            small.select(F.col("a").alias("b"), "band_id", "band_hash"),
+            ["band_id", "band_hash"],
+        )
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
     )
+    # rep is the bucket MINIMUM, so (rep, member) is already ordered
+    star_pairs = annotated.filter(
+        (F.col("__f") > max_bucket_size) & (F.col("a") != F.col("__rep"))
+    ).select(F.col("__rep").alias("a"), F.col("a").alias("b"))
+    return small_pairs.unionByName(star_pairs).distinct()
 
 
 def verify_pairs_jaccard(
@@ -173,9 +215,15 @@ def near_dup_pairs_minhash(
     k: int = 3,
     bands: int = 16,
     rows: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full minhash+LSH near-duplicate pipeline: shingle -> sign -> band ->
-    bucket-join -> verify.  Returns (a, b, jaccard_sim) pairs."""
+    bucket-join -> verify.  Returns (a, b, jaccard_sim) pairs.
+
+    `max_bucket_size` caps the per-bucket candidate blow-up for
+    boilerplate-heavy corpora (see lsh_candidate_pairs): oversized
+    buckets emit star pairs, preserving cluster connectivity while
+    bounding output at f-1 per bucket instead of f^2/2."""
     # shingling + signatures are CPU-bound per row: spread them over every
     # core regardless of how few input splits the corpus arrived in
     docs = fan_out(docs)
@@ -193,7 +241,9 @@ def near_dup_pairs_minhash(
     )
     signed = minhash_signatures(with_shingles)
     buckets = lsh_band_buckets(signed, id_col=id_col, bands=bands, rows=rows)
-    candidates = lsh_candidate_pairs(buckets, id_col=id_col)
+    candidates = lsh_candidate_pairs(
+        buckets, id_col=id_col, max_bucket_size=max_bucket_size
+    )
     return verify_pairs_jaccard(
         candidates, with_shingles, id_col=id_col, threshold=threshold
     )

@@ -204,13 +204,17 @@ def append_to_search_index(
         .localCheckpoint(eager=True)
     )
     merged_dfs.write.mode("overwrite").saveAsTable(f"{prefix}_dfs")
+    stored_stats = spark.table(f"{prefix}_stats")
+    applied = _stats_del_applied(stored_stats)
     merged_stats = (
-        spark.table(f"{prefix}_stats")
+        stored_stats.select("n_docs", "sum_dl")
         .unionByName(corpus_stats(delta))
         .agg(
             F.sum("n_docs").cast("bigint").alias("n_docs"),
             F.sum("sum_dl").cast("bigint").alias("sum_dl"),
         )
+        # carry the deletion watermark through (see delete_from_search_index)
+        .withColumn("n_del_applied", F.lit(applied).cast("bigint"))
         .localCheckpoint(eager=True)
     )
     merged_stats.write.mode("overwrite").saveAsTable(f"{prefix}_stats")
@@ -258,6 +262,16 @@ def _tombstone_table(prefix: str) -> str:
     return f"{prefix}_deleted"
 
 
+def _stats_del_applied(stats: DataFrame) -> int:
+    """Deletion watermark stored on the stats row: how many tombstone
+    rows the dims currently reflect (0 when the column predates the
+    watermark or the row is missing)."""
+    if "n_del_applied" not in stats.columns:
+        return 0
+    rows = stats.select("n_del_applied").collect()
+    return int(rows[0][0] or 0) if rows else 0
+
+
 def delete_from_search_index(
     spark, doc_ids: DataFrame, prefix: str, id_col: str = "doc_id"
 ) -> None:
@@ -267,7 +281,7 @@ def delete_from_search_index(
     search results too, and a 100 TB postings rewrite per erasure batch
     is not viable).
 
-    Protocol (idempotent per id):
+    Protocol (idempotent per id AND per crash window):
 
       1. incoming ids are anti-joined against the existing tombstone
          set, so re-deleting an id cannot double-subtract dimensions;
@@ -280,30 +294,51 @@ def delete_from_search_index(
          broadcast id set -- erasure batches are small by nature), so
          rankings equal a from-scratch rebuild on the surviving corpus
          (terms whose df reaches 0 are dropped, as a rebuild omits
-         them).
+         them).  The stats rewrite carries `n_del_applied` -- the
+         tombstone count the dims now reflect -- as the COMMIT MARKER
+         for the whole step (dfs is written before stats, so a stats
+         row whose watermark matches the tombstone count proves both
+         dims landed).
 
-    A crash between 2 and 3 leaves dims overcounting deleted docs --
-    results stay correct (the docs are tombstoned) but idf/avgdl are
-    slightly stale; `compact_search_index` restores exactness.  Cost
-    per deletion batch: one postings scan + vocabulary-sized dim
-    rewrites; the postings bytes are untouched until compaction."""
+    Crash recovery (r7 advisor finding: a replayed delete used to be a
+    no-op -- ids already tombstoned -> nothing subtracted -> stale dims
+    persisted until a full compaction): any entry detects
+    `n_del_applied` < tombstone count and runs
+    `heal_search_index_dims`, which RECOMPUTES the affected terms' df
+    and the global stats from (postings minus the full tombstone set)
+    -- a pure function of ground truth, so it converges no matter where
+    the previous attempt died (even between the dfs and stats writes).
+    The heal pays extra postings scans; the crash-free path keeps the
+    original one-scan incremental subtraction."""
     ids = (
         doc_ids.select(F.col(id_col).alias("doc_id"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     tomb = _tombstone_table(prefix)
+    n_tomb_before = 0
     if spark.catalog.tableExists(tomb):
         ids = ids.join(
             spark.table(tomb), "doc_id", "left_anti"
         ).localCheckpoint(eager=True)
+        n_tomb_before = spark.table(tomb).count()
     else:
         # a fresh session may still see the last session's warehouse dir
         from ..sinks.bucketing import _clear_orphan_location
 
         _clear_orphan_location(spark, tomb)
+    applied = _stats_del_applied(spark.table(f"{prefix}_stats"))
     ids.write.mode("append").format("parquet").saveAsTable(tomb)
+    if applied < n_tomb_before:
+        # a previous delete died between its tombstone append and its
+        # dim commit: recompute from ground truth (handles this batch's
+        # fresh ids in the same pass)
+        heal_search_index_dims(spark, prefix)
+        return
 
+    n_fresh = ids.count()
+    if n_fresh == 0:
+        return
     removed = (
         spark.table(f"{prefix}_postings")
         .join(F.broadcast(ids), "doc_id")
@@ -326,6 +361,7 @@ def delete_from_search_index(
     merged_dfs.write.mode("overwrite").saveAsTable(f"{prefix}_dfs")
     merged_stats = (
         spark.table(f"{prefix}_stats")
+        .select("n_docs", "sum_dl")
         .unionByName(
             corpus_stats(removed).select(
                 (-F.col("n_docs")).alias("n_docs"),
@@ -336,9 +372,78 @@ def delete_from_search_index(
             F.sum("n_docs").cast("bigint").alias("n_docs"),
             F.sum("sum_dl").cast("bigint").alias("sum_dl"),
         )
+        .withColumn(
+            "n_del_applied",
+            F.lit(n_tomb_before + n_fresh).cast("bigint"),
+        )
         .localCheckpoint(eager=True)
     )
     merged_stats.write.mode("overwrite").saveAsTable(f"{prefix}_stats")
+
+
+def heal_search_index_dims(spark, prefix: str) -> None:
+    """Idempotent dim reconstruction after an interrupted delete:
+    recompute the df of every term any tombstoned doc touches, and the
+    global (n_docs, sum_dl), from (postings minus the FULL tombstone
+    set).  Pure function of the stored postings + tombstones, so it
+    gives the same answer no matter which subset of a previous delete's
+    writes landed; stamps the stats watermark to the tombstone count it
+    now reflects.  Cost: two postings scans (affected-term discovery +
+    live recount) and one full-postings aggregate -- heavier than the
+    incremental path, run only on detected inconsistency (or directly,
+    as a cheap alternative to full compaction)."""
+    tomb = _tombstone_table(prefix)
+    if not spark.catalog.tableExists(tomb):
+        return
+    tomb_ids = (
+        spark.table(tomb).select("doc_id").distinct().localCheckpoint(eager=True)
+    )
+    n_tomb = tomb_ids.count()
+    postings = spark.table(f"{prefix}_postings")
+    # terms whose df may be wrong: every term of every tombstoned doc
+    # (tombstoned postings stay physical until compaction, so this
+    # covers all earlier crashed batches too)
+    affected = (
+        postings.join(F.broadcast(tomb_ids), "doc_id")
+        .select("term")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # true df over the surviving corpus, affected terms only; the join
+    # on term hits the bucketed postings layout exchange-free
+    recount = (
+        postings.join(affected, "term")
+        .join(F.broadcast(tomb_ids), "doc_id", "left_anti")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__new"))
+    )
+    merged_dfs = (
+        spark.table(f"{prefix}_dfs")
+        .join(affected.withColumn("__aff", F.lit(1)), "term", "left")
+        .join(recount, "term", "left")
+        .select(
+            "term",
+            F.when(
+                F.col("__aff") == 1, F.coalesce(F.col("__new"), F.lit(0))
+            )
+            .otherwise(F.col("df"))
+            .cast("bigint")
+            .alias("df"),
+        )
+        .filter(F.col("df") > 0)
+        .localCheckpoint(eager=True)
+    )
+    merged_dfs.write.mode("overwrite").saveAsTable(f"{prefix}_dfs")
+    live_stats = (
+        corpus_stats(postings.join(F.broadcast(tomb_ids), "doc_id", "left_anti"))
+        .select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("sum_dl").cast("bigint").alias("sum_dl"),
+        )
+        .withColumn("n_del_applied", F.lit(n_tomb).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    live_stats.write.mode("overwrite").saveAsTable(f"{prefix}_stats")
 
 
 def live_index_frames(spark, prefix: str):
@@ -390,7 +495,14 @@ def compact_search_index(spark, prefix: str) -> None:
     stored = spark.table(f"{prefix}_postings")
     for suffix, frame in (
         ("dfs", term_stats(stored)),
-        ("stats", corpus_stats(stored)),
+        (
+            "stats",
+            corpus_stats(stored).withColumn(
+                # tombstones are physically gone: the watermark resets
+                "n_del_applied",
+                F.lit(0).cast("bigint"),
+            ),
+        ),
     ):
         frame.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(
             f"{prefix}_{suffix}"

@@ -166,13 +166,37 @@ def batch_content_token(
     batch_df: DataFrame, id_col: str = "doc_id"
 ) -> int:
     """Deterministic 62-bit token from the batch's doc-id set (order
-    independent; a replay of the same source offsets reproduces it)."""
-    row = batch_df.agg(
-        F.sum(
-            F.xxhash64(F.col(id_col).cast("string")).cast("decimal(38,0)")
-        ).alias("t")
+    independent; a replay of the same source offsets reproduces it).
+
+    The token mixes THREE order-independent combiners of the per-id
+    xxhash64 values -- sum, xor, and row count -- through one final
+    non-additive hash (blake2b).  A plain additive sum (the r7 scheme)
+    admits structurally-easy multiset collisions (any two id-sets whose
+    hash sums coincide mod 2^62, and every empty batch mapped to 0); a
+    colliding fresh batch would be silently treated as already-committed
+    and its gram/count contribution dropped.  Sum and xor cannot be
+    equalised by the same rearrangement (xor is not additive), and the
+    count pins the multiset size, so a collision now needs all three to
+    agree AND blake2b to collide on the packed triple.  Kept under 2^62
+    so stream batch ids offset by (1 << 62) stay disjoint."""
+    import hashlib
+    import struct as _struct
+
+    hashed = batch_df.select(
+        F.xxhash64(F.col(id_col).cast("string")).alias("h")
+    )
+    row = hashed.agg(
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+        F.expr("bit_xor(h)").alias("x"),
+        F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    return int(row.t or 0) % (1 << 62)
+    s = int(row.s or 0) % (1 << 64)
+    x = int(row.x or 0) & ((1 << 64) - 1)
+    n = int(row.n or 0)
+    digest = hashlib.blake2b(
+        _struct.pack("<QQQ", s, x, n), digest_size=8
+    ).digest()
+    return _struct.unpack("<Q", digest)[0] % (1 << 62)
 
 
 def admit_span_batch(

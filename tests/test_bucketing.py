@@ -401,6 +401,78 @@ class TestSearchIndexDeletion:
         assert again == first
         assert (stats1.n_docs, stats1.sum_dl) == (stats2.n_docs, stats2.sum_dl)
 
+    def test_replay_after_crashed_dims_heals(self, spark, full_index):
+        """Crash window (r7 advisor): tombstones appended but the dims
+        correction never ran.  A REPLAY of the same delete used to be a
+        no-op (ids already tombstoned -> nothing subtracted) leaving
+        df/idf/avgdl stale until full compaction.  The stats watermark
+        (n_del_applied) must now detect the gap and the replay must heal
+        dims to rebuild-exact values."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.search import (
+            delete_from_search_index,
+            live_index_frames,
+        )
+
+        docs = full_index
+        erased = docs.filter("doc_id % 7 = 1").select("doc_id").distinct()
+        # simulate the crash: tombstone append landed, dims untouched
+        erased.write.mode("append").format("parquet").saveAsTable(
+            "t_bm25d_deleted"
+        )
+        # replay of the same delete: every id is already tombstoned
+        delete_from_search_index(spark, erased, "t_bm25d")
+        s = spark.table("t_bm25d_stats").collect()[0]
+        w = self._rebuild_frames(docs.filter("doc_id % 7 != 1"))[2].collect()[0]
+        assert (s.n_docs, s.sum_dl) == (w.n_docs, w.sum_dl)
+        got = self._search(spark, live_index_frames(spark, "t_bm25d"))
+        want = self._search(
+            spark, self._rebuild_frames(docs.filter("doc_id % 7 != 1"))
+        )
+        assert got == want
+        # dfs exact too, term by term
+        from dataworks_aws_corporate_data_ingestion_spark.operators.search import (
+            term_stats,
+            build_postings,
+        )
+
+        got_dfs = {
+            (r.term, r.df) for r in spark.table("t_bm25d_dfs").collect()
+        }
+        want_dfs = {
+            (r.term, r.df)
+            for r in term_stats(
+                build_postings(docs.filter("doc_id % 7 != 1"))
+            ).collect()
+        }
+        assert got_dfs == want_dfs
+
+    def test_heal_is_idempotent(self, spark, full_index):
+        """heal_search_index_dims is a pure function of postings +
+        tombstones: running it twice (replay after ANY partial progress)
+        must converge to the same rebuild-exact state."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.search import (
+            heal_search_index_dims,
+        )
+
+        docs = full_index
+        erased = docs.filter("doc_id % 5 = 2").select("doc_id").distinct()
+        erased.write.mode("append").format("parquet").saveAsTable(
+            "t_bm25d_deleted"
+        )
+        heal_search_index_dims(spark, "t_bm25d")
+        first = (
+            sorted(tuple(r) for r in spark.table("t_bm25d_dfs").collect()),
+            spark.table("t_bm25d_stats").collect()[0],
+        )
+        heal_search_index_dims(spark, "t_bm25d")
+        second = (
+            sorted(tuple(r) for r in spark.table("t_bm25d_dfs").collect()),
+            spark.table("t_bm25d_stats").collect()[0],
+        )
+        assert first == second
+        w = self._rebuild_frames(docs.filter("doc_id % 5 != 2"))[2].collect()[0]
+        assert (first[1].n_docs, first[1].sum_dl) == (w.n_docs, w.sum_dl)
+
     def test_compact_matches_rebuild_and_clears_tombstones(
         self, spark, full_index
     ):

@@ -140,6 +140,104 @@ class TestMinhashLsh:
         assert len(exact) > 0  # the corpus plants near-duplicates
 
 
+class TestLshHotBucketCap:
+    """A planted hot band bucket (f identical boilerplate docs) must not
+    emit O(f^2) candidate pairs when max_bucket_size is set: oversized
+    buckets emit star pairs (bucket-min -> member), keeping every member
+    connected for downstream clustering while bounding output at f-1
+    (r7 verdict #3: AQE splits the shuffle partition, not the pair
+    blow-up)."""
+
+    F_HOT = 40
+
+    def _docs(self, spark):
+        # 40 identical boilerplate docs (every band bucket is hot) plus
+        # unique fillers whose buckets stay singletons
+        boiler = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [(f"hot{i:03d}", boiler) for i in range(self.F_HOT)]
+        rows += [
+            (
+                f"uniq{i:03d}",
+                " ".join(f"w{i}x{j}" for j in range(8)),
+            )
+            for i in range(20)
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_candidate_count_bounded(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.dedup import (
+            lsh_band_buckets,
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+        from dataworks_aws_corporate_data_ingestion_spark.functions.text import (
+            word_shingles,
+        )
+
+        docs = self._docs(spark)
+        sh = docs.select(
+            "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
+        )
+        buckets = lsh_band_buckets(minhash_signatures(sh))
+        uncapped = lsh_candidate_pairs(buckets).count()
+        capped = lsh_candidate_pairs(buckets, max_bucket_size=8)
+        got = {(r["a"], r["b"]) for r in capped.collect()}
+        # uncapped: all-pairs over 40 identical docs
+        assert uncapped == self.F_HOT * (self.F_HOT - 1) // 2
+        # capped: one star -- bucket-min to each other member
+        rep = min(f"hot{i:03d}" for i in range(self.F_HOT))
+        assert got == {
+            (rep, f"hot{i:03d}")
+            for i in range(self.F_HOT)
+            if f"hot{i:03d}" != rep
+        }
+
+    def test_connectivity_and_normal_pairs_survive(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.graph import (
+            connected_components,
+        )
+
+        docs = self._docs(spark)
+        # plant one ordinary near-dup pair, below the cap
+        extra = spark.createDataFrame(
+            [
+                ("pair_a", "alpha beta gamma delta epsilon zeta eta theta"),
+                ("pair_b", "alpha beta gamma delta epsilon zeta eta iota"),
+            ],
+            ["doc_id", "text"],
+        )
+        pairs = near_dup_pairs_minhash(
+            docs.unionByName(extra), threshold=0.5, max_bucket_size=8
+        )
+        got = {(r["a"], r["b"]) for r in pairs.collect()}
+        assert ("pair_a", "pair_b") in got
+        # the hot cluster stays fully connected through the star
+        cc = connected_components(
+            pairs.select("a", "b"), src="a", dst="b"
+        )
+        comp = {
+            r["node"]: r["component"]
+            for r in cc.collect()
+            if r["node"].startswith("hot")
+        }
+        assert len(comp) == self.F_HOT
+        assert len(set(comp.values())) == 1
+
+    def test_cap_above_bucket_sizes_is_identity(self, spark):
+        docs = self._docs(spark)
+        base = {
+            (r["a"], r["b"], r["jaccard_sim"])
+            for r in near_dup_pairs_minhash(docs).collect()
+        }
+        wide = {
+            (r["a"], r["b"], r["jaccard_sim"])
+            for r in near_dup_pairs_minhash(
+                docs, max_bucket_size=10_000
+            ).collect()
+        }
+        assert base == wide
+
+
 class TestAnnLsh:
     def test_recall_against_brute_force(self, spark):
         emb = load_table(spark, "embeddings", SF)
