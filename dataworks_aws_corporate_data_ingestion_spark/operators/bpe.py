@@ -31,12 +31,35 @@ Spark-first design, per round:
      k linear passes, each shuffling only the vocabulary-sized pair
      counts.
 
-At 100 TB: the per-round shuffle is pair-vocabulary-sized partial
-counts (map-side combined), the merge table is kilobytes, and the
-corpus rewrite is a narrow map -- the same cost envelope as the
-distributed trainers behind real BPE vocabularies.  k is small in
-practice here (the registry query uses 4); production trainers run the
-identical loop to ~30k merges with the counting pass incrementalised.
+INCREMENTAL COUNTING (the classic trainer optimisation, production
+round-counts): a full adjacent-pair recount per round costs k corpus
+enumerations for k merges.  But fusing (w1, w2) -> m only changes pair
+counts INSIDE documents that contain the adjacent pair: (prev, w1)
+and (w2, next) occurrences lose members, (prev, m) / (m, next) / the
+fused pair itself gain or vanish.  So the trainer materialises the
+pair-count table ONCE (round 1), then per round:
+
+  affected  = docs where ' '||t||' ' contains ' w1 w2 '   (narrow scan)
+  delta     = pair_counts(fuse(affected)) - pair_counts(affected)
+  counts'   = counts + delta, rows with count <= 0 dropped
+  corpus'   = unaffected UNION fused(affected)
+
+The counting/enumeration cost per merge is proportional to the merged
+pair's document footprint (which falls fast as rounds progress --
+later merges are rarer pairs), not to the corpus; the only full-corpus
+work per round is one narrow contains() scan and the checkpoint
+rewrite.  `incremental=False` keeps the naive full-recount path; a
+seeded pytest sweep pins the two bit-identical (the maintained count
+table equals a fresh recount by construction, so the selected merge
+sequence cannot drift).
+
+At 100 TB: the per-round shuffle is the delta pair counts plus the
+vocabulary-sized maintained table (map-side combined), the merge table
+is kilobytes, and the corpus rewrite is a narrow map -- the same cost
+envelope as the distributed trainers behind real BPE vocabularies,
+with the per-merge enumeration cost now footprint-sized, which is what
+makes 30k-merge vocabularies tractable (measured k-sweep in
+SCALE_DECADE.json: per-merge cost falls as k grows).
 
 The fused-token separator is '+' (documents here are lowercase
 [a-z0-9 ] synthetic text, so '+' cannot collide with corpus bytes);
@@ -75,10 +98,10 @@ def _adjacent_pair_counts(cur: DataFrame) -> DataFrame:
     )
 
 
-def _fuse(best: DataFrame, cur: DataFrame) -> DataFrame:
-    """Apply the broadcast 1-row best pair to every document: the
-    doubled-separator literal replace described in the module
-    docstring."""
+def _fuse_tagged(tagged: DataFrame) -> DataFrame:
+    """Apply the (bw1, bw2) best-pair columns already present on
+    `tagged` to its text column: the doubled-separator literal replace
+    described in the module docstring.  Returns (doc_id, t)."""
     doubled = F.concat(
         F.lit(" "), F.replace(F.col("t"), F.lit(" "), F.lit("  ")), F.lit(" ")
     )
@@ -88,17 +111,95 @@ def _fuse(best: DataFrame, cur: DataFrame) -> DataFrame:
     rep = F.concat(
         F.lit(" "), F.col("bw1"), F.lit(JOIN_CH), F.col("bw2"), F.lit(" ")
     )
-    return (
-        cur.crossJoin(F.broadcast(best))
-        .select(
-            "doc_id",
-            F.trim(
-                F.replace(
-                    F.replace(doubled, pat, rep), F.lit("  "), F.lit(" ")
-                )
-            ).alias("t"),
-        )
+    return tagged.select(
+        "doc_id",
+        F.trim(
+            F.replace(F.replace(doubled, pat, rep), F.lit("  "), F.lit(" "))
+        ).alias("t"),
     )
+
+
+def _fuse(best: DataFrame, cur: DataFrame) -> DataFrame:
+    """Apply the broadcast 1-row best pair to every document."""
+    return _fuse_tagged(cur.crossJoin(F.broadcast(best)))
+
+
+def _top1(counts: DataFrame) -> DataFrame:
+    """Deterministic global best pair: count DESC, ties on (w1, w2)
+    byte order -- a TakeOrderedAndProject, pinned eagerly so each round
+    reuses it as a broadcast singleton."""
+    return (
+        counts.orderBy(F.desc("pair_count"), F.asc("w1"), F.asc("w2"))
+        .limit(1)
+        .select(
+            F.col("w1").alias("bw1"),
+            F.col("w2").alias("bw2"),
+            F.col("pair_count").alias("bcount"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _train(
+    cur: DataFrame, k: int, fuse_last: bool, incremental: bool
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared k-round trainer core.  Returns (per-round 1-row best
+    frames, final corpus).  `fuse_last` controls whether the k-th merge
+    is also applied to the corpus (apply path) or only recorded (train
+    path).  `incremental` selects maintained-delta pair counting over
+    the naive per-round full recount; the merge sequence is identical
+    either way."""
+    counts = _adjacent_pair_counts(cur)
+    if incremental:
+        counts = counts.localCheckpoint(eager=True)
+    rounds: list[DataFrame] = []
+    for r in range(1, k + 1):
+        best = _top1(counts)
+        rounds.append(best)
+        last = r == k
+        if last and not fuse_last:
+            break
+        tagged = cur.crossJoin(F.broadcast(best))
+        if not incremental:
+            cur = _fuse_tagged(tagged).localCheckpoint(eager=True)
+            if not last:
+                counts = _adjacent_pair_counts(cur)
+            continue
+        # adjacency probe on the single-space text: a doc contains the
+        # pair iff ' '||t||' ' contains ' w1 w2 ' (tokens are exactly
+        # the segments between spaces, so the padded literal match IS
+        # the split-adjacency test)
+        hit = F.coalesce(
+            F.contains(
+                F.concat(F.lit(" "), F.col("t"), F.lit(" ")),
+                F.concat(
+                    F.lit(" "),
+                    F.col("bw1"),
+                    F.lit(" "),
+                    F.col("bw2"),
+                    F.lit(" "),
+                ),
+            ),
+            F.lit(False),  # null text: no pairs, stays un-fused in corpus
+        )
+        affected = tagged.filter(hit)
+        untouched = tagged.filter(~hit).select("doc_id", "t")
+        fused = _fuse_tagged(affected)
+        if not last:
+            neg = _adjacent_pair_counts(affected).select(
+                "w1", "w2", (-F.col("pair_count")).alias("pair_count")
+            )
+            pos = _adjacent_pair_counts(fused)
+            counts = (
+                counts.unionByName(neg)
+                .unionByName(pos)
+                .groupBy("w1", "w2")
+                .agg(F.sum("pair_count").alias("pair_count"))
+                .filter(F.col("pair_count") > 0)
+                .localCheckpoint(eager=True)
+            )
+        cur = untouched.unionByName(fused).localCheckpoint(eager=True)
+    return rounds, cur
 
 
 def bpe_merge_table(
@@ -106,6 +207,7 @@ def bpe_merge_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 4,
+    incremental: bool = True,
 ) -> DataFrame:
     """Learn the first k BPE merges over the corpus.  Output one row per
     round: (merge_round, w1, w2, pair_count, merged) where `merged` is
@@ -116,40 +218,27 @@ def bpe_merge_table(
     '+' as a token byte (guaranteed for the synthetic documents table);
     texts with fewer than 2 tokens contribute nothing.
     """
-    cur = fan_out(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.lower(F.col(text_col)).alias("t"),
-    ).localCheckpoint(eager=True)
-
-    rounds = []
-    for r in range(1, k + 1):
-        counts = _adjacent_pair_counts(cur)
-        best = (
-            counts.orderBy(
-                F.desc("pair_count"), F.asc("w1"), F.asc("w2")
-            )
-            .limit(1)
-            .select(
-                F.col("w1").alias("bw1"),
-                F.col("w2").alias("bw2"),
-                F.col("pair_count").alias("bcount"),
-            )
-            .localCheckpoint(eager=True)
+    cur = (
+        fan_out(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.lower(F.col(text_col)).alias("t"),
         )
-        rounds.append(
-            best.select(
-                F.lit(r).cast("bigint").alias("merge_round"),
-                F.col("bw1").alias("w1"),
-                F.col("bw2").alias("w2"),
-                F.col("bcount").cast("bigint").alias("pair_count"),
-                F.concat(
-                    F.col("bw1"), F.lit(JOIN_CH), F.col("bw2")
-                ).alias("merged"),
-            )
+        .localCheckpoint(eager=True)
+    )
+    bests, _ = _train(cur, k, fuse_last=False, incremental=incremental)
+    rounds = [
+        best.select(
+            F.lit(r).cast("bigint").alias("merge_round"),
+            F.col("bw1").alias("w1"),
+            F.col("bw2").alias("w2"),
+            F.col("bcount").cast("bigint").alias("pair_count"),
+            F.concat(F.col("bw1"), F.lit(JOIN_CH), F.col("bw2")).alias(
+                "merged"
+            ),
         )
-        if r < k:
-            cur = _fuse(best, cur).localCheckpoint(eager=True)
-
+        for r, best in enumerate(bests, start=1)
+    ]
     out = rounds[0]
     for fr in rounds[1:]:
         out = out.unionByName(fr)
@@ -161,6 +250,7 @@ def bpe_apply(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 4,
+    incremental: bool = True,
 ) -> DataFrame:
     """Train k merges (same recurrence as bpe_merge_table) and return
     the corpus RE-TOKENISED under them: (doc_id, t) where t is the
@@ -169,21 +259,13 @@ def bpe_apply(
     train and apply cannot drift.  For segmenting NEW text against a
     stored merge table the identical _fuse chain applies, one literal
     replace per merge, all narrow maps."""
-    cur = fan_out(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.lower(F.col(text_col)).alias("t"),
-    ).localCheckpoint(eager=True)
-    for _ in range(k):
-        counts = _adjacent_pair_counts(cur)
-        best = (
-            counts.orderBy(
-                F.desc("pair_count"), F.asc("w1"), F.asc("w2")
-            )
-            .limit(1)
-            .select(
-                F.col("w1").alias("bw1"), F.col("w2").alias("bw2")
-            )
-            .localCheckpoint(eager=True)
+    cur = (
+        fan_out(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.lower(F.col(text_col)).alias("t"),
         )
-        cur = _fuse(best, cur).localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)
+    )
+    _, cur = _train(cur, k, fuse_last=True, incremental=incremental)
     return cur

@@ -104,3 +104,66 @@ class TestBpeMergeTable:
         # "a b" fuses round 1 into one token; rounds 2-3 have no pairs
         got = _run(spark, ["a b"], 3)
         assert got == [(1, "a", "b", 1, "a+b")]
+
+
+class TestBpeIncrementalCounting:
+    """The maintained-delta pair-count path (incremental=True, the
+    default) must be bit-identical to the naive full recount: the
+    count table after applying delta = counts(fused affected) -
+    counts(affected) equals a fresh recount of the fused corpus, so
+    the selected merge sequence cannot drift."""
+
+    def _both(self, spark, texts, k):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+        inc = sorted(
+            tuple(r)
+            for r in bpe_merge_table(df, k=k, incremental=True).collect()
+        )
+        full = sorted(
+            tuple(r)
+            for r in bpe_merge_table(df, k=k, incremental=False).collect()
+        )
+        return inc, full
+
+    def test_incremental_equals_full_recount_seeded_sweep(self, spark):
+        rng = random.Random(0xFADE)
+        vocab = ["a", "b", "c", "ab", "ba"]
+        for case in range(5):
+            texts = [
+                " ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(1, 14))
+                )
+                for _ in range(rng.randint(2, 7))
+            ]
+            inc, full = self._both(spark, texts, 5)
+            assert inc == full, (case, texts)
+            assert inc == sorted(_ref_bpe(texts, 5)), (case, texts)
+
+    def test_incremental_deep_k_exhaustion(self, spark):
+        """k far beyond the pair supply: both paths truncate at the
+        same round with identical tables."""
+        texts = ["a b a b", "b a"]
+        inc, full = self._both(spark, texts, 12)
+        assert inc == full == sorted(_ref_bpe(texts, 12))
+
+    def test_incremental_apply_matches_full(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.bpe import (
+            bpe_apply,
+        )
+
+        texts = ["a b a b c", "a b c d", "x x x x x", "a"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+        inc = sorted(
+            tuple(r) for r in bpe_apply(df, k=3, incremental=True).collect()
+        )
+        full = sorted(
+            tuple(r) for r in bpe_apply(df, k=3, incremental=False).collect()
+        )
+        assert inc == full
+        assert len(inc) == len(texts)  # no doc dropped (incl. pair-free)

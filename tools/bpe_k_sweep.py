@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Measured BPE merge-count sweep (r7 verdict "Next round #4").
+
+The question: does per-merge cost stay flat-or-falling as k grows
+toward production round-counts, i.e. is the incremental pair-count
+maintenance (operators/bpe.py::_train, incremental=True) actually
+footprint-sized per round rather than corpus-sized?  A full recount
+per round costs O(corpus) enumeration * k; the maintained-delta path
+pays the full enumeration once and then only the merged pair's
+document footprint per round.
+
+Measures bpe_merge_table at k in --ks (default 4 16 64) over the
+documents table at --sf (default .scaledata/sf1.0, 50k docs), plus the
+naive incremental=False path at the largest k for contrast, and merges
+a "bpe_k_sweep" section into SCALE_DECADE.json:
+
+  {"k": ..., "best_sec": ..., "sec_per_merge": ..., "mode": ...}
+
+Usage: python tools/bpe_k_sweep.py [--repeats N] [--ks 4 16 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--ks", nargs="*", type=int, default=[4, 16, 64])
+    p.add_argument("--sf-dir", default=os.path.join(REPO, ".scaledata", "sf1.0"))
+    p.add_argument("--out", default=os.path.join(REPO, "SCALE_DECADE.json"))
+    p.add_argument(
+        "--naive-k",
+        type=int,
+        default=None,
+        help="also measure incremental=False at this k (default: max of --ks)",
+    )
+    args = p.parse_args()
+
+    from bench import _end_repeat
+    from dataworks_aws_corporate_data_ingestion_spark.operators.bpe import (
+        bpe_merge_table,
+    )
+    from dataworks_aws_corporate_data_ingestion_spark.session import get_session
+
+    spark = get_session(app_name="cdi-bpe-k-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
+
+    # warm: codegen + shuffle infra, smallest k
+    bpe_merge_table(docs, k=2).write.format("noop").mode("overwrite").save()
+    _end_repeat(spark)
+
+    def measure(k: int, incremental: bool) -> dict:
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            bpe_merge_table(docs, k=k, incremental=incremental).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+            _end_repeat(spark)
+        best = min(times)
+        rec = {
+            "k": k,
+            "mode": "incremental" if incremental else "full_recount",
+            "best_sec": round(best, 3),
+            "sec_per_merge": round(best / k, 4),
+        }
+        print(
+            f"  k={k:3d} {rec['mode']:12s}: best {best:.3f}s "
+            f"({rec['sec_per_merge']:.4f}s/merge)",
+            flush=True,
+        )
+        return rec
+
+    points = [measure(k, True) for k in args.ks]
+    naive_k = args.naive_k if args.naive_k is not None else max(args.ks)
+    points.append(measure(naive_k, False))
+    spark.stop()
+
+    sweep = {
+        "sf_dir": args.sf_dir,
+        "repeats": args.repeats,
+        "points": points,
+    }
+    prior = {}
+    if os.path.exists(args.out):
+        with open(args.out) as fd:
+            prior = json.load(fd)
+    prior["bpe_k_sweep"] = sweep
+    with open(args.out, "w") as fd:
+        json.dump(prior, fd, indent=2)
+    print(f"merged bpe_k_sweep into {args.out}")
+
+    inc = [r for r in points if r["mode"] == "incremental"]
+    inc.sort(key=lambda r: r["k"])
+    ok = all(
+        b["sec_per_merge"] <= a["sec_per_merge"] * 1.05
+        for a, b in zip(inc, inc[1:])
+    )
+    print(f"per-merge cost flat-or-falling across ks: {ok}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
