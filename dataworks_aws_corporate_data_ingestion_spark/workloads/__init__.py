@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     sampling_suite,
     sketches,
     similarity_search,
+    soak,
     span_dedup,
     streaming_ops,
     text_analysis,

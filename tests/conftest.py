@@ -91,6 +91,7 @@ _SLOW_ORACLE_PARAMS = {
     "bigram_lm_incremental",
     "lm_admission_streaming_certificate",
     "span_admission_streaming_certificate",
+    "multi_day_soak_certificate",
 }
 
 
