@@ -269,3 +269,37 @@ def bpe_apply(
     )
     _, cur = _train(cur, k, fuse_last=True, incremental=incremental)
     return cur
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Segment NEW text under an already-trained merge table -- the
+    production apply path (train once, tokenise forever).
+
+    `merges` is a bpe_merge_table output (merge_round, w1, w2, ...); it
+    is collected to the driver (kilobytes -- k rows, a bounded contract
+    like the ANN codebooks) and unrolled IN ROUND ORDER into k chained
+    literal replaces on the doubled-separator encoding, the same greedy
+    -left fuse the trainer applies.  The result is ONE projection --
+    zero shuffles, zero Python crossings, whole-stage codegen over the
+    entire chain -- so segmenting 100 TB of new text is a pure narrow
+    map at scan speed.
+
+    Returns (doc_id, t): the single-space-joined fused token sequence.
+    """
+    rows = merges.select("merge_round", "w1", "w2").orderBy("merge_round").collect()
+    cur = F.lower(F.col(text_col))
+    for r in rows:
+        doubled = F.concat(
+            F.lit(" "), F.replace(cur, F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        pat = F.lit(f" {r.w1}  {r.w2} ")
+        rep = F.lit(f" {r.w1}{JOIN_CH}{r.w2} ")
+        cur = F.trim(
+            F.replace(F.replace(doubled, pat, rep), F.lit("  "), F.lit(" "))
+        )
+    return docs.select(F.col(id_col).alias("doc_id"), cur.alias("t"))

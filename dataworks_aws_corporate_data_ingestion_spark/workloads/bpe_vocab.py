@@ -21,9 +21,9 @@ from ..workload import register
 _K = 4
 
 
-def _oracle(k: int) -> str:
+def _oracle(k: int, where: str = "") -> str:
     ctes = [
-        "t0 AS (SELECT doc_id, lower(text) AS t FROM documents)"
+        f"t0 AS (SELECT doc_id, lower(text) AS t FROM documents{where})"
     ]
     sel = []
     for r in range(1, k + 1):
@@ -135,3 +135,52 @@ def bpe_vocab_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("token"))
         .limit(20)
     )
+
+
+def _segment_oracle(k: int) -> str:
+    """Train the k merges on EVEN doc_ids (the _oracle CTE chain, WHERE
+    -filtered), then segment the held-out ODD docs by unrolling the k
+    fuses in round order -- the stored-merge-table apply path, never a
+    training pass over the new text."""
+    base = _oracle(k, where=" WHERE doc_id % 2 = 0")
+    with_part, _ = base.split(" SELECT CAST(1", 1)
+    ctes = [
+        with_part,
+        ", s0 AS (SELECT doc_id, lower(text) AS t FROM documents"
+        " WHERE doc_id % 2 = 1)",
+    ]
+    for r in range(1, k + 1):
+        ctes.append(f"""
+        , s{r} AS (
+            SELECT doc_id,
+                   trim(replace(replace(
+                       ' ' || replace(t, ' ', '  ') || ' ',
+                       ' ' || (SELECT w1 FROM b{r}) || '  '
+                           || (SELECT w2 FROM b{r}) || ' ',
+                       ' ' || (SELECT w1 FROM b{r}) || '+'
+                           || (SELECT w2 FROM b{r}) || ' '),
+                       '  ', ' ')) AS t
+            FROM s{r - 1}
+        )""")
+    return "".join(ctes) + f" SELECT doc_id, t FROM s{k}"
+
+
+@register(
+    "bpe_segment_new_text",
+    tags=("text", "tokenizer", "bpe", "vocabulary", "training-data"),
+    oracle=_segment_oracle(_K),
+)
+def bpe_segment_new_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train on the even-doc_id half of the corpus, then segment the
+    held-out odd half under the STORED merge table
+    (operators/bpe.py::bpe_segment): the driver-side kilobyte merge
+    table unrolls into k chained literal replaces -- one shuffle-free
+    whole-stage-codegen projection over the new text, the tokenise-
+    forever path a 100 TB ingest would run per arriving shard."""
+    from pyspark.sql import functions as F
+
+    from ..operators.bpe import bpe_segment
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = bpe_merge_table(docs.filter(F.col("doc_id") % 2 == 0), k=_K)
+    return bpe_segment(docs.filter(F.col("doc_id") % 2 == 1), merges)

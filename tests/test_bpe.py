@@ -167,3 +167,61 @@ class TestBpeIncrementalCounting:
         )
         assert inc == full
         assert len(inc) == len(texts)  # no doc dropped (incl. pair-free)
+
+
+class TestBpeSegment:
+    """Stored-merge-table apply path (operators/bpe.py::bpe_segment):
+    unrolled literal replaces over NEW text, never a training pass."""
+
+    def _df(self, spark, texts, start=0):
+        return spark.createDataFrame(
+            [(start + i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+
+    def test_segment_equals_apply_on_training_corpus(self, spark):
+        """Segmenting the training corpus under its own merge table must
+        reproduce bpe_apply bit for bit (same greedy-left fuse chain)."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.bpe import (
+            bpe_apply,
+            bpe_segment,
+        )
+
+        texts = ["a b a b c", "a b c d", "b c b c b c", "x", ""]
+        df = self._df(spark, texts)
+        merges = bpe_merge_table(df, k=4)
+        seg = sorted(tuple(r) for r in bpe_segment(df, merges).collect())
+        app = sorted(tuple(r) for r in bpe_apply(df, k=4).collect())
+        assert seg == app
+
+    def test_segment_new_text_hand_example(self, spark):
+        """Merges (a,b) then (a+b,c) learned elsewhere, applied to text
+        the trainer never saw: greedy-left, round order respected."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.bpe import (
+            bpe_segment,
+        )
+
+        train = self._df(spark, ["a b a b c", "a b c d"])
+        merges = bpe_merge_table(train, k=2)
+        assert [tuple(r)[:3] for r in sorted(
+            merges.collect(), key=lambda r: r.merge_round
+        )] == [(1, "a", "b"), (2, "a+b", "c")]
+
+        new = self._df(spark, ["a b c a b a", "c a b", "d d", "a a b"], start=100)
+        got = {r.doc_id: r.t for r in bpe_segment(new, merges).collect()}
+        assert got == {
+            100: "a+b+c a+b a",  # both merges fire, in order
+            101: "c a+b",        # merge 1 only: merge 2 needs c AFTER a+b
+            102: "d d",          # untouched
+            103: "a a+b",        # greedy-left: second (a,b) fuses, leading a survives
+        }
+
+    def test_segment_empty_merge_table(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.bpe import (
+            bpe_segment,
+        )
+
+        df = self._df(spark, ["A B c"])
+        merges = bpe_merge_table(df, k=1).filter("merge_round > 1")  # empty
+        got = bpe_segment(df, merges).collect()
+        assert [(r.doc_id, r.t) for r in got] == [(0, "a b c")]  # lowercased only
