@@ -152,6 +152,12 @@ def _train(
     counts = _adjacent_pair_counts(cur)
     if incremental:
         counts = counts.localCheckpoint(eager=True)
+    # untouched-UNION-fused concatenates both sides' partitions, so an
+    # unchecked loop DOUBLES the corpus partition count every round --
+    # exponential task counts by k=64 (observed: 2-minute scheduling
+    # stalls at 50k docs).  Pin each round's rewrite back to the input
+    # width with a shuffle-free coalesce.
+    n_parts = cur.rdd.getNumPartitions()
     rounds: list[DataFrame] = []
     for r in range(1, k + 1):
         best = _top1(counts)
@@ -198,7 +204,11 @@ def _train(
                 .filter(F.col("pair_count") > 0)
                 .localCheckpoint(eager=True)
             )
-        cur = untouched.unionByName(fused).localCheckpoint(eager=True)
+        cur = (
+            untouched.unionByName(fused)
+            .coalesce(n_parts)
+            .localCheckpoint(eager=True)
+        )
     return rounds, cur
 
 
