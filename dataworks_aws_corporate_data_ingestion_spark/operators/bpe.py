@@ -31,35 +31,35 @@ Spark-first design, per round:
      k linear passes, each shuffling only the vocabulary-sized pair
      counts.
 
-INCREMENTAL COUNTING (the classic trainer optimisation, production
-round-counts): a full adjacent-pair recount per round costs k corpus
-enumerations for k merges.  But fusing (w1, w2) -> m only changes pair
-counts INSIDE documents that contain the adjacent pair: (prev, w1)
-and (w2, next) occurrences lose members, (prev, m) / (m, next) / the
-fused pair itself gain or vanish.  So the trainer materialises the
-pair-count table ONCE (round 1), then per round:
+INCREMENTAL COUNTING (`incremental=True`, measured and REJECTED as the
+default): the classic single-node trainer optimisation -- fusing
+(w1, w2) -> m only changes pair counts inside documents containing the
+adjacent pair, so maintain the count table with footprint-sized deltas
+(counts(fused affected) - counts(affected), affected selected by a
+narrow padded-literal contains() scan) instead of a full recount.  A
+seeded pytest sweep pins the two paths bit-identical, and the measured
+k-sweep (SCALE_DECADE.json::bpe_k_sweep) shows its per-merge cost
+falling with k -- but the naive recount still wins ABSOLUTE time at
+every measured point (sf1.0 k=64: 47s vs 74s; k=256: 179s vs 449s).
+The reason is structural, not an implementation wart: in the
+shuffle-bound distributed regime both modes pay the same per-round
+floor -- the corpus rewrite (fuse + checkpoint) and a vocabulary-sized
+count-table shuffle (naive's map-side-combined recount emits the same
+pair-vocabulary shuffle volume the maintained table's union-groupBy
+rewrite does; adjacent-pair enumeration is the cheap map side).  The
+delta path only removes the map-side enumeration and adds a third
+eager job per round.  The single-node trick does not transfer: it wins
+on a heap + linked lists where re-enumeration IS the cost.  What a
+30k-merge production vocabulary actually wants in Spark is batching
+non-interacting merges per corpus pass (block-greedy, amortising the
+per-round floor) -- deliberately NOT implemented here because batched
+selection diverges from the sequential greedy recurrence the oracle
+certifies.
 
-  affected  = docs where ' '||t||' ' contains ' w1 w2 '   (narrow scan)
-  delta     = pair_counts(fuse(affected)) - pair_counts(affected)
-  counts'   = counts + delta, rows with count <= 0 dropped
-  corpus'   = unaffected UNION fused(affected)
-
-The counting/enumeration cost per merge is proportional to the merged
-pair's document footprint (which falls fast as rounds progress --
-later merges are rarer pairs), not to the corpus; the only full-corpus
-work per round is one narrow contains() scan and the checkpoint
-rewrite.  `incremental=False` keeps the naive full-recount path; a
-seeded pytest sweep pins the two bit-identical (the maintained count
-table equals a fresh recount by construction, so the selected merge
-sequence cannot drift).
-
-At 100 TB: the per-round shuffle is the delta pair counts plus the
-vocabulary-sized maintained table (map-side combined), the merge table
-is kilobytes, and the corpus rewrite is a narrow map -- the same cost
-envelope as the distributed trainers behind real BPE vocabularies,
-with the per-merge enumeration cost now footprint-sized, which is what
-makes 30k-merge vocabularies tractable (measured k-sweep in
-SCALE_DECADE.json: per-merge cost falls as k grows).
+At 100 TB (naive path): per-round shuffle is the pair-vocabulary
+partial counts (map-side combined), the merge table is kilobytes, the
+corpus rewrite is a narrow map, and the plan stays O(1)-deep via
+eager localCheckpoint.
 
 The fused-token separator is '+' (documents here are lowercase
 [a-z0-9 ] synthetic text, so '+' cannot collide with corpus bytes);
@@ -217,7 +217,7 @@ def bpe_merge_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 4,
-    incremental: bool = True,
+    incremental: bool = False,
 ) -> DataFrame:
     """Learn the first k BPE merges over the corpus.  Output one row per
     round: (merge_round, w1, w2, pair_count, merged) where `merged` is
@@ -260,7 +260,7 @@ def bpe_apply(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 4,
-    incremental: bool = True,
+    incremental: bool = False,
 ) -> DataFrame:
     """Train k merges (same recurrence as bpe_merge_table) and return
     the corpus RE-TOKENISED under them: (doc_id, t) where t is the
