@@ -184,3 +184,88 @@ def bpe_segment_new_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     merges = bpe_merge_table(docs.filter(F.col("doc_id") % 2 == 0), k=_K)
     return bpe_segment(docs.filter(F.col("doc_id") % 2 == 1), merges)
+
+
+def _batched_oracle(k: int, batch: int) -> str:
+    """Unrolled block-greedy recurrence: per pass one pair-count CTE,
+    then `batch` selection CTEs -- the top pair, then the best pair
+    sharing no token with any earlier pick of the SAME pass -- then one
+    corpus-rewrite CTE applying the pass's fuses in rank order.
+    Assumes every pass finds `batch` disjoint pairs (true for the
+    documents corpus at every SF; the operator itself handles
+    exhaustion, pinned by pytest)."""
+    assert k % batch == 0
+    ctes = ["t0 AS (SELECT doc_id, lower(text) AS t FROM documents)"]
+    sel = []
+    rnd = 0
+    for p in range(1, k // batch + 1):
+        prev = f"t{p - 1}"
+        ctes.append(f"""
+        tok{p} AS (
+            SELECT doc_id, string_split(t, ' ') AS a FROM {prev}
+        ),
+        c{p} AS (
+            SELECT a[i] AS w1, a[i + 1] AS w2, count(*) AS pair_count
+            FROM tok{p}, unnest(range(1, len(a))) AS u(i)
+            GROUP BY 1, 2
+        )""")
+        picks = []
+        for j in range(batch):
+            name = f"b{p}_{j}"
+            excl = ""
+            if picks:
+                toks = ", ".join(
+                    f"(SELECT w1 FROM {q}), (SELECT w2 FROM {q})"
+                    for q in picks
+                )
+                excl = f" WHERE w1 NOT IN ({toks}) AND w2 NOT IN ({toks})"
+            ctes.append(f"""
+        {name} AS (
+            SELECT w1, w2, pair_count FROM c{p}{excl}
+            ORDER BY pair_count DESC, w1, w2 LIMIT 1
+        )""")
+            picks.append(name)
+            rnd += 1
+            sel.append(
+                f"SELECT CAST({rnd} AS BIGINT) AS merge_round, w1, w2,"
+                f" CAST(pair_count AS BIGINT) AS pair_count,"
+                f" w1 || '+' || w2 AS merged FROM {name}"
+            )
+        if p < k // batch:
+            expr = "t"
+            for q in picks:
+                expr = f"""trim(replace(replace(
+                       ' ' || replace({expr}, ' ', '  ') || ' ',
+                       ' ' || (SELECT w1 FROM {q}) || '  '
+                           || (SELECT w2 FROM {q}) || ' ',
+                       ' ' || (SELECT w1 FROM {q}) || '+'
+                           || (SELECT w2 FROM {q}) || ' '),
+                       '  ', ' '))"""
+            ctes.append(f"""
+        t{p} AS (
+            SELECT doc_id, {expr} AS t FROM {prev}
+        )""")
+    return "WITH " + ",".join(ctes) + " " + " UNION ALL ".join(sel)
+
+
+@register(
+    "bpe_merge_table_blockgreedy",
+    tags=("text", "tokenizer", "bpe", "fixed-point", "vocabulary",
+          "training-data"),
+    oracle=_batched_oracle(_K, 2),
+)
+def bpe_merge_table_blockgreedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 4 merges learned block-greedily, 2 token-disjoint pairs
+    per corpus pass (operators/bpe.py::bpe_merge_table_batched): the
+    per-round floor -- corpus rewrite + vocabulary-sized count shuffle
+    -- is paid once per PASS, the production-round-count scale path the
+    sequential trainer's measured adjudication names.  The oracle
+    unrolls the same block-greedy recurrence (per pass: count CTE,
+    ranked disjoint-selection CTEs, one chained-fuse rewrite), so the
+    DELIBERATE divergence from sequential BPE is itself pinned
+    bit-for-bit."""
+    from ..operators.bpe import bpe_merge_table_batched
+
+    return bpe_merge_table_batched(
+        load_table(spark, "documents", sf_dir), k=_K, batch=2
+    )

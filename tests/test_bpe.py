@@ -107,8 +107,9 @@ class TestBpeMergeTable:
 
 
 class TestBpeIncrementalCounting:
-    """The maintained-delta pair-count path (incremental=True, the
-    default) must be bit-identical to the naive full recount: the
+    """The maintained-delta pair-count path (incremental=True; measured
+    slower and non-default, kept as a pinned-equal alternative) must be
+    bit-identical to the naive full recount: the
     count table after applying delta = counts(fused affected) -
     counts(affected) equals a fresh recount of the fused corpus, so
     the selected merge sequence cannot drift."""
@@ -225,3 +226,113 @@ class TestBpeSegment:
         merges = bpe_merge_table(df, k=1).filter("merge_round > 1")  # empty
         got = bpe_segment(df, merges).collect()
         assert [(r.doc_id, r.t) for r in got] == [(0, "a b c")]  # lowercased only
+
+
+def _ref_block_greedy(texts: list[str], k: int, batch: int):
+    """Sequential reference of the BLOCK-GREEDY spec: per pass rank the
+    snapshot's pair counts, pick up to `batch` mutually token-disjoint
+    pairs greedily by rank, fuse them all (rank order; disjointness
+    makes order immaterial), repeat."""
+    seqs = [t.lower().split(" ") for t in texts]
+    out = []
+    while len(out) < k:
+        c: Counter = Counter()
+        for toks in seqs:
+            for i in range(len(toks) - 1):
+                c[(toks[i], toks[i + 1])] += 1
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        sels, used = [], set()
+        for (w1, w2), cnt in ranked:
+            if len(sels) == min(batch, k - len(out)):
+                break
+            if w1 in used or w2 in used:
+                continue
+            sels.append((w1, w2, cnt))
+            used.update((w1, w2))
+        if not sels:
+            break
+        for w1, w2, cnt in sels:
+            out.append((len(out) + 1, w1, w2, cnt, w1 + "+" + w2))
+        for w1, w2, _ in sels:
+            fused_seqs = []
+            for toks in seqs:
+                res, i = [], 0
+                while i < len(toks):
+                    if (
+                        i + 1 < len(toks)
+                        and toks[i] == w1
+                        and toks[i + 1] == w2
+                    ):
+                        res.append(w1 + "+" + w2)
+                        i += 2
+                    else:
+                        res.append(toks[i])
+                        i += 1
+                fused_seqs.append(res)
+            seqs = fused_seqs
+    return out
+
+
+class TestBpeBlockGreedy:
+    """Block-greedy trainer (operators/bpe.py::bpe_merge_table_batched):
+    up to `batch` token-disjoint merges per corpus pass."""
+
+    def _run(self, spark, texts, k, batch):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.bpe import (
+            bpe_merge_table_batched,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+        return sorted(
+            tuple(r)
+            for r in bpe_merge_table_batched(df, k=k, batch=batch).collect()
+        )
+
+    def test_hand_example_disjoint_pairs(self, spark):
+        # pass 1 snapshot: (a,b)=3 top; next disjoint is (c,d)=2
+        # ((b,c)=2 ranks before (c,d) but shares b with the first pick)
+        texts = ["a b c d a b", "a b c d"]
+        got = self._run(spark, texts, 2, 2)
+        assert got == [(1, "a", "b", 3, "a+b"), (2, "c", "d", 2, "c+d")]
+        assert got == sorted(_ref_block_greedy(texts, 2, 2))
+
+    def test_divergence_from_sequential_is_the_spec(self, spark):
+        """A case where block-greedy and sequential BPE legitimately
+        differ: both pinned against their own references."""
+        texts = ["x y x y z w z w", "x y z w"]
+        seq = sorted(_ref_bpe(texts, 2))
+        blk = self._run(spark, texts, 2, 2)
+        assert blk == sorted(_ref_block_greedy(texts, 2, 2))
+        # sequential recounts between merges; block-greedy picks both
+        # from the pass snapshot -- same pairs here, counts from the
+        # snapshot (x,y)=3 and (z,w)=3
+        assert blk == seq  # disjoint top pairs: the two agree
+        # conflict case: top-2 share a token, block-greedy must skip
+        texts2 = ["a b b a a b", "b a a b"]
+        blk2 = self._run(spark, texts2, 2, 2)
+        assert blk2 == sorted(_ref_block_greedy(texts2, 2, 2))
+
+    def test_seeded_sweep_matches_reference(self, spark):
+        rng = random.Random(0xB10C)
+        vocab = ["a", "b", "c", "d", "ab"]
+        for case in range(4):
+            texts = [
+                " ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(1, 12))
+                )
+                for _ in range(rng.randint(2, 6))
+            ]
+            got = self._run(spark, texts, 6, 3)
+            assert got == sorted(_ref_block_greedy(texts, 6, 3)), (
+                case,
+                texts,
+            )
+
+    def test_pair_exhaustion_truncates(self, spark):
+        texts = ["a b", "b a"]
+        got = self._run(spark, texts, 8, 4)
+        assert got == sorted(_ref_block_greedy(texts, 8, 4))
+        assert len(got) <= 8

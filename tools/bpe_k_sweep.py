@@ -40,6 +40,13 @@ def main() -> int:
     p.add_argument("--sf-dir", default=os.path.join(REPO, ".scaledata", "sf1.0"))
     p.add_argument("--out", default=os.path.join(REPO, "SCALE_DECADE.json"))
     p.add_argument(
+        "--batch",
+        type=int,
+        default=8,
+        help="also measure the block-greedy trainer at this batch size "
+        "per --ks value (0 disables)",
+    )
+    p.add_argument(
         "--naive-k",
         type=int,
         default=None,
@@ -50,6 +57,7 @@ def main() -> int:
     from bench import _end_repeat
     from dataworks_aws_corporate_data_ingestion_spark.operators.bpe import (
         bpe_merge_table,
+        bpe_merge_table_batched,
     )
     from dataworks_aws_corporate_data_ingestion_spark.session import get_session
 
@@ -61,19 +69,25 @@ def main() -> int:
     bpe_merge_table(docs, k=2).write.format("noop").mode("overwrite").save()
     _end_repeat(spark)
 
-    def measure(k: int, incremental: bool) -> dict:
+    def measure(k: int, incremental: bool, batch: int = 0) -> dict:
         times = []
         for _ in range(args.repeats):
             t0 = time.perf_counter()
-            bpe_merge_table(docs, k=k, incremental=incremental).write.format(
-                "noop"
-            ).mode("overwrite").save()
+            if batch:
+                bpe_merge_table_batched(docs, k=k, batch=batch).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+            else:
+                bpe_merge_table(
+                    docs, k=k, incremental=incremental
+                ).write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
             _end_repeat(spark)
         best = min(times)
         rec = {
             "k": k,
-            "mode": "incremental" if incremental else "full_recount",
+            "mode": f"block_greedy_b{batch}" if batch
+            else ("incremental" if incremental else "full_recount"),
             "best_sec": round(best, 3),
             "sec_per_merge": round(best / k, 4),
         }
@@ -87,6 +101,8 @@ def main() -> int:
     # both modes at every k: the adjudication that set the naive
     # default (see operators/bpe.py docstring) lives in this artifact
     points = [measure(k, inc) for k in args.ks for inc in (False, True)]
+    if args.batch:
+        points += [measure(k, False, batch=args.batch) for k in args.ks]
     if args.naive_k is not None:
         points.append(measure(args.naive_k, False))
     spark.stop()
@@ -106,7 +122,7 @@ def main() -> int:
     print(f"merged bpe_k_sweep into {args.out}")
 
     ok = True
-    for mode in ("full_recount", "incremental"):
+    for mode in sorted({r["mode"] for r in points}):
         pts = sorted(
             (r for r in points if r["mode"] == mode), key=lambda r: r["k"]
         )
