@@ -1,0 +1,110 @@
+"""Misra-Gries heavy hitters with exact verification.
+
+The 100 TB problem: "which keys account for more than 1/(k+1) of all
+rows" is, done naively, a full groupBy over EVERY distinct key -- at
+billions of users that shuffle is the job.  The sketch path is
+Misra-Gries (the canonical mergeable frequent-items summary, cf.
+Agarwal et al., "Mergeable Summaries", PODS 2012): each partition keeps
+at most k counters and decrements them on overflow, guaranteeing that
+every key with local frequency > n_p/(k+1) survives in the summary.
+The pigeonhole argument lifts this to the cluster: a key with GLOBAL
+frequency > n/(k+1) must exceed the local threshold in at least one
+partition (if its count were <= n_p/(k+1) in every partition, the sum
+over partitions would be <= n/(k+1)), so the union of per-partition
+candidate sets is a SUPERSET of the true heavy hitters.
+
+Exactness is then restored the same way the bloom join restores it
+(operators/bloomjoin.py): the tiny candidate set (<= k keys per
+partition) is broadcast back, the corpus is semi-join-pruned map-side,
+and only candidate keys are exactly recounted -- a shuffle whose key
+cardinality is <= k * n_partitions instead of the full distinct-key
+space.  The final filter `count * (k+1) > n` makes the output EXACTLY
+equal to the full groupBy-HAVING query, independent of partitioning,
+batch boundaries, or any Misra-Gries internals -- which is what lets a
+DuckDB oracle hash-check it.
+
+Beyond-parity vs the reference (which has no approximate machinery;
+its only aggregation is the latest-record window,
+steps/ingesters.py:434-449): this is the hot-key *detector* that
+feeds the salted-join and skew machinery in operators/skew.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["mg_candidates", "heavy_hitters_exact"]
+
+
+def _mg_reduce(state: dict, k: int) -> dict:
+    """Trim a weighted counter dict to <= k entries, Misra-Gries style:
+    subtract the (k+1)-th largest count from every counter and drop the
+    non-positive ones.  This is the weighted/mergeable form of the
+    classic decrement step; the total decrement applied to any single
+    key over the whole stream is <= n_p/(k+1)."""
+    if len(state) <= k:
+        return state
+    vals = sorted(state.values(), reverse=True)
+    sub = vals[k]  # (k+1)-th largest
+    return {key: c - sub for key, c in state.items() if c > sub}
+
+
+def mg_candidates(df: DataFrame, key_cols: Sequence[str], k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries over `key_cols`; returns the
+    distinct union of surviving candidate keys (schema = key_cols).
+
+    Guarantee: contains every key whose global frequency exceeds
+    n/(k+1).  May contain others (that is what the exact-verify pass is
+    for).  State per task is <= k counters; the output is <= k rows per
+    partition regardless of input size.
+
+    Arrow batches arrive via mapInPandas; each batch is pre-combined
+    with a vectorised value_counts so the Python-side dict only sees
+    (key, weight) pairs, not rows.
+    """
+    cols = list(key_cols)
+    keyed = df.select(*cols)
+    schema = keyed.schema
+
+    def summarise(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[tuple, int] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            counts = pdf.groupby(cols, sort=False).size()
+            for key, c in counts.items():
+                tup = key if isinstance(key, tuple) else (key,)
+                state[tup] = state.get(tup, 0) + int(c)
+            state = _mg_reduce(state, k)
+        if state:
+            yield pd.DataFrame(list(state.keys()), columns=cols)
+
+    return keyed.mapInPandas(summarise, schema).distinct()
+
+
+def heavy_hitters_exact(
+    df: DataFrame, key_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Keys with frequency strictly greater than n/(k+1), with their
+    EXACT counts -- bit-identical to the full groupBy-HAVING query, but
+    the only aggregation shuffle is over the Misra-Gries candidate
+    sliver (<= k keys per partition) instead of every distinct key.
+
+    Output schema: key_cols + n_rows (bigint).  The threshold predicate
+    is integer cross-multiplied (`n_rows * (k+1) > n`) so both engines
+    evaluate it exactly.
+    """
+    cols = list(key_cols)
+    n_total = df.count()
+    cands = mg_candidates(df, cols, k)
+    return (
+        df.join(F.broadcast(cands), cols, "left_semi")
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .filter(F.col("n_rows") * (k + 1) > F.lit(n_total))
+    )

@@ -3,6 +3,7 @@ query into dataworks_aws_corporate_data_ingestion_spark.workload.QUERIES."""
 
 from . import (  # noqa: F401
     analytic,
+    approx_exact,
     audit_stats,
     bpe_vocab,
     cdi_pipeline,

@@ -1,0 +1,136 @@
+"""Misra-Gries heavy hitters: the superset guarantee under adversarial
+data (key cardinality >> k), exact-verify equality with the plain
+groupBy, and the trim rule itself."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataworks_aws_corporate_data_ingestion_spark.operators.heavyhitters import (
+    _mg_reduce,
+    heavy_hitters_exact,
+    mg_candidates,
+)
+
+
+def _exact_heavy(rows: list, k: int) -> dict[tuple, int]:
+    """Ground truth: keys with freq strictly > n/(k+1), via plain python."""
+    counts: dict[tuple, int] = {}
+    for r in rows:
+        counts[r] = counts.get(r, 0) + 1
+    n = len(rows)
+    return {key: c for key, c in counts.items() if c * (k + 1) > n}
+
+
+def _adversarial_stream(seed: int, n_noise_keys: int, n_rows: int) -> list[str]:
+    """Three planted heavy keys buried in a long tail of near-unique
+    noise keys -- the regime where a naive top-k-per-partition sample
+    misses and Misra-Gries must not."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_rows):
+        r = rng.random()
+        if r < 0.20:
+            rows.append("heavy_a")
+        elif r < 0.35:
+            rows.append("heavy_b")
+        elif r < 0.45:
+            rows.append("heavy_c")
+        else:
+            rows.append(f"noise_{rng.randrange(n_noise_keys)}")
+    return rows
+
+
+class TestMGReduce:
+    def test_no_trim_under_k(self):
+        s = {("a",): 5, ("b",): 3}
+        assert _mg_reduce(dict(s), 4) == s
+
+    def test_trim_subtracts_k_plus_1th_largest(self):
+        s = {("a",): 10, ("b",): 7, ("c",): 3, ("d",): 3}
+        # k=2: (k+1)-th largest = 3; subtract 3, drop non-positive
+        assert _mg_reduce(s, 2) == {("a",): 7, ("b",): 4}
+
+    def test_trim_to_at_most_k(self):
+        s = {(i,): 100 + i for i in range(50)}
+        out = _mg_reduce(s, 8)
+        assert len(out) <= 8
+        # survivors are the largest counters
+        assert set(out) == {(i,) for i in range(42, 50)}
+
+
+class TestMGCandidatesSuperset:
+    @pytest.mark.parametrize("seed", [1, 7, 42])
+    def test_candidates_cover_all_true_heavy(self, spark, seed):
+        rows = _adversarial_stream(seed, n_noise_keys=5000, n_rows=20000)
+        k = 15
+        truth = _exact_heavy([(r,) for r in rows], k)
+        assert truth, "fixture must plant at least one heavy key"
+        df = spark.createDataFrame(
+            [(r,) for r in rows], "key string"
+        ).repartition(8)
+        cands = {
+            (r["key"],) for r in mg_candidates(df, ["key"], k).collect()
+        }
+        assert set(truth) <= cands
+        # bounded output: <= k per partition
+        assert len(cands) <= k * 8
+
+    def test_multi_column_keys(self, spark):
+        rows = [("x", i % 3) for i in range(600)] + [
+            ("y", i) for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "a string, b long").repartition(4)
+        k = 7
+        truth = _exact_heavy(rows, k)
+        cands = {
+            (r["a"], r["b"]) for r in mg_candidates(df, ["a", "b"], k).collect()
+        }
+        assert set(truth) <= cands
+
+
+class TestHeavyHittersExact:
+    @pytest.mark.parametrize("k", [3, 15, 63])
+    def test_equals_plain_groupby_having(self, spark, k):
+        rows = _adversarial_stream(99, n_noise_keys=2000, n_rows=10000)
+        truth = _exact_heavy([(r,) for r in rows], k)
+        df = spark.createDataFrame(
+            [(r,) for r in rows], "key string"
+        ).repartition(8)
+        got = {
+            (r["key"],): r["n_rows"]
+            for r in heavy_hitters_exact(df, ["key"], k).collect()
+        }
+        assert got == truth
+
+    def test_partitioning_invariance(self, spark):
+        """The exact result must not depend on how the data is split."""
+        rows = _adversarial_stream(5, n_noise_keys=300, n_rows=5000)
+        k = 9
+        results = []
+        for parts in (1, 3, 16):
+            df = spark.createDataFrame(
+                [(r,) for r in rows], "key string"
+            ).repartition(parts)
+            res = heavy_hitters_exact(df, ["key"], k)
+            results.append(
+                sorted((r["key"], r["n_rows"]) for r in res.collect())
+            )
+        assert results[0] == results[1] == results[2]
+
+    def test_empty_input(self, spark):
+        df = spark.createDataFrame([], "key string")
+        assert heavy_hitters_exact(df, ["key"], 4).collect() == []
+
+    def test_uniform_data_no_heavy(self, spark):
+        rows = [(f"k{i}",) for i in range(1000)]
+        df = spark.createDataFrame(rows, "key string").repartition(4)
+        assert heavy_hitters_exact(df, ["key"], 10).collect() == []
+
+    def test_single_key_stream(self, spark):
+        df = spark.createDataFrame([("only",)] * 500, "key string")
+        got = heavy_hitters_exact(df, ["key"], 1).collect()
+        assert [(r["key"], r["n_rows"]) for r in got] == [("only", 500)]
