@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 
 from ..operators.bloomjoin import bloom_anti_join, bloom_semi_join
 from ..operators.heavyhitters import heavy_hitters_exact
+from ..operators.kmv import kmv_estimate, kmv_signature, kmv_union_jaccard
+from ..partitioning import fan_out
 from ..sources.tables import load_table
 from ..workload import register
 
@@ -204,4 +206,148 @@ def cross_corpus_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         dups.unionByName(news)
         .select("doc_id", "source", "is_dup")
         .orderBy("doc_id")
+    )
+
+
+# KMV sketch parameters for the corpus-overlap certificate: k=512 gives
+# rsd ~ 1/sqrt(510) ~ 4.4%; the cardinality claims allow 20% (>4 sigma)
+# and the Jaccard claim 1000 bps absolute, so a pass is overwhelmingly
+# stable while a broken estimator still flips the booleans.
+_KMV_K = 512
+_KMV_CARD_BOUND_PCT = 20
+_KMV_J_BOUND_BPS = 1000
+
+
+@register(
+    "corpus_overlap_kmv_certificate",
+    tags=("sketch", "kmv", "theta", "approx", "recall-certificate",
+          "set-intersection", "scale-path"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT CASE WHEN source IN ({_REF_SOURCES_SQL})
+                        THEN 'ref' ELSE 'delta' END AS set_id,
+                   string_split(trim(regexp_replace(lower(text), ' +', ' ',
+                                                    'g')), ' ') AS t
+            FROM documents
+        ),
+        idx AS (
+            SELECT set_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+            FROM toks WHERE len(t) >= 3
+        ),
+        grams AS (
+            SELECT DISTINCT set_id,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+            FROM idx
+        )
+        SELECT
+            CAST((SELECT COUNT(*) FROM grams WHERE set_id = 'ref')
+                 AS BIGINT) AS n_ref_exact,
+            CAST((SELECT COUNT(*) FROM grams WHERE set_id = 'delta')
+                 AS BIGINT) AS n_delta_exact,
+            CAST((SELECT COUNT(*) FROM grams a
+                  WHERE set_id = 'ref' AND g IN
+                        (SELECT g FROM grams WHERE set_id = 'delta'))
+                 AS BIGINT) AS n_inter_exact,
+            TRUE AS ref_est_within_bound,
+            TRUE AS delta_est_within_bound,
+            TRUE AS union_est_within_bound,
+            TRUE AS jaccard_within_bound
+    """,
+)
+def corpus_overlap_kmv_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-overlap estimation via KMV bottom-k sketches
+    (operators/kmv.py): how many distinct word-3-grams the reference
+    half of the corpus (src0-9) shares with the delta half -- the
+    contamination / syndication question -- answered from two
+    kilobyte signatures instead of an exact distinct-intersection
+    join, then CERTIFIED against the exact twin: per-set and union
+    cardinality estimates within 20% (integer cross-multiplied), the
+    Jaccard estimate within 1000 bps absolute (exact j_num/j_den
+    integers cross-multiplied against the exact intersection), and the
+    exact counts themselves hash-pinned by the oracle's independent
+    recomputation.
+
+    Scale notes: signatures are <= k=512 hashes per corpus, built from
+    one distinct-of-hashes pass (8-byte keys, never the grams
+    themselves) -- mergeable like the HLL rollup, so N stored per-day /
+    per-source signatures cross-intersect in kilobytes without
+    rescanning 100 TB.  Intersection is the operation HLL cannot do;
+    KMV/Theta is the standard answer.  The exact twin (full distinct +
+    semi-join) exists only to certify."""
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    half = F.when(
+        F.col("source").isin(_REF_SOURCES), F.lit("ref")
+    ).otherwise(F.lit("delta"))
+    t = F.split(norm, " ")
+    base = docs.select(half.alias("set_id"), t.alias("t")).filter(
+        F.size("t") >= 3
+    )
+    grams = base.select(
+        "set_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3),"
+                " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+            )
+        ).alias("g"),
+    )
+    sig = kmv_signature(grams, "set_id", "g", _KMV_K).persist()
+    sig_ref = sig.filter(F.col("set_id") == "ref")
+    sig_delta = sig.filter(F.col("set_id") == "delta")
+
+    exact = grams.distinct().groupBy("set_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    inter_exact = (
+        grams.filter(F.col("set_id") == "ref")
+        .select("g")
+        .distinct()
+        .join(
+            grams.filter(F.col("set_id") == "delta").select("g").distinct(),
+            "g",
+            "left_semi",
+        )
+        .count()
+    )
+    ests = {
+        r["set_id"]: (r["n_est"], r["n_sig"])
+        for r in kmv_estimate(sig, _KMV_K).collect()
+    }
+    exacts = {r["set_id"]: r["n_exact"] for r in exact.collect()}
+    uj = kmv_union_jaccard(sig_ref, sig_delta, _KMV_K).collect()[0]
+    sig.unpersist()
+
+    n_ref, n_delta = exacts["ref"], exacts["delta"]
+    n_union = n_ref + n_delta - inter_exact
+
+    def within(est: float, ex: int) -> bool:
+        # |est - exact| * 100 <= exact * bound_pct, on integers where
+        # possible (est is a double; the claim tolerates that because
+        # the bound is wide, not tight)
+        return abs(est - ex) * 100 <= ex * _KMV_CARD_BOUND_PCT
+
+    j_exact_num, j_exact_den = inter_exact, n_union
+    # |j_num/j_den - inter/union| <= bps/10000, cross-multiplied
+    j_ok = (
+        abs(uj["j_num"] * j_exact_den - j_exact_num * uj["j_den"]) * 10000
+        <= _KMV_J_BOUND_BPS * uj["j_den"] * j_exact_den
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_ref),
+                int(n_delta),
+                int(inter_exact),
+                bool(within(ests["ref"][0], n_ref)),
+                bool(within(ests["delta"][0], n_delta)),
+                bool(within(uj["union_est"], n_union)),
+                bool(j_ok),
+            )
+        ],
+        "n_ref_exact bigint, n_delta_exact bigint, n_inter_exact bigint, "
+        "ref_est_within_bound boolean, delta_est_within_bound boolean, "
+        "union_est_within_bound boolean, jaccard_within_bound boolean",
     )
