@@ -54,6 +54,7 @@ __all__ = [
     "bloom_might_contain",
     "bloom_semi_join",
     "bloom_anti_join",
+    "bloom_classify",
 ]
 
 
@@ -192,3 +193,38 @@ def bloom_anti_join(
     cand = flagged.filter(F.col("__bf_hit")).drop("__bf_hit")
     keys = ref.select(F.col(ref_key).alias(big_key)).distinct()
     return sure_out.unionByName(cand.join(keys, big_key, "left_anti"))
+
+
+def bloom_classify(
+    big: DataFrame,
+    ref: DataFrame,
+    big_key: str,
+    ref_key: str | None = None,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    out_col: str = "is_match",
+) -> DataFrame:
+    """Annotate every row of `big` with an exact boolean: does its key
+    exist in `ref`?  One bloom build, one map-side probe, and one
+    left join over only the bloom-positive sliver -- strictly cheaper
+    than running `bloom_semi_join` and `bloom_anti_join` separately
+    (which would build the bitset and probe the corpus twice).
+    Bit-identical to the plain left-join EXISTS classification: a NULL
+    key is never a match, bloom-negatives are proofs of absence, and
+    false positives are stripped by the verify join."""
+    ref_key = ref_key or big_key
+    bloom = build_bloom(ref, ref_key, m_bits=m_bits, n_hashes=n_hashes)
+    flagged = bloom_might_contain(big, big_key, bloom, out_col="__bf_hit")
+    sure_out = flagged.filter(~F.col("__bf_hit")).drop("__bf_hit").withColumn(
+        out_col, F.lit(False)
+    )
+    cand = flagged.filter(F.col("__bf_hit")).drop("__bf_hit")
+    keys = (
+        ref.select(F.col(ref_key).alias(big_key))
+        .distinct()
+        .withColumn("__bf_ref", F.lit(1))
+    )
+    verified = cand.join(keys, big_key, "left").withColumn(
+        out_col, F.col("__bf_ref").isNotNull()
+    ).drop("__bf_ref")
+    return sure_out.unionByName(verified)

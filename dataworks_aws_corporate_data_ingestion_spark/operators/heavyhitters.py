@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["mg_candidates", "heavy_hitters_exact"]
+__all__ = ["mg_candidates", "mg_summary", "heavy_hitters_exact"]
 
 
 def _mg_reduce(state: dict, k: int) -> dict:
@@ -54,14 +54,16 @@ def _mg_reduce(state: dict, k: int) -> dict:
     return {key: c - sub for key, c in state.items() if c > sub}
 
 
-def mg_candidates(df: DataFrame, key_cols: Sequence[str], k: int) -> DataFrame:
-    """Per-partition Misra-Gries summaries over `key_cols`; returns the
-    distinct union of surviving candidate keys (schema = key_cols).
+def mg_summary(df: DataFrame, key_cols: Sequence[str], k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries over `key_cols`, WITH their
+    surviving lower-bound counters: rows (key_cols..., c bigint), up to
+    k per partition (so a key may appear once per partition).
 
-    Guarantee: contains every key whose global frequency exceeds
-    n/(k+1).  May contain others (that is what the exact-verify pass is
-    for).  State per task is <= k counters; the output is <= k rows per
-    partition regardless of input size.
+    The counter is a LOWER bound on the key's local frequency,
+    undercounting by at most n_p/(k+1); summaries are mergeable (sum
+    per key, optionally re-trim with `_mg_reduce`) with errors adding
+    like the bound -- the property the streaming admission
+    (streaming/mg_admission.py) folds across micro-batches.
 
     Arrow batches arrive via mapInPandas; each batch is pre-combined
     with a vectorised value_counts so the Python-side dict only sees
@@ -69,7 +71,7 @@ def mg_candidates(df: DataFrame, key_cols: Sequence[str], k: int) -> DataFrame:
     """
     cols = list(key_cols)
     keyed = df.select(*cols)
-    schema = keyed.schema
+    out_schema = keyed.withColumn("c", F.lit(0).cast("bigint")).schema
 
     def summarise(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         state: dict[tuple, int] = {}
@@ -82,9 +84,24 @@ def mg_candidates(df: DataFrame, key_cols: Sequence[str], k: int) -> DataFrame:
                 state[tup] = state.get(tup, 0) + int(c)
             state = _mg_reduce(state, k)
         if state:
-            yield pd.DataFrame(list(state.keys()), columns=cols)
+            out = pd.DataFrame(list(state.keys()), columns=cols)
+            out["c"] = list(state.values())
+            yield out
 
-    return keyed.mapInPandas(summarise, schema).distinct()
+    return keyed.mapInPandas(summarise, out_schema)
+
+
+def mg_candidates(df: DataFrame, key_cols: Sequence[str], k: int) -> DataFrame:
+    """Per-partition Misra-Gries candidate keys (schema = key_cols):
+    the distinct union of `mg_summary` survivors.
+
+    Guarantee: contains every key whose global frequency exceeds
+    n/(k+1) -- a key above the global threshold must exceed the local
+    threshold n_p/(k+1) in at least one partition (pigeonhole), and MG
+    retains every such local key.  May contain others (that is what the
+    exact-verify pass is for).  State per task is <= k counters; the
+    output is <= k rows per partition regardless of input size."""
+    return mg_summary(df, key_cols, k).drop("c").distinct()
 
 
 def heavy_hitters_exact(

@@ -1,0 +1,222 @@
+"""Streaming Misra-Gries heavy-hitter admission: each micro-batch folds
+its bounded MG summary into a stored candidate table, so hot keys can be
+tracked over an unbounded stream with state that never exceeds
+k-counters-per-batch appends (and compacts back to <= k rows).
+
+The streaming twin of operators/heavyhitters.py, with the same
+catalog-as-state design as lm_admission.py / span_admission.py:
+cross-batch state is two tables --
+
+  {prefix}_mg    (key string, c long, batch_token long) partial MG
+                 summaries, one append per admitted batch (<= k real
+                 rows + one NULL-key marker row).  The LOGICAL summary
+                 is SUM(c) per key (read_mg_state); mergeable-summary
+                 errors add like the bound, so a key with TRUE stream
+                 frequency > n/(k+1) always survives with a positive
+                 folded counter (per-batch undercount is <= n_b/(k+1)
+                 and the undercounts sum to <= n/(k+1)).
+  {prefix}_meta  (n_rows long, batch_token long) per-batch row counts;
+                 SUM(n_rows) is the stream length n the threshold
+                 needs, and the table doubles as the replay ledger.
+
+Replay idempotence + crash atomicity follow lm_admission.py exactly:
+the deterministic batch_token (foreachBatch batch_id, else the
+sum/xor/count content hash of the batch's id set) is a per-table commit
+marker; appends run _mg -> _meta, and on replay each table is appended
+only if it lacks the token, so every crash window heals without
+double-counting:
+
+  crash before any append -> replays as a fresh batch
+  crash after _mg only    -> replay appends only _meta
+  crash after both        -> replay is a no-op
+
+What the stored state buys at 100 TB/day: the candidate set (with
+lower-bound counts) is maintained in kilobytes per batch and the stream
+is never re-read; when EXACT heavy-hitter counts are wanted, the
+candidates are a guaranteed superset, so one broadcast-semi-join
+recount over the accumulated corpus (the archived daily partitions)
+yields the exact GROUP BY + HAVING answer -- certified end-to-end by
+the `mg_admission_streaming_certificate` registry entry, which drives
+batch-shaped slices through this admission round, compacts
+mid-sequence, exact-verifies off the final state, and hash-matches the
+one-shot oracle.
+
+Counter semantics under compaction: compact_mg_index folds partials to
+one row per key and MAY re-trim to k via the MG merge rule (subtract
+the (k+1)-th largest folded counter) -- the superset guarantee
+survives because trimming a merged summary is itself a valid MG merge
+(Agarwal et al., "Mergeable Summaries", PODS 2012).  Tokens survive as
+NULL-key zero-count marker rows, like the LM/span compactions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.heavyhitters import _mg_reduce, mg_summary
+from .span_admission import batch_content_token, refresh_state_tables
+
+
+def init_mg_index(spark: SparkSession, prefix: str) -> None:
+    """Create the (empty) partial-summary table and batch ledger.
+    Idempotent across sessions sharing a warehouse dir."""
+    from ..sinks.bucketing import _clear_orphan_location
+
+    for name in (f"{prefix}_mg", f"{prefix}_meta"):
+        _clear_orphan_location(spark, name)
+    spark.createDataFrame(
+        [], "key string, c long, batch_token long"
+    ).write.format("parquet").saveAsTable(f"{prefix}_mg")
+    spark.createDataFrame(
+        [], "n_rows long, batch_token long"
+    ).write.format("parquet").saveAsTable(f"{prefix}_meta")
+
+
+def _token_committed(
+    spark: SparkSession, table: str, batch_token: int
+) -> bool:
+    return (
+        spark.table(table)
+        .filter(F.col("batch_token") == F.lit(batch_token))
+        .limit(1)
+        .count()
+        > 0
+    )
+
+
+def admit_mg_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    prefix: str,
+    key_col: str = "key",
+    k: int = 127,
+    id_col: str | None = None,
+    batch_token: int | None = None,
+) -> int:
+    """One admission round: fold the batch's Misra-Gries summary into
+    the stored state (append-only, commit-marked, replay-safe).
+    Returns the batch_token used.
+
+    The batch's per-partition summaries (<= k rows each, bounded state)
+    are collected -- candidate-set-sized, never the batch itself -- and
+    merged driver-side with the MG reduce rule before the append, so
+    each admitted batch contributes at most k real rows."""
+    token = (
+        batch_token
+        if batch_token is not None
+        else batch_content_token(batch_df, id_col or key_col)
+    )
+    refresh_state_tables(spark, f"{prefix}_mg", f"{prefix}_meta")
+    if not _token_committed(spark, f"{prefix}_mg", token):
+        parts = mg_summary(
+            batch_df.select(F.col(key_col).alias("key")), ["key"], k
+        ).collect()
+        state: dict[tuple, int] = {}
+        for r in parts:
+            state[(r["key"],)] = state.get((r["key"],), 0) + int(r["c"])
+        state = _mg_reduce(state, k)
+        rows = [(key[0], c, token) for key, c in state.items()]
+        rows.append((None, 0, token))  # commit marker
+        spark.createDataFrame(
+            rows, "key string, c long, batch_token long"
+        ).write.mode("append").format("parquet").saveAsTable(f"{prefix}_mg")
+    if not _token_committed(spark, f"{prefix}_meta", token):
+        n = batch_df.count()
+        spark.createDataFrame(
+            [(n, token)], "n_rows long, batch_token long"
+        ).write.mode("append").format("parquet").saveAsTable(
+            f"{prefix}_meta"
+        )
+    refresh_state_tables(spark, f"{prefix}_mg", f"{prefix}_meta")
+    return token
+
+
+def read_mg_state(
+    spark: SparkSession, prefix: str
+) -> tuple[DataFrame, int]:
+    """Logical state: (candidates(key, c_lower), n_total).  Candidates
+    are a superset of every key with stream frequency > n_total/(k+1);
+    c_lower is the folded MG lower-bound counter."""
+    refresh_state_tables(spark, f"{prefix}_mg", f"{prefix}_meta")
+    cands = (
+        spark.table(f"{prefix}_mg")
+        .filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.sum("c").cast("bigint").alias("c_lower"))
+    )
+    n_total = (
+        spark.table(f"{prefix}_meta")
+        .agg(F.sum("n_rows").cast("bigint").alias("n"))
+        .collect()[0]["n"]
+        or 0
+    )
+    return cands, int(n_total)
+
+
+def compact_mg_index(
+    spark: SparkSession, prefix: str, k: int | None = None
+) -> dict:
+    """Fold the append-only partials to one row per key, optionally
+    re-trimming to <= k rows with the MG merge rule (a valid merge, so
+    the superset guarantee survives).  The distinct batch_token set is
+    preserved as NULL-key marker rows so replayed batches still heal.
+    Only safe when no batches are in flight (caller contract)."""
+    refresh_state_tables(spark, f"{prefix}_mg")
+    t = spark.table(f"{prefix}_mg")
+    rows_before = t.count()
+    folded_rows = (
+        t.filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        .collect()
+    )
+    state = {(r["key"],): int(r["c"]) for r in folded_rows}
+    if k is not None:
+        state = _mg_reduce(state, k)
+    tokens = [
+        int(r["batch_token"])
+        for r in t.select("batch_token").distinct().collect()
+        if r["batch_token"] is not None
+    ]
+    rows = [(key[0], c, None) for key, c in state.items()] + [
+        (None, 0, tok) for tok in tokens
+    ]
+    compacted = spark.createDataFrame(
+        rows, "key string, c long, batch_token long"
+    ).localCheckpoint(eager=True)
+    compacted.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{prefix}_mg"
+    )
+    refresh_state_tables(spark, f"{prefix}_mg")
+    return {"rows_before": rows_before, "rows_after": len(rows)}
+
+
+def heavy_hitters_from_state(
+    spark: SparkSession,
+    corpus_df: DataFrame,
+    prefix: str,
+    key_expr,
+    k: int,
+) -> DataFrame:
+    """EXACT heavy hitters of the accumulated stream, verified off the
+    streamed candidate state: broadcast the stored candidates, recount
+    only them over the archived corpus, filter by the ledger's total.
+    `key_expr` must reproduce the admitted key from a corpus row.
+
+    Raises if the ledger total disagrees with the corpus row count --
+    the invariant that the archive and the admission ledger describe
+    the same stream."""
+    cands, n_total = read_mg_state(spark, prefix)
+    n_corpus = corpus_df.count()
+    if n_corpus != n_total:
+        raise AssertionError(
+            f"ledger/corpus divergence: meta n={n_total}, corpus={n_corpus}"
+        )
+    keyed = corpus_df.select(key_expr.alias("key"))
+    return (
+        keyed.join(F.broadcast(cands.select("key")), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .filter(F.col("n_rows") * (k + 1) > F.lit(n_total))
+    )

@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.bloomjoin import bloom_anti_join, bloom_semi_join
+from ..operators.bloomjoin import (
+    bloom_anti_join,
+    bloom_classify,
+    bloom_semi_join,
+)
 from ..operators.heavyhitters import heavy_hitters_exact
 from ..operators.kmv import kmv_estimate, kmv_signature, kmv_union_jaccard
 from ..partitioning import fan_out
@@ -170,12 +174,12 @@ def cross_corpus_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch that verbatim-copies every fifth reference doc under a fresh
     doc_id) as duplicate-of-reference or new, by normalised-text
     fingerprint (the same lower/collapse-space/trim/md5 canonicalisation
-    `documents_normalized_fingerprints` certifies).  The dup set is a
-    bloom-pruned SEMI join, the new set a bloom-pruned ANTI join, so
-    delta rows whose fingerprint is provably absent from the reference
-    never reach an exchange; both halves are exactly verified, making
-    the union bit-identical to the oracle's plain left-join
-    classification.
+    `documents_normalized_fingerprints` certifies), via one
+    bloom_classify pass: a single bitset build, a single map-side
+    probe, and an exact verify join over only the bloom-positive
+    sliver -- delta rows whose fingerprint is provably absent from the
+    reference never reach an exchange, and the output is bit-identical
+    to the oracle's plain left-join classification.
 
     Scale notes: this is the "dedup the new crawl against the frozen
     corpus" step of a training-data pipeline -- at 100 TB the delta is
@@ -195,15 +199,8 @@ def cross_corpus_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp",
         )
     )
-    ref_fp = ref.select("fp")
-    dups = bloom_semi_join(delta, ref_fp, "fp").withColumn(
-        "is_dup", F.lit(True)
-    )
-    news = bloom_anti_join(delta, ref_fp, "fp").withColumn(
-        "is_dup", F.lit(False)
-    )
     return (
-        dups.unionByName(news)
+        bloom_classify(delta, ref.select("fp"), "fp", out_col="is_dup")
         .select("doc_id", "source", "is_dup")
         .orderBy("doc_id")
     )
@@ -350,4 +347,95 @@ def corpus_overlap_kmv_certificate(
         "n_ref_exact bigint, n_delta_exact bigint, n_inter_exact bigint, "
         "ref_est_within_bound boolean, delta_est_within_bound boolean, "
         "union_est_within_bound boolean, jaccard_within_bound boolean",
+    )
+
+
+@register(
+    "mg_admission_streaming_certificate",
+    tags=("sketch", "heavy-hitters", "misra-gries", "streaming",
+          "incremental", "index-maintenance", "approx-prune-exact-verify",
+          "scale-path"),
+    oracle=f"""
+        WITH tot AS (SELECT COUNT(*) AS n FROM events),
+        c AS (
+            SELECT event_type,
+                   CAST(user_id % 16 AS BIGINT) AS user_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT event_type, user_bucket, n_events,
+               CAST(n_events * 10000 // n AS BIGINT) AS share_bps
+        FROM c, tot
+        WHERE n_events * {_MG_K + 1} > n
+        ORDER BY event_type, user_bucket
+    """,
+)
+def mg_admission_streaming_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming heavy-hitter certification: admit the event stream in
+    three micro-batch-shaped slices through the REAL admission round
+    (streaming/mg_admission.py::admit_mg_batch -- per-table batch_token
+    commit markers, replay ledger, bounded per-batch MG summaries),
+    REPLAY the second batch (must be a no-op), compact the partials
+    mid-sequence (compact_mg_index, re-trimmed to k), then exact-verify
+    heavy hitters off the final stored candidate state.  Hash-matching
+    the one-shot GROUP BY + HAVING oracle proves N-batch streaming
+    admission + replay + compaction preserves the Misra-Gries superset
+    guarantee end to end -- the streamed twin of
+    `heavy_hitters_mg_exact`, same oracle.
+
+    Scale notes: per batch the admission costs one bounded-state MG
+    scan of the batch plus a <= k-row append; the stream is never
+    re-read by admission or compaction.  The exact-verify recount runs
+    over the archived corpus once, against broadcast candidates only."""
+    from ..streaming.mg_admission import (
+        admit_mg_batch,
+        compact_mg_index,
+        heavy_hitters_from_state,
+        init_mg_index,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    key = F.concat_ws("|", "event_type",
+                      F.pmod(F.col("user_id"), F.lit(16)).cast("bigint"))
+    stream = e.select("event_id", key.alias("key"))
+    d11 = F.lit("2024-01-11").cast("timestamp_ntz")
+    d21 = F.lit("2024-01-21").cast("timestamp_ntz")
+    slices = [
+        e.filter(F.col("ts") < d11),
+        e.filter((F.col("ts") >= d11) & (F.col("ts") < d21)),
+        e.filter(F.col("ts") >= d21),
+    ]
+    init_mg_index(spark, "mg_adm")
+    for i, s in enumerate(slices):
+        batch = s.select("event_id", key.alias("key"))
+        admit_mg_batch(
+            spark, batch, "mg_adm", key_col="key", k=_MG_K,
+            id_col="event_id",
+        )
+        if i == 1:
+            # at-least-once delivery: replaying an admitted batch must
+            # be a no-op (commit markers), and compaction mid-sequence
+            # must preserve both counts and markers
+            admit_mg_batch(
+                spark, batch, "mg_adm", key_col="key", k=_MG_K,
+                id_col="event_id",
+            )
+            compact_mg_index(spark, "mg_adm", k=_MG_K)
+    heavy = heavy_hitters_from_state(
+        spark, stream, "mg_adm",
+        key_expr=F.col("key"), k=_MG_K,
+    )
+    n_total = e.count()
+    parts = F.split(F.col("key"), "\\|")
+    return (
+        heavy.select(
+            parts.getItem(0).alias("event_type"),
+            parts.getItem(1).cast("bigint").alias("user_bucket"),
+            F.col("n_rows").alias("n_events"),
+        )
+        .withColumn("share_bps", F.expr(f"n_events * 10000 DIV {n_total}"))
+        .orderBy("event_type", "user_bucket")
     )

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from dataworks_aws_corporate_data_ingestion_spark.operators.bloomjoin import (
     BloomFilter,
     bloom_anti_join,
+    bloom_classify,
     bloom_might_contain,
     bloom_semi_join,
     build_bloom,
@@ -109,6 +110,22 @@ class TestSemiAntiEquality:
         anti = [r["k"] for r in bloom_anti_join(big, ref, "k").collect()]
         assert semi == ["a"]
         assert sorted(anti, key=lambda v: (v is None, v)) == ["b", None, None]
+
+    @pytest.mark.parametrize("m_bits", [64, 1 << 12])
+    def test_classify_matches_exists_semantics(self, spark, m_bits):
+        """bloom_classify must reproduce the left-join EXISTS flag for
+        every row -- including duplicates and NULL keys -- even when
+        the undersized table forces ~100% false positives."""
+        big = spark.createDataFrame(
+            [("a",), ("a",), ("b",), (None,), ("c",)], "k string"
+        )
+        ref = spark.createDataFrame([("a",), ("c",), (None,)], "k string")
+        out = bloom_classify(big, ref, "k", m_bits=m_bits, out_col="hit")
+        got = sorted(
+            ((r["k"] or ""), r["hit"]) for r in out.collect()
+        )
+        assert got == [("", False), ("a", True), ("a", True),
+                       ("b", False), ("c", True)]
 
     def test_distinct_key_names(self, spark):
         big = spark.createDataFrame([("a", 1), ("c", 2)], "k string, v long")
