@@ -53,6 +53,9 @@ SHOWCASE = [
     ("bm25_search_with_deletions", "tombstone anti-join on bucketed postings; dims pre-corrected at delete time"),
     ("approx_distinct_certificate", "HLL registers + exact distinct side-by-side, one grouped agg"),
     ("hll_mergeable_rollup_certificate", "per-day sketch agg -> union-merge agg; state bytes, not rows"),
+    ("heavy_hitters_mg_exact", "bounded-state MG mapInPandas -> broadcast candidate semi-join -> sliver-only recount"),
+    ("returning_users_bloom_semi", "bit_or-packed bloom build -> map-side ArrowEvalPython probe -> sliver verify join"),
+    ("cross_corpus_dedup_bloom", "one bloom_classify pass: scan-stage probe, only positives join"),
 ]
 
 
