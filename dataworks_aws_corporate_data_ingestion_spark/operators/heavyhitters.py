@@ -54,31 +54,49 @@ def _mg_reduce(state: dict, k: int) -> dict:
     return {key: c - sub for key, c in state.items() if c > sub}
 
 
-def mg_summary(df: DataFrame, key_cols: Sequence[str], k: int) -> DataFrame:
+def mg_summary(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    k: int,
+    weight_col: str | None = None,
+) -> DataFrame:
     """Per-partition Misra-Gries summaries over `key_cols`, WITH their
     surviving lower-bound counters: rows (key_cols..., c bigint), up to
     k per partition (so a key may appear once per partition).
 
-    The counter is a LOWER bound on the key's local frequency,
-    undercounting by at most n_p/(k+1); summaries are mergeable (sum
-    per key, optionally re-trim with `_mg_reduce`) with errors adding
-    like the bound -- the property the streaming admission
+    With `weight_col` (non-negative INTEGER weights, e.g. cents or
+    token counts) the summary tracks weighted mass instead of row
+    frequency -- the SpaceSaving-style generalisation: a key whose
+    total weight exceeds W_p/(k+1) of the partition's weight survives,
+    by the same amortised-decrement argument (a unit of weight is a
+    repeated row).
+
+    The counter is a LOWER bound on the key's local mass, undercounting
+    by at most W_p/(k+1); summaries are mergeable (sum per key,
+    optionally re-trim with `_mg_reduce`) with errors adding like the
+    bound -- the property the streaming admission
     (streaming/mg_admission.py) folds across micro-batches.
 
     Arrow batches arrive via mapInPandas; each batch is pre-combined
-    with a vectorised value_counts so the Python-side dict only sees
+    with a vectorised groupby-sum so the Python-side dict only sees
     (key, weight) pairs, not rows.
     """
     cols = list(key_cols)
-    keyed = df.select(*cols)
-    out_schema = keyed.withColumn("c", F.lit(0).cast("bigint")).schema
+    sel = cols + ([weight_col] if weight_col else [])
+    keyed = df.select(*sel)
+    out_schema = df.select(*cols).withColumn(
+        "c", F.lit(0).cast("bigint")
+    ).schema
 
     def summarise(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         state: dict[tuple, int] = {}
         for pdf in batches:
             if pdf.empty:
                 continue
-            counts = pdf.groupby(cols, sort=False).size()
+            if weight_col:
+                counts = pdf.groupby(cols, sort=False)[weight_col].sum()
+            else:
+                counts = pdf.groupby(cols, sort=False).size()
             for key, c in counts.items():
                 tup = key if isinstance(key, tuple) else (key,)
                 state[tup] = state.get(tup, 0) + int(c)
@@ -91,37 +109,59 @@ def mg_summary(df: DataFrame, key_cols: Sequence[str], k: int) -> DataFrame:
     return keyed.mapInPandas(summarise, out_schema)
 
 
-def mg_candidates(df: DataFrame, key_cols: Sequence[str], k: int) -> DataFrame:
+def mg_candidates(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    k: int,
+    weight_col: str | None = None,
+) -> DataFrame:
     """Per-partition Misra-Gries candidate keys (schema = key_cols):
     the distinct union of `mg_summary` survivors.
 
-    Guarantee: contains every key whose global frequency exceeds
-    n/(k+1) -- a key above the global threshold must exceed the local
-    threshold n_p/(k+1) in at least one partition (pigeonhole), and MG
-    retains every such local key.  May contain others (that is what the
-    exact-verify pass is for).  State per task is <= k counters; the
-    output is <= k rows per partition regardless of input size."""
-    return mg_summary(df, key_cols, k).drop("c").distinct()
+    Guarantee: contains every key whose global frequency (or weighted
+    mass) exceeds n/(k+1) -- a key above the global threshold must
+    exceed the local threshold n_p/(k+1) in at least one partition
+    (pigeonhole), and MG retains every such local key.  May contain
+    others (that is what the exact-verify pass is for).  State per task
+    is <= k counters; the output is <= k rows per partition regardless
+    of input size."""
+    return mg_summary(df, key_cols, k, weight_col=weight_col).drop(
+        "c"
+    ).distinct()
 
 
 def heavy_hitters_exact(
-    df: DataFrame, key_cols: Sequence[str], k: int
+    df: DataFrame,
+    key_cols: Sequence[str],
+    k: int,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Keys with frequency strictly greater than n/(k+1), with their
-    EXACT counts -- bit-identical to the full groupBy-HAVING query, but
-    the only aggregation shuffle is over the Misra-Gries candidate
-    sliver (<= k keys per partition) instead of every distinct key.
+    """Keys with frequency (or, with `weight_col`, total integer
+    weight) strictly greater than 1/(k+1) of the grand total, with
+    their EXACT counts -- bit-identical to the full groupBy-HAVING
+    query, but the only aggregation shuffle is over the Misra-Gries
+    candidate sliver (<= k keys per partition) instead of every
+    distinct key.
 
-    Output schema: key_cols + n_rows (bigint).  The threshold predicate
-    is integer cross-multiplied (`n_rows * (k+1) > n`) so both engines
-    evaluate it exactly.
+    Output schema: key_cols + n_rows (bigint; the exact weighted mass
+    when weight_col is given).  The threshold predicate is integer
+    cross-multiplied (`n_rows * (k+1) > n`) so both engines evaluate it
+    exactly -- which is why weights must be integers (cents, token
+    counts), never raw doubles.
     """
     cols = list(key_cols)
-    n_total = df.count()
-    cands = mg_candidates(df, cols, k)
+    if weight_col:
+        n_total = int(
+            df.agg(F.sum(weight_col).cast("bigint")).collect()[0][0] or 0
+        )
+        measure = F.sum(weight_col).cast("bigint").alias("n_rows")
+    else:
+        n_total = df.count()
+        measure = F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    cands = mg_candidates(df, cols, k, weight_col=weight_col)
     return (
         df.join(F.broadcast(cands), cols, "left_semi")
         .groupBy(*cols)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .agg(measure)
         .filter(F.col("n_rows") * (k + 1) > F.lit(n_total))
     )

@@ -439,3 +439,60 @@ def mg_admission_streaming_certificate(
         .withColumn("share_bps", F.expr(f"n_events * 10000 DIV {n_total}"))
         .orderBy("event_type", "user_bucket")
     )
+
+
+@register(
+    "heavy_value_cells_mg_exact",
+    tags=("sketch", "heavy-hitters", "misra-gries", "weighted",
+          "approx-prune-exact-verify", "scale-path"),
+    oracle=f"""
+        WITH base AS (
+            SELECT event_type,
+                   CAST(user_id % 16 AS BIGINT) AS user_bucket,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS w FROM base),
+        c AS (
+            SELECT event_type, user_bucket,
+                   CAST(SUM(cents) AS BIGINT) AS value_cents
+            FROM base GROUP BY 1, 2
+        )
+        SELECT event_type, user_bucket, value_cents,
+               CAST(value_cents * 10000 // w AS BIGINT) AS share_bps
+        FROM c, tot
+        WHERE value_cents * {_MG_K + 1} > w
+        ORDER BY event_type, user_bucket
+    """,
+)
+def heavy_value_cells_mg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED heavy hitters -- (event_type, user-bucket) cells
+    carrying more than 1/128 of total event VALUE (in exact integer
+    cents), the top-revenue-entities shape: same Misra-Gries prune /
+    exact-verify contract as `heavy_hitters_mg_exact`, but the bounded
+    counters track weighted mass (the SpaceSaving generalisation; a
+    unit of weight is a repeated row, so the same amortised-decrement
+    bound holds).  Bit-identical to the full GROUP BY SUM + HAVING the
+    oracle runs.
+
+    Scale notes: identical plan shape to the frequency form -- one
+    bounded-state mapInPandas scan, broadcast candidate semi-join,
+    sliver-only SUM -- so "which merchants take >1% of payment volume"
+    never shuffles the full merchant key space.  Cents are
+    FLOOR(value*100) (floor-before-cast: Spark CAST truncates, DuckDB
+    CAST rounds), summed as exact BIGINTs; thresholds and shares are
+    integer cross-multiplied."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(16)).cast("bigint").alias("user_bucket"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = int(e.agg(F.sum("cents").cast("bigint")).collect()[0][0] or 0)
+    return (
+        heavy_hitters_exact(
+            e, ["event_type", "user_bucket"], _MG_K, weight_col="cents"
+        )
+        .withColumnRenamed("n_rows", "value_cents")
+        .withColumn("share_bps", F.expr(f"value_cents * 10000 DIV {w}"))
+        .orderBy("event_type", "user_bucket")
+    )

@@ -134,3 +134,65 @@ class TestHeavyHittersExact:
         df = spark.createDataFrame([("only",)] * 500, "key string")
         got = heavy_hitters_exact(df, ["key"], 1).collect()
         assert [(r["key"], r["n_rows"]) for r in got] == [("only", 500)]
+
+
+class TestWeightedHeavyHitters:
+    def _exact_weighted(self, rows: list[tuple[str, int]], k: int):
+        sums: dict[str, int] = {}
+        for key, w in rows:
+            sums[key] = sums.get(key, 0) + w
+        total = sum(w for _, w in rows)
+        return {
+            key: s for key, s in sums.items() if s * (k + 1) > total
+        }
+
+    def test_planted_heavy_weight_key(self, spark):
+        """A key that is RARE by row count but heavy by weight must be
+        found -- the case the frequency form structurally misses."""
+        rng = random.Random(3)
+        rows = [("whale", 5000)] * 4 + [
+            (f"fish_{rng.randrange(1000)}", rng.randrange(1, 10))
+            for _ in range(8000)
+        ]
+        k = 9
+        truth = self._exact_weighted(rows, k)
+        assert "whale" in truth
+        df = spark.createDataFrame(rows, "key string, w long").repartition(8)
+        got = {
+            r["key"]: r["n_rows"]
+            for r in heavy_hitters_exact(
+                df, ["key"], k, weight_col="w"
+            ).collect()
+        }
+        assert got == truth
+
+    def test_zero_weights_are_inert(self, spark):
+        rows = [("a", 10)] * 5 + [("z", 0)] * 100
+        df = spark.createDataFrame(rows, "key string, w long").repartition(4)
+        got = {
+            r["key"]: r["n_rows"]
+            for r in heavy_hitters_exact(
+                df, ["key"], 3, weight_col="w"
+            ).collect()
+        }
+        assert got == {"a": 50}
+
+    def test_weighted_partitioning_invariance(self, spark):
+        rng = random.Random(11)
+        rows = [
+            (f"k{rng.randrange(40)}", rng.randrange(1, 100))
+            for _ in range(3000)
+        ]
+        results = []
+        for parts in (1, 5, 13):
+            df = spark.createDataFrame(
+                rows, "key string, w long"
+            ).repartition(parts)
+            res = heavy_hitters_exact(df, ["key"], 15, weight_col="w")
+            results.append(
+                sorted((r["key"], r["n_rows"]) for r in res.collect())
+            )
+        assert results[0] == results[1] == results[2]
+        assert results[0] == sorted(
+            self._exact_weighted(rows, 15).items()
+        )
