@@ -496,3 +496,85 @@ def heavy_value_cells_mg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("share_bps", F.expr(f"value_cents * 10000 DIV {w}"))
         .orderBy("event_type", "user_bucket")
     )
+
+
+_TOPK = 10
+
+
+@register(
+    "top_frequent_cells_exact_topk",
+    tags=("sketch", "heavy-hitters", "misra-gries", "topk",
+          "approx-prune-exact-verify", "scale-path"),
+    oracle=f"""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(user_id % 16 AS BIGINT) AS user_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT event_type, user_bucket, n_events,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY n_events DESC, event_type ASC, user_bucket ASC
+               ) AS BIGINT) AS rank
+        FROM c
+        ORDER BY n_events DESC, event_type ASC, user_bucket ASC
+        LIMIT {_TOPK}
+    """,
+)
+def top_frequent_cells_exact_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT global top-{k} most frequent (event_type, user-bucket)
+    cells without ever shuffling the full distinct-key space: the
+    Misra-Gries candidate set is a guaranteed superset of every key
+    above n/(k+1), so whenever the 10th-ranked count clears that
+    threshold the true top-10 is contained in the candidates and the
+    sliver-only recount IS the exact answer.  The containment condition
+    is CHECKED, not assumed -- the query raises if the 10th count falls
+    below the threshold (the caller must then widen k), so a silent
+    wrong answer is structurally impossible.  Deterministic tiebreak
+    (count desc, then key asc) keeps both engines' rank 1..10
+    identical.
+
+    Scale notes: the plain form is a full groupBy + global sort; this
+    form is the bounded-state candidate scan + a <= k x n_partitions
+    recount + a 10-row TakeOrdered.  "Top merchants by transaction
+    count" at 1e9 merchants never materialises the merchant key
+    space."""
+    from ..operators.heavyhitters import mg_candidates
+
+    e = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(16)).cast("bigint").alias("user_bucket"),
+    )
+    n = e.count()
+    cands = mg_candidates(e, ["event_type", "user_bucket"], _MG_K)
+    counts = (
+        e.join(F.broadcast(cands), ["event_type", "user_bucket"], "left_semi")
+        .groupBy("event_type", "user_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    top = counts.orderBy(
+        F.col("n_events").desc(),
+        F.col("event_type").asc(),
+        F.col("user_bucket").asc(),
+    ).limit(_TOPK).collect()
+    # the containment proof needs a FULL top list whose last count
+    # clears the threshold; a short list means MG trimmed candidates
+    # away (uniform data) and no top-k claim is sound -- refuse, never
+    # mis-rank.  (A corpus with < k distinct keys should use the plain
+    # groupBy; this operator exists for the huge-key-space regime.)
+    if len(top) < _TOPK or top[-1]["n_events"] * (_MG_K + 1) <= n:
+        tail = top[-1]["n_events"] if top else 0
+        raise AssertionError(
+            f"top-{_TOPK} guarantee violated: {len(top)} candidates, "
+            f"tail count {tail} <= n/(k+1); widen k"
+        )
+    return spark.createDataFrame(
+        [
+            (r["event_type"], r["user_bucket"], r["n_events"], i + 1)
+            for i, r in enumerate(top)
+        ],
+        "event_type string, user_bucket bigint, n_events bigint, rank bigint",
+    )

@@ -136,6 +136,27 @@ class TestHeavyHittersExact:
         assert [(r["key"], r["n_rows"]) for r in got] == [("only", 500)]
 
 
+class TestExactTopKGuard:
+    def test_raises_when_guarantee_cannot_hold(self, spark, monkeypatch):
+        """top_frequent_cells_exact_topk must refuse (not silently
+        mis-rank) when the 10th count is below n/(k+1).  Uniform data
+        over many keys puts every count under the threshold."""
+        import dataworks_aws_corporate_data_ingestion_spark.workloads.approx_exact as ax
+
+        rows = [(f"t{i % 500}", i % 7) for i in range(5000)]
+        uniform = spark.createDataFrame(
+            rows, "event_type string, user_bucket long"
+        ).withColumn("user_id", F.col("user_bucket"))
+
+        def fake_load(s, name, sf_dir):
+            assert name == "events"
+            return uniform
+
+        monkeypatch.setattr(ax, "load_table", fake_load)
+        with pytest.raises(AssertionError, match="guarantee violated"):
+            ax.top_frequent_cells_exact_topk(spark, "unused")
+
+
 class TestWeightedHeavyHitters:
     def _exact_weighted(self, rows: list[tuple[str, int]], k: int):
         sums: dict[str, int] = {}
