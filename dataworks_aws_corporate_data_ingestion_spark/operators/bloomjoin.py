@@ -55,6 +55,9 @@ __all__ = [
     "bloom_semi_join",
     "bloom_anti_join",
     "bloom_classify",
+    "materialize_bloom_index",
+    "append_to_bloom_index",
+    "load_bloom_index",
 ]
 
 
@@ -228,3 +231,84 @@ def bloom_classify(
         out_col, F.col("__bf_ref").isNotNull()
     ).drop("__bf_ref")
     return sure_out.unionByName(verified)
+
+
+# ---------------------------------------------------------------------------
+# Stored bloom index: the frozen-corpus membership filter as a catalog
+# artifact with append maintenance.  Bloom union is bitwise OR, so
+# appending a delta's positions is LOSSLESSLY identical to rebuilding
+# over the full key set -- the same append==rebuild contract the BM25 /
+# minhash / LM indexes certify, here provable bit-for-bit on the words.
+# The table is append-only partial rows (word, mask); the logical
+# bitset is bit_or per word, so an append never rewrites history and a
+# crashed append replays idempotently (OR is idempotent).
+# ---------------------------------------------------------------------------
+
+
+def materialize_bloom_index(
+    spark,
+    ref: DataFrame,
+    key: str | Column,
+    prefix: str,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> None:
+    """Write the packed-word bloom rows + parameters as catalog tables
+    ({prefix}_bloom: word/mask partials; {prefix}_bloommeta: m_bits,
+    n_hashes).  At 100 TB the build touches the corpus once map-side
+    and shuffles <= m/64 word rows (build_bloom's plan)."""
+    from ..sinks.bucketing import _clear_orphan_location
+
+    for name in (f"{prefix}_bloom", f"{prefix}_bloommeta"):
+        _clear_orphan_location(spark, name)
+    bf = build_bloom(ref, key, m_bits=m_bits, n_hashes=n_hashes)
+    rows = [
+        (int(w), int(np.int64(np.uint64(m))))
+        for w, m in enumerate(bf.words)
+        if m
+    ]
+    spark.createDataFrame(rows, "word long, mask long").write.format(
+        "parquet"
+    ).saveAsTable(f"{prefix}_bloom")
+    spark.createDataFrame(
+        [(m_bits, n_hashes)], "m_bits long, n_hashes long"
+    ).write.format("parquet").saveAsTable(f"{prefix}_bloommeta")
+
+
+def append_to_bloom_index(
+    spark, delta: DataFrame, key: str | Column, prefix: str
+) -> None:
+    """OR a delta key set into the stored filter by APPENDING its
+    packed-word partials -- history is never rewritten, the logical
+    bitset is bit_or per word at load, and a replayed append is
+    idempotent (OR).  Bit-identical to rebuilding over ref UNION delta,
+    which is what `cross_corpus_dedup_bloom_indexed` certifies."""
+    meta = spark.table(f"{prefix}_bloommeta").collect()[0]
+    bf = build_bloom(
+        delta, key, m_bits=int(meta["m_bits"]), n_hashes=int(meta["n_hashes"])
+    )
+    rows = [
+        (int(w), int(np.int64(np.uint64(m))))
+        for w, m in enumerate(bf.words)
+        if m
+    ]
+    if rows:
+        spark.createDataFrame(rows, "word long, mask long").write.mode(
+            "append"
+        ).format("parquet").saveAsTable(f"{prefix}_bloom")
+
+
+def load_bloom_index(spark, prefix: str) -> BloomFilter:
+    """Fold the stored partials (bit_or per word) into a BloomFilter."""
+    meta = spark.table(f"{prefix}_bloommeta").collect()[0]
+    m_bits, n_hashes = int(meta["m_bits"]), int(meta["n_hashes"])
+    words = np.zeros(m_bits >> 6, dtype=np.uint64)
+    for r in (
+        spark.table(f"{prefix}_bloom")
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("mask"))
+        .collect()
+    ):
+        words[r["word"]] = np.uint64(r["mask"] & 0xFFFFFFFFFFFFFFFF)
+    words.setflags(write=False)
+    return BloomFilter(words=words, m_bits=m_bits, n_hashes=n_hashes)

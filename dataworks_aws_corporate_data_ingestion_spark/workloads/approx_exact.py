@@ -578,3 +578,95 @@ def top_frequent_cells_exact_topk(
         ],
         "event_type string, user_bucket bigint, n_events bigint, rank bigint",
     )
+
+
+@register(
+    "cross_corpus_dedup_bloom_indexed",
+    tags=("bloom", "dedup", "anti-join", "index-maintenance",
+          "approx-prune-exact-verify", "scale-path"),
+    oracle=f"""
+        WITH nrm AS (
+            SELECT doc_id, source,
+                   md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+            FROM documents
+        ),
+        ref AS (SELECT * FROM nrm WHERE source IN ({_REF_SOURCES_SQL})),
+        delta AS (
+            SELECT doc_id, source, fp FROM nrm
+            WHERE source NOT IN ({_REF_SOURCES_SQL})
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, 'recrawl' AS source, fp
+            FROM ref WHERE doc_id % 5 = 0
+        ),
+        rfp AS (SELECT DISTINCT fp FROM ref)
+        SELECT d.doc_id, d.source,
+               (rfp.fp IS NOT NULL) AS is_dup
+        FROM delta d LEFT JOIN rfp ON d.fp = rfp.fp
+        ORDER BY d.doc_id
+    """,
+)
+def cross_corpus_dedup_bloom_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INDEX-MAINTENANCE twin of `cross_corpus_dedup_bloom`: the
+    reference filter is a STORED catalog artifact, not a per-query
+    build -- materialised over 90% of the reference corpus
+    (materialize_bloom_index), the remaining 10% OR-appended
+    (append_to_bloom_index; bloom union is bitwise OR, so the append is
+    losslessly identical to a full rebuild -- asserted word-for-word
+    here, the bit-exact form of the append==rebuild contract the
+    BM25/minhash/LM indexes certify), then the delta corpus classified
+    against the loaded filter.  Hash-matching the same plain-left-join
+    oracle proves the maintained index answers exactly like a fresh
+    one.
+
+    Scale notes: the frozen corpus is fingerprint-scanned ONCE at
+    materialise time; each daily append touches only the delta and
+    appends <= m/64 packed-word rows (OR-idempotent, so crashed appends
+    replay safely); queries load kilobyte-to-gigabyte words, never the
+    corpus."""
+    from ..operators.bloomjoin import (
+        append_to_bloom_index,
+        build_bloom,
+        load_bloom_index,
+        materialize_bloom_index,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " ")))
+    nrm = docs.select("doc_id", "source", fp.alias("fp"))
+    ref = nrm.filter(F.col("source").isin(_REF_SOURCES))
+    delta = nrm.filter(~F.col("source").isin(_REF_SOURCES)).unionByName(
+        ref.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.lit("recrawl").alias("source"),
+            "fp",
+        )
+    )
+    materialize_bloom_index(
+        spark, ref.filter(F.col("doc_id") % 10 != 0), "fp", "fp_idx",
+        m_bits=1 << 20,
+    )
+    append_to_bloom_index(
+        spark, ref.filter(F.col("doc_id") % 10 == 0), "fp", "fp_idx"
+    )
+    stored = load_bloom_index(spark, "fp_idx")
+    rebuilt = build_bloom(ref, "fp", m_bits=1 << 20, n_hashes=5)
+    if not (stored.words == rebuilt.words).all():
+        raise AssertionError("append != rebuild: stored bloom words diverge")
+    from ..operators.bloomjoin import bloom_might_contain
+
+    flagged = bloom_might_contain(delta, "fp", stored, out_col="__hit")
+    sure_new = flagged.filter(~F.col("__hit")).drop("__hit").withColumn(
+        "is_dup", F.lit(False)
+    )
+    cand = flagged.filter(F.col("__hit")).drop("__hit")
+    keys = ref.select("fp").distinct().withColumn("__r", F.lit(1))
+    verified = cand.join(keys, "fp", "left").withColumn(
+        "is_dup", F.col("__r").isNotNull()
+    ).drop("__r")
+    return (
+        sure_new.unionByName(verified)
+        .select("doc_id", "source", "is_dup")
+        .orderBy("doc_id")
+    )

@@ -134,6 +134,73 @@ class TestSemiAntiEquality:
         assert [(r["k"], r["v"]) for r in out.collect()] == [("a", 1)]
 
 
+class TestStoredBloomIndex:
+    def _cleanup(self, spark, prefix):
+        for t in (f"{prefix}_bloom", f"{prefix}_bloommeta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_append_equals_rebuild_word_for_word(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.bloomjoin import (
+            append_to_bloom_index,
+            load_bloom_index,
+            materialize_bloom_index,
+        )
+
+        try:
+            base = _keys_df(spark, [f"k{i}" for i in range(200)])
+            delta = _keys_df(spark, [f"d{i}" for i in range(50)])
+            materialize_bloom_index(spark, base, "k", "t_bf1", m_bits=1 << 12)
+            append_to_bloom_index(spark, delta, "k", "t_bf1")
+            stored = load_bloom_index(spark, "t_bf1")
+            rebuilt = build_bloom(
+                base.unionByName(delta), "k", m_bits=1 << 12, n_hashes=5
+            )
+            assert (stored.words == rebuilt.words).all()
+            assert stored.m_bits == 1 << 12 and stored.n_hashes == 5
+        finally:
+            self._cleanup(spark, "t_bf1")
+
+    def test_replayed_append_is_idempotent(self, spark):
+        """OR is idempotent: appending the same delta twice (an
+        at-least-once replay) must leave the loaded words unchanged."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.bloomjoin import (
+            append_to_bloom_index,
+            load_bloom_index,
+            materialize_bloom_index,
+        )
+
+        try:
+            base = _keys_df(spark, [f"k{i}" for i in range(100)])
+            delta = _keys_df(spark, [f"d{i}" for i in range(30)])
+            materialize_bloom_index(spark, base, "k", "t_bf2", m_bits=1 << 12)
+            append_to_bloom_index(spark, delta, "k", "t_bf2")
+            w1 = load_bloom_index(spark, "t_bf2").words.copy()
+            append_to_bloom_index(spark, delta, "k", "t_bf2")
+            w2 = load_bloom_index(spark, "t_bf2").words
+            assert (w1 == w2).all()
+        finally:
+            self._cleanup(spark, "t_bf2")
+
+    def test_empty_delta_append_is_noop(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.bloomjoin import (
+            append_to_bloom_index,
+            load_bloom_index,
+            materialize_bloom_index,
+        )
+
+        try:
+            base = _keys_df(spark, ["a", "b"])
+            materialize_bloom_index(spark, base, "k", "t_bf3", m_bits=1 << 10)
+            w1 = load_bloom_index(spark, "t_bf3").words.copy()
+            append_to_bloom_index(
+                spark, spark.createDataFrame([], "k string"), "k", "t_bf3"
+            )
+            w2 = load_bloom_index(spark, "t_bf3").words
+            assert (w1 == w2).all()
+        finally:
+            self._cleanup(spark, "t_bf3")
+
+
 class TestProbePlanShape:
     def test_probe_is_vectorised_not_row_at_a_time(self, spark):
         """The probe must compile to an Arrow-batched python eval
