@@ -42,7 +42,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_signature", "kmv_estimate", "kmv_union_jaccard"]
+__all__ = [
+    "kmv_signature",
+    "kmv_estimate",
+    "kmv_union_jaccard",
+    "materialize_kmv_signatures",
+    "append_to_kmv_signatures",
+    "load_kmv_signatures",
+]
 
 # hash domain: xxhash64 shifted to [0, 2^64)
 _M = 2**64
@@ -142,3 +149,65 @@ def kmv_union_jaccard(
         "j_num",
         F.col("n_union_sig").alias("j_den"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stored KMV signatures: per-set bottom-k sketches as a catalog artifact
+# with append maintenance.  The k smallest of (signature UNION delta
+# hashes) IS the signature of (set UNION delta) -- losslessly mergeable
+# (pinned by tests/test_kmv.py::test_merge_is_lossless) -- so appending
+# a day's / a source's new elements is bit-identical to rebuilding over
+# the full history, the same append==rebuild contract the stored bloom
+# index proves word-for-word.  The table is append-only partial rows
+# (set_id, h); the logical signature is the k smallest distinct h per
+# set at load, so replayed appends are idempotent (distinct) and
+# crashed appends heal without markers -- the MIN-algebra, like the
+# bloom's OR, is itself the recovery mechanism.
+# ---------------------------------------------------------------------------
+
+
+def materialize_kmv_signatures(
+    spark,
+    df: DataFrame,
+    set_col: str,
+    elem_col: str,
+    prefix: str,
+    k: int = 512,
+) -> None:
+    """Write per-set bottom-k signatures + the k parameter as catalog
+    tables ({prefix}_kmv: set_id/h partials; {prefix}_kmvmeta: k)."""
+    from ..sinks.bucketing import _clear_orphan_location
+
+    for name in (f"{prefix}_kmv", f"{prefix}_kmvmeta"):
+        _clear_orphan_location(spark, name)
+    sig = kmv_signature(df, set_col, elem_col, k)
+    sig.write.format("parquet").saveAsTable(f"{prefix}_kmv")
+    spark.createDataFrame([(k,)], "k long").write.format(
+        "parquet"
+    ).saveAsTable(f"{prefix}_kmvmeta")
+
+
+def append_to_kmv_signatures(
+    spark, delta: DataFrame, set_col: str, elem_col: str, prefix: str
+) -> None:
+    """Fold a delta's elements into the stored signatures by APPENDING
+    the delta's own bottom-k rows -- history is never rewritten; the
+    k-smallest-distinct fold at load makes the result bit-identical to
+    a rebuild over the union, and a replayed append a no-op."""
+    k = int(spark.table(f"{prefix}_kmvmeta").collect()[0]["k"])
+    sig = kmv_signature(delta, set_col, elem_col, k)
+    sig.write.mode("append").format("parquet").saveAsTable(f"{prefix}_kmv")
+
+
+def load_kmv_signatures(spark, prefix: str) -> tuple[DataFrame, int]:
+    """Logical signatures: k smallest distinct hashes per set over the
+    append-only partials.  Returns (signature df (set_id, h), k)."""
+    k = int(spark.table(f"{prefix}_kmvmeta").collect()[0]["k"])
+    t = spark.table(f"{prefix}_kmv").select("set_id", "h").distinct()
+    w = Window.partitionBy("set_id").orderBy(F.col("h").asc())
+    sig = (
+        t.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+    return sig, k

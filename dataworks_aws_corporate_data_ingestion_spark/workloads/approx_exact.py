@@ -670,3 +670,159 @@ def cross_corpus_dedup_bloom_indexed(
         .select("doc_id", "source", "is_dup")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_overlap_kmv_indexed",
+    tags=("sketch", "kmv", "theta", "approx", "recall-certificate",
+          "set-intersection", "index-maintenance", "scale-path"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT CASE WHEN source IN ({_REF_SOURCES_SQL})
+                        THEN 'ref' ELSE 'delta' END AS set_id,
+                   string_split(trim(regexp_replace(lower(text), ' +', ' ',
+                                                    'g')), ' ') AS t
+            FROM documents
+        ),
+        idx AS (
+            SELECT set_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+            FROM toks WHERE len(t) >= 3
+        ),
+        grams AS (
+            SELECT DISTINCT set_id,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+            FROM idx
+        )
+        SELECT
+            CAST((SELECT COUNT(*) FROM grams WHERE set_id = 'ref')
+                 AS BIGINT) AS n_ref_exact,
+            CAST((SELECT COUNT(*) FROM grams WHERE set_id = 'delta')
+                 AS BIGINT) AS n_delta_exact,
+            CAST((SELECT COUNT(*) FROM grams a
+                  WHERE set_id = 'ref' AND g IN
+                        (SELECT g FROM grams WHERE set_id = 'delta'))
+                 AS BIGINT) AS n_inter_exact,
+            TRUE AS ref_est_within_bound,
+            TRUE AS delta_est_within_bound,
+            TRUE AS union_est_within_bound,
+            TRUE AS jaccard_within_bound
+    """,
+)
+def corpus_overlap_kmv_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INDEX-MAINTENANCE twin of `corpus_overlap_kmv_certificate`: the
+    per-half 3-gram signatures are a STORED catalog artifact --
+    materialised from 90% of the docs (materialize_kmv_signatures),
+    the rest folded in by append (append_to_kmv_signatures; the k
+    smallest of signature UNION delta IS the union's signature, so the
+    append is bit-identical to a rebuild -- asserted hash-row-for-row
+    here, the bottom-k analogue of the bloom index's OR algebra), then
+    the SAME overlap certificate is computed from the loaded
+    signatures.  Hash-matching the same oracle proves the maintained
+    signatures answer exactly like freshly-built ones.
+
+    Scale notes: per-source/day signatures are built once from each
+    slice and appended as <= k rows; overlap questions over any pair of
+    stored sets touch kilobytes.  The corpus is scanned only when its
+    slice first arrives."""
+    from ..operators.kmv import (
+        append_to_kmv_signatures,
+        load_kmv_signatures,
+        materialize_kmv_signatures,
+    )
+
+    docs = fan_out(load_table(spark, "documents", sf_dir))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    half = F.when(
+        F.col("source").isin(_REF_SOURCES), F.lit("ref")
+    ).otherwise(F.lit("delta"))
+    t = F.split(norm, " ")
+    base = docs.select(
+        "doc_id", half.alias("set_id"), t.alias("t")
+    ).filter(F.size("t") >= 3)
+    grams = base.select(
+        "doc_id",
+        "set_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3),"
+                " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+            )
+        ).alias("g"),
+    )
+    materialize_kmv_signatures(
+        spark, grams.filter(F.col("doc_id") % 10 != 0), "set_id", "g",
+        "kmv_idx", k=_KMV_K,
+    )
+    append_to_kmv_signatures(
+        spark, grams.filter(F.col("doc_id") % 10 == 0), "set_id", "g",
+        "kmv_idx",
+    )
+    sig, k = load_kmv_signatures(spark, "kmv_idx")
+    assert k == _KMV_K
+    sig = sig.persist()
+    rebuilt = kmv_signature(grams, "set_id", "g", _KMV_K)
+    diff = (
+        sig.exceptAll(rebuilt).count()
+        + rebuilt.exceptAll(sig).count()
+    )
+    if diff:
+        raise AssertionError(
+            f"append != rebuild: stored KMV signatures diverge ({diff} rows)"
+        )
+    sig_ref = sig.filter(F.col("set_id") == "ref")
+    sig_delta = sig.filter(F.col("set_id") == "delta")
+
+    exacts = {
+        r["set_id"]: r["n_exact"]
+        for r in grams.select("set_id", "g")
+        .distinct()
+        .groupBy("set_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .collect()
+    }
+    inter_exact = (
+        grams.filter(F.col("set_id") == "ref")
+        .select("g")
+        .distinct()
+        .join(
+            grams.filter(F.col("set_id") == "delta").select("g").distinct(),
+            "g",
+            "left_semi",
+        )
+        .count()
+    )
+    ests = {
+        r["set_id"]: r["n_est"]
+        for r in kmv_estimate(sig, _KMV_K).collect()
+    }
+    uj = kmv_union_jaccard(sig_ref, sig_delta, _KMV_K).collect()[0]
+    sig.unpersist()
+
+    n_ref, n_delta = exacts["ref"], exacts["delta"]
+    n_union = n_ref + n_delta - inter_exact
+
+    def within(est: float, ex: int) -> bool:
+        return abs(est - ex) * 100 <= ex * _KMV_CARD_BOUND_PCT
+
+    j_ok = (
+        abs(uj["j_num"] * n_union - inter_exact * uj["j_den"]) * 10000
+        <= _KMV_J_BOUND_BPS * uj["j_den"] * n_union
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_ref),
+                int(n_delta),
+                int(inter_exact),
+                bool(within(ests["ref"], n_ref)),
+                bool(within(ests["delta"], n_delta)),
+                bool(within(uj["union_est"], n_union)),
+                bool(j_ok),
+            )
+        ],
+        "n_ref_exact bigint, n_delta_exact bigint, n_inter_exact bigint, "
+        "ref_est_within_bound boolean, delta_est_within_bound boolean, "
+        "union_est_within_bound boolean, jaccard_within_bound boolean",
+    )

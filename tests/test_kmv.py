@@ -142,3 +142,56 @@ class TestUnionJaccard:
         assert row["n_union_sig"] == 100
         assert row["union_est"] == 100.0
         assert row["j_num"] == 0
+
+
+class TestStoredSignatures:
+    def _cleanup(self, spark, prefix):
+        for t in (f"{prefix}_kmv", f"{prefix}_kmvmeta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_append_equals_rebuild(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.kmv import (
+            append_to_kmv_signatures,
+            load_kmv_signatures,
+            materialize_kmv_signatures,
+        )
+
+        try:
+            base = _set_df(spark, "a", 0, 3000).unionByName(
+                _set_df(spark, "b", 1000, 4000)
+            )
+            delta = _set_df(spark, "a", 2500, 3500).unionByName(
+                _set_df(spark, "b", 0, 500)
+            )
+            materialize_kmv_signatures(spark, base, "s", "e", "t_kv1", k=K)
+            append_to_kmv_signatures(spark, delta, "s", "e", "t_kv1")
+            sig, k = load_kmv_signatures(spark, "t_kv1")
+            assert k == K
+            rebuilt = kmv_signature(
+                base.unionByName(delta), "s", "e", K
+            )
+            got = sorted((r["set_id"], r["h"]) for r in sig.collect())
+            want = sorted((r["set_id"], r["h"]) for r in rebuilt.collect())
+            assert got == want
+        finally:
+            self._cleanup(spark, "t_kv1")
+
+    def test_replayed_append_is_noop(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.kmv import (
+            append_to_kmv_signatures,
+            load_kmv_signatures,
+            materialize_kmv_signatures,
+        )
+
+        try:
+            base = _set_df(spark, "a", 0, 2000)
+            delta = _set_df(spark, "a", 1500, 2500)
+            materialize_kmv_signatures(spark, base, "s", "e", "t_kv2", k=K)
+            append_to_kmv_signatures(spark, delta, "s", "e", "t_kv2")
+            sig1, _ = load_kmv_signatures(spark, "t_kv2")
+            s1 = sorted(r["h"] for r in sig1.collect())
+            append_to_kmv_signatures(spark, delta, "s", "e", "t_kv2")
+            sig2, _ = load_kmv_signatures(spark, "t_kv2")
+            assert sorted(r["h"] for r in sig2.collect()) == s1
+        finally:
+            self._cleanup(spark, "t_kv2")
