@@ -826,3 +826,98 @@ def corpus_overlap_kmv_indexed(
         "ref_est_within_bound boolean, delta_est_within_bound boolean, "
         "union_est_within_bound boolean, jaccard_within_bound boolean",
     )
+
+
+@register(
+    "dedup_admission_bloom_certificate",
+    tags=("bloom", "dedup", "streaming", "incremental", "index-maintenance",
+          "approx-prune-exact-verify", "scale-path"),
+    oracle=f"""
+        WITH nrm AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+            FROM documents
+        ),
+        corpus AS (
+            SELECT doc_id, fp FROM nrm
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, fp FROM nrm
+            WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 2000003 AS doc_id, fp FROM nrm
+            WHERE doc_id % 10 = 0
+        ),
+        ranked AS (
+            SELECT doc_id, fp,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY fp
+                       ORDER BY doc_id % 3 ASC, doc_id ASC
+                   ) AS rn
+            FROM corpus
+        )
+        SELECT doc_id, fp FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def dedup_admission_bloom_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming ingest-dedup certification: a corpus seeded with
+    cross-batch AND within-batch duplicate fingerprints (two planted
+    recrawl copy waves) is admitted in three micro-batch-shaped slices
+    (doc_id % 3) through the REAL bloom-admission round
+    (streaming/bloom_admission.py::admit_dedup_batch -- bloom-negative
+    rows admitted with no join, positives exactly verified against the
+    fingerprint ledger, bloom-then-ledger append order, commit
+    markers), with the second batch REPLAYED (must admit nothing and
+    leave state unchanged).  The union of admitted rows hash-matches
+    the one-shot first-occurrence dedup the oracle computes under the
+    same (batch order, doc_id) total order -- N-batch streaming
+    admission == batch dedup, bit for bit.
+
+    Scale notes: per batch the cost is one within-batch window, one
+    map-side bloom probe (the dominant provably-new sliver never joins
+    anything), one ledger anti-join over the bloom-positive sliver,
+    and two bounded appends; the accumulated corpus is never
+    re-scanned."""
+    from ..streaming.bloom_admission import (
+        admit_dedup_batch,
+        init_bloom_dedup_index,
+        read_admitted_fps,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " ")))
+    nrm = docs.select("doc_id", fp.alias("fp"))
+    corpus = (
+        nrm.unionByName(
+            nrm.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "fp"
+            )
+        ).unionByName(
+            nrm.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 2000003).alias("doc_id"), "fp"
+            )
+        )
+    )
+    init_bloom_dedup_index(spark, "bd_adm")
+    admitted_parts = []
+    for i in range(3):
+        batch = corpus.filter(F.col("doc_id") % 3 == i)
+        admitted = admit_dedup_batch(spark, batch, "bd_adm")
+        admitted_parts.append(admitted)
+        if i == 1:
+            replay = admit_dedup_batch(spark, batch, "bd_adm")
+            if replay.count() != 0:
+                raise AssertionError("replayed batch re-admitted rows")
+    out = admitted_parts[0]
+    for p in admitted_parts[1:]:
+        out = out.unionByName(p)
+    # invariant: the ledger holds exactly the admitted fingerprints,
+    # one row each
+    n_ledger = read_admitted_fps(spark, "bd_adm").count()
+    n_admitted = out.count()
+    if n_ledger != n_admitted:
+        raise AssertionError(
+            f"ledger/admission divergence: {n_ledger} vs {n_admitted}"
+        )
+    return out.select("doc_id", "fp").orderBy("doc_id")
