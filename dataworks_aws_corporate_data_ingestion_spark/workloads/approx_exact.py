@@ -145,6 +145,7 @@ def returning_users_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cross_corpus_dedup_bloom",
+    bench=True,
     tags=("bloom", "dedup", "anti-join", "approx-prune-exact-verify",
           "scale-path"),
     oracle=f"""
