@@ -74,3 +74,48 @@ def distinct_count_twophase(
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias(out_col))
     )
+
+
+def auto_skew_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    k: int = 127,
+    salt_buckets: int = 8,
+    big_salt_src: str | None = None,
+) -> DataFrame:
+    """Inner equi-join with DETECTED skew mitigation: the Misra-Gries
+    heavy-hitter pass (operators/heavyhitters.py) finds every join key
+    holding more than 1/(k+1) of the big side in one bounded-state
+    scan, the big side is split on that detected hot set, and only the
+    hot slice pays the salted join (small side replicated
+    `salt_buckets` ways); the cold slice joins plainly.  Results are
+    bit-identical to the plain inner join -- splitting a join by a
+    broadcast predicate and unioning is semantics-preserving, and each
+    salted row matches exactly the one replica carrying its salt.
+
+    This closes the loop the detector was built for: salting is no
+    longer a hand-tuned per-query decision (cf. the static
+    `order_revenue_salted_join`) but driven by measured frequency --
+    the same decision AQE's skew-split makes at runtime for sort-merge
+    partitions, made explicit, testable, and applied at 1/(k+1)
+    granularity per KEY rather than per shuffle partition.
+
+    Scale notes: detection is the MG scan (<= k counters/task) plus a
+    candidate-sliver recount; the hot set is at most k keys, so the
+    broadcast split predicate is kilobytes.  The small side is
+    replicated only for the hot slice's join, and the cold join is
+    whatever Catalyst picks (broadcast or SMJ).  At 1000 executors the
+    hottest key's rows spread over `salt_buckets` tasks instead of
+    one."""
+    from .heavyhitters import heavy_hitters_exact
+
+    hot = heavy_hitters_exact(big.select(*on), on, k).select(*on)
+    big_flagged = big.join(F.broadcast(hot), on, "left_semi")
+    big_cold = big.join(F.broadcast(hot), on, "left_anti")
+    hot_out = salted_join(
+        big_flagged, small, on, salt_buckets=salt_buckets,
+        big_salt_src=big_salt_src,
+    )
+    cold_out = big_cold.join(small, on, "inner")
+    return hot_out.unionByName(cold_out)

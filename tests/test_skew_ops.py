@@ -50,3 +50,63 @@ class TestDistinctTwoPhase:
             for r in df.groupBy("g").agg(F.countDistinct("v").alias("nd")).collect()
         }
         assert got == want == {"a": 7, "b": 3}
+
+
+class TestAutoSkewJoin:
+    """auto_skew_join: detected hot keys take the salted path, cold
+    keys the plain path, result bit-identical to the plain join."""
+
+    def _mk(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        for i in range(4000):
+            key = "hot" if rng.random() < 0.4 else f"c{rng.randrange(300)}"
+            rows.append((i, key))
+        big = spark.createDataFrame(rows, "rid bigint, k string").repartition(6)
+        small = spark.createDataFrame(
+            [("hot", 100)] + [(f"c{i}", i) for i in range(300)],
+            "k string, attr long",
+        )
+        return big, small
+
+    def test_equals_plain_join(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.skew import auto_skew_join
+
+        big, small = self._mk(spark)
+        got = sorted(
+            (r["rid"], r["k"], r["attr"])
+            for r in auto_skew_join(
+                big, small, ["k"], k=15, salt_buckets=4,
+                big_salt_src="rid",
+            ).collect()
+        )
+        want = sorted(
+            (r["rid"], r["k"], r["attr"])
+            for r in big.join(small, "k", "inner").collect()
+        )
+        assert got == want
+        assert len(got) == 4000
+
+    def test_no_hot_keys_everything_cold(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.skew import auto_skew_join
+
+        big = spark.createDataFrame(
+            [(i, f"k{i % 500}") for i in range(2000)], "rid bigint, k string"
+        ).repartition(4)
+        small = spark.createDataFrame(
+            [(f"k{i}", i) for i in range(500)], "k string, attr long"
+        )
+        out = auto_skew_join(big, small, ["k"], k=15, big_salt_src="rid")
+        assert out.count() == 2000
+
+    def test_all_rows_one_key(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.skew import auto_skew_join
+
+        big = spark.createDataFrame(
+            [(i, "only") for i in range(1000)], "rid bigint, k string"
+        ).repartition(4)
+        small = spark.createDataFrame([("only", 1)], "k string, attr long")
+        out = auto_skew_join(big, small, ["k"], k=7, big_salt_src="rid")
+        assert out.count() == 1000
