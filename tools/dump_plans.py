@@ -56,6 +56,7 @@ SHOWCASE = [
     ("heavy_hitters_mg_exact", "bounded-state MG mapInPandas -> broadcast candidate semi-join -> sliver-only recount"),
     ("returning_users_bloom_semi", "bit_or-packed bloom build -> map-side ArrowEvalPython probe -> sliver verify join"),
     ("cross_corpus_dedup_bloom", "one bloom_classify pass: scan-stage probe, only positives join"),
+    ("event_revenue_auto_skew_join", "MG-detected hot set -> salted hot slice + plain cold slice -> union"),
 ]
 
 
