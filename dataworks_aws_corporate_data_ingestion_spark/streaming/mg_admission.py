@@ -93,10 +93,16 @@ def admit_mg_batch(
     k: int = 127,
     id_col: str | None = None,
     batch_token: int | None = None,
+    weight_col: str | None = None,
 ) -> int:
     """One admission round: fold the batch's Misra-Gries summary into
     the stored state (append-only, commit-marked, replay-safe).
     Returns the batch_token used.
+
+    With `weight_col` (non-negative integer weights) the counters and
+    the ledger track weighted mass -- the SpaceSaving generalisation
+    (cf. heavy_hitters_exact(weight_col=)); a prefix must use one mode
+    consistently.
 
     The batch's per-partition summaries (<= k rows each, bounded state)
     are collected -- candidate-set-sized, never the batch itself -- and
@@ -109,8 +115,12 @@ def admit_mg_batch(
     )
     refresh_state_tables(spark, f"{prefix}_mg", f"{prefix}_meta")
     if not _token_committed(spark, f"{prefix}_mg", token):
+        sel = [F.col(key_col).alias("key")] + (
+            [F.col(weight_col).alias("__w")] if weight_col else []
+        )
         parts = mg_summary(
-            batch_df.select(F.col(key_col).alias("key")), ["key"], k
+            batch_df.select(*sel), ["key"], k,
+            weight_col="__w" if weight_col else None,
         ).collect()
         state: dict[tuple, int] = {}
         for r in parts:
@@ -122,7 +132,13 @@ def admit_mg_batch(
             rows, "key string, c long, batch_token long"
         ).write.mode("append").format("parquet").saveAsTable(f"{prefix}_mg")
     if not _token_committed(spark, f"{prefix}_meta", token):
-        n = batch_df.count()
+        if weight_col:
+            n = int(
+                batch_df.agg(F.sum(weight_col).cast("bigint")).collect()[0][0]
+                or 0
+            )
+        else:
+            n = batch_df.count()
         spark.createDataFrame(
             [(n, token)], "n_rows long, batch_token long"
         ).write.mode("append").format("parquet").saveAsTable(
@@ -198,25 +214,42 @@ def heavy_hitters_from_state(
     prefix: str,
     key_expr,
     k: int,
+    weight_expr=None,
 ) -> DataFrame:
     """EXACT heavy hitters of the accumulated stream, verified off the
     streamed candidate state: broadcast the stored candidates, recount
     only them over the archived corpus, filter by the ledger's total.
-    `key_expr` must reproduce the admitted key from a corpus row.
+    `key_expr` must reproduce the admitted key from a corpus row; pass
+    `weight_expr` iff the prefix was admitted with a weight_col.
 
-    Raises if the ledger total disagrees with the corpus row count --
-    the invariant that the archive and the admission ledger describe
-    the same stream."""
+    Raises if the ledger total disagrees with the corpus total (row
+    count, or weight sum in weighted mode) -- the invariant that the
+    archive and the admission ledger describe the same stream."""
     cands, n_total = read_mg_state(spark, prefix)
-    n_corpus = corpus_df.count()
+    if weight_expr is not None:
+        n_corpus = int(
+            corpus_df.agg(
+                F.sum(weight_expr).cast("bigint")
+            ).collect()[0][0]
+            or 0
+        )
+    else:
+        n_corpus = corpus_df.count()
     if n_corpus != n_total:
         raise AssertionError(
             f"ledger/corpus divergence: meta n={n_total}, corpus={n_corpus}"
         )
-    keyed = corpus_df.select(key_expr.alias("key"))
+    if weight_expr is not None:
+        keyed = corpus_df.select(
+            key_expr.alias("key"), weight_expr.alias("__w")
+        )
+        measure = F.sum("__w").cast("bigint").alias("n_rows")
+    else:
+        keyed = corpus_df.select(key_expr.alias("key"))
+        measure = F.count(F.lit(1)).cast("bigint").alias("n_rows")
     return (
         keyed.join(F.broadcast(cands.select("key")), "key", "left_semi")
         .groupBy("key")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .agg(measure)
         .filter(F.col("n_rows") * (k + 1) > F.lit(n_total))
     )

@@ -995,3 +995,98 @@ def event_revenue_auto_skew_join(
         )
         .orderBy("skey")
     )
+
+
+@register(
+    "mg_admission_weighted_certificate",
+    tags=("sketch", "heavy-hitters", "misra-gries", "weighted", "streaming",
+          "incremental", "index-maintenance", "approx-prune-exact-verify",
+          "scale-path"),
+    oracle=f"""
+        WITH base AS (
+            SELECT event_type,
+                   CAST(user_id % 16 AS BIGINT) AS user_bucket,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS w FROM base),
+        c AS (
+            SELECT event_type, user_bucket,
+                   CAST(SUM(cents) AS BIGINT) AS value_cents
+            FROM base GROUP BY 1, 2
+        )
+        SELECT event_type, user_bucket, value_cents,
+               CAST(value_cents * 10000 // w AS BIGINT) AS share_bps
+        FROM c, tot
+        WHERE value_cents * {_MG_K + 1} > w
+        ORDER BY event_type, user_bucket
+    """,
+)
+def mg_admission_weighted_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIGHTED streaming heavy-hitter certification: the event stream's
+    VALUE mass (exact integer cents) admitted in three batch-shaped
+    slices through the real admission round with weight tracking
+    (admit_mg_batch(weight_col=) -- SpaceSaving-style weighted
+    counters, weight-sum ledger), second batch replayed, partials
+    compacted mid-sequence, then exact-verified off the final state.
+    Hash-matches the one-shot weighted GROUP BY SUM + HAVING oracle --
+    the streamed twin of `heavy_value_cells_mg_exact`, same oracle.
+
+    Scale notes: identical admission shape to the frequency twin; the
+    ledger accumulates exact weight sums per batch, so the threshold is
+    integer-exact over the whole stream."""
+    from ..streaming.mg_admission import (
+        admit_mg_batch,
+        compact_mg_index,
+        heavy_hitters_from_state,
+        init_mg_index,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    key = F.concat_ws("|", "event_type",
+                      F.pmod(F.col("user_id"), F.lit(16)).cast("bigint"))
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    stream = e.select("event_id", key.alias("key"), cents.alias("cents"))
+    d11 = F.lit("2024-01-11").cast("timestamp_ntz")
+    d21 = F.lit("2024-01-21").cast("timestamp_ntz")
+    slices = [
+        e.filter(F.col("ts") < d11),
+        e.filter((F.col("ts") >= d11) & (F.col("ts") < d21)),
+        e.filter(F.col("ts") >= d21),
+    ]
+    init_mg_index(spark, "mgw_adm")
+    for i, s in enumerate(slices):
+        batch = s.select(
+            "event_id", key.alias("key"), cents.alias("cents")
+        )
+        admit_mg_batch(
+            spark, batch, "mgw_adm", key_col="key", k=_MG_K,
+            id_col="event_id", weight_col="cents",
+        )
+        if i == 1:
+            admit_mg_batch(
+                spark, batch, "mgw_adm", key_col="key", k=_MG_K,
+                id_col="event_id", weight_col="cents",
+            )
+            compact_mg_index(spark, "mgw_adm", k=_MG_K)
+    heavy = heavy_hitters_from_state(
+        spark, stream, "mgw_adm",
+        key_expr=F.col("key"), k=_MG_K, weight_expr=F.col("cents"),
+    )
+    w_total = int(
+        stream.agg(F.sum("cents").cast("bigint")).collect()[0][0] or 0
+    )
+    parts = F.split(F.col("key"), "\\|")
+    return (
+        heavy.select(
+            parts.getItem(0).alias("event_type"),
+            parts.getItem(1).cast("bigint").alias("user_bucket"),
+            F.col("n_rows").alias("value_cents"),
+        )
+        .withColumn(
+            "share_bps", F.expr(f"value_cents * 10000 DIV {w_total}")
+        )
+        .orderBy("event_type", "user_bucket")
+    )

@@ -249,3 +249,55 @@ class TestForeachBatch:
             assert got == want and got
         finally:
             _cleanup(spark, "t_mg6")
+
+
+class TestWeightedAdmission:
+    def test_weighted_prefix_equals_batch_operator(self, spark):
+        """Weighted streaming admission must equal the weighted batch
+        operator at every prefix -- including a key that is rare by
+        rows but heavy by weight."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.heavyhitters import (
+            heavy_hitters_exact,
+        )
+
+        wbatches = [
+            [("whale", 5000)] + [(f"u{i}", 3) for i in range(30)],
+            [("warm", 2000), ("whale", 1000)]
+            + [(f"v{i}", 5) for i in range(20)],
+            [("warm", 3000)] + [(f"w{i}", 2) for i in range(25)],
+        ]
+        try:
+            init_mg_index(spark, "t_mgw1")
+            seen = []
+            sid = 0
+            for b in wbatches:
+                rows = [(sid + i, k, w) for i, (k, w) in enumerate(b)]
+                sid += 10000
+                seen.extend(rows)
+                df = spark.createDataFrame(
+                    rows, "event_id bigint, key string, w long"
+                ).repartition(3)
+                admit_mg_batch(
+                    spark, df, "t_mgw1", key_col="key", k=K,
+                    id_col="event_id", weight_col="w",
+                )
+                corpus = spark.createDataFrame(
+                    seen, "event_id bigint, key string, w long"
+                )
+                got = sorted(
+                    (r["key"], r["n_rows"])
+                    for r in heavy_hitters_from_state(
+                        spark, corpus, "t_mgw1", F.col("key"), K,
+                        weight_expr=F.col("w"),
+                    ).collect()
+                )
+                want = sorted(
+                    (r["key"], r["n_rows"])
+                    for r in heavy_hitters_exact(
+                        corpus.select("key", "w"), ["key"], K,
+                        weight_col="w",
+                    ).collect()
+                )
+                assert got == want and got
+        finally:
+            _cleanup(spark, "t_mgw1")
