@@ -1090,3 +1090,95 @@ def mg_admission_weighted_certificate(
         )
         .orderBy("event_type", "user_bucket")
     )
+
+
+# histogram-sketch params: 200 bins over [0, 500.00) event values
+_HIST_BINS = 200
+_HIST_SPAN_CENTS = 50_000
+
+
+@register(
+    "quantile_histogram_rollup_certificate",
+    tags=("sketch", "quantile", "histogram", "approx", "incremental",
+          "recall-certificate", "scale-path"),
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+               quantile_cont(value, 0.5) AS exact_p50,
+               quantile_cont(value, 0.9) AS exact_p90,
+               TRUE AS p50_bin_ok,
+               TRUE AS p90_bin_ok
+        FROM events
+    """,
+)
+def quantile_histogram_rollup_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGEABLE quantile rollup (operators/histsketch.py): per-day
+    fixed-bin histograms (exact integer cents bins) are the stored
+    daily sketch; the month's p50/p90 come from SUMMING the stored bin
+    rows -- the quantile analogue of the HLL rollup, closing the gap
+    that approx_percentile's state cannot be stored or merged.  The
+    certificate claims, integer-exactly, that the true quantile's rank
+    falls inside the bin the merged sketch selects
+    (rank_below < target_rank <= rank_upto, both exact recounts with
+    the same engine-exact bin expression), plus the day count (the
+    daily decomposition covered every partition) and the exact
+    percentiles (percentile == quantile_cont parity), which the oracle
+    recomputes independently.
+
+    Scale notes: each day persists <= 200 bin rows; any window's
+    quantile is one SUM over stored rows + a driver walk over <= 200
+    integers.  History is never rescanned -- resolution is a storage
+    knob.  The exact twin exists only to certify."""
+    from math import ceil
+
+    from ..operators.histsketch import (
+        bin_for_rank,
+        cents_bin,
+        daily_histogram,
+        merge_histograms,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    daily = daily_histogram(
+        e, "ts", "value", _HIST_BINS, _HIST_SPAN_CENTS
+    ).persist()
+    merged = merge_histograms(daily)
+    bins = [(int(r["bin"]), int(r["n"])) for r in merged.collect()]
+    n_days = daily.select("day").distinct().count()
+    daily.unpersist()
+    n = sum(c for _, c in bins)
+    n_events = e.count()
+    if n != n_events:
+        raise AssertionError(
+            f"histogram mass {n} != corpus rows {n_events}"
+        )
+    rank50, rank90 = ceil(0.5 * n), ceil(0.9 * n)
+    b50 = bin_for_rank(bins, rank50)
+    b90 = bin_for_rank(bins, rank90)
+    binc = cents_bin(F.col("value"), _HIST_BINS, _HIST_SPAN_CENTS)
+    r = e.agg(
+        F.count(F.when(binc < b50, 1)).cast("bigint").alias("below50"),
+        F.count(F.when(binc <= b50, 1)).cast("bigint").alias("upto50"),
+        F.count(F.when(binc < b90, 1)).cast("bigint").alias("below90"),
+        F.count(F.when(binc <= b90, 1)).cast("bigint").alias("upto90"),
+        F.expr("percentile(value, 0.5D)").alias("exact_p50"),
+        F.expr("percentile(value, 0.9D)").alias("exact_p90"),
+    ).collect()[0]
+    p50_ok = r["below50"] < rank50 <= r["upto50"]
+    p90_ok = r["below90"] < rank90 <= r["upto90"]
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                int(n_days),
+                float(r["exact_p50"]),
+                float(r["exact_p90"]),
+                bool(p50_ok),
+                bool(p90_ok),
+            )
+        ],
+        "n bigint, n_days bigint, exact_p50 double, exact_p90 double, "
+        "p50_bin_ok boolean, p90_bin_ok boolean",
+    )
