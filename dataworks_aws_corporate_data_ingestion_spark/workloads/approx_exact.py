@@ -1182,3 +1182,122 @@ def quantile_histogram_rollup_certificate(
         "n bigint, n_days bigint, exact_p50 double, exact_p90 double, "
         "p50_bin_ok boolean, p90_bin_ok boolean",
     )
+
+
+@register(
+    "quantile_admission_streaming_certificate",
+    tags=("sketch", "quantile", "histogram", "streaming", "incremental",
+          "index-maintenance", "recall-certificate", "scale-path"),
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+               quantile_cont(value, 0.5) AS exact_p50,
+               quantile_cont(value, 0.9) AS exact_p90,
+               TRUE AS p50_bin_ok,
+               TRUE AS p90_bin_ok,
+               TRUE AS state_eq_rebuild
+        FROM events
+    """,
+)
+def quantile_admission_streaming_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming quantile-sketch certification
+    (streaming/hist_admission.py): the events stream is admitted in
+    three micro-batch-shaped slices (event_id % 3) through the real
+    histogram-admission round (bounded per-day bin partials, hist ->
+    meta append order, commit markers), with the FIRST batch replayed
+    (must leave the ledger unchanged) and the index compacted
+    mid-sequence (markers must survive).  The certificate then claims,
+    integer-exactly, that
+
+      * the accumulated state is BIT-IDENTICAL to a one-shot daily
+        histogram of the whole stream (append == rebuild -- histogram
+        addition is an algebra, so N-batch admission == batch rollup),
+      * the ledger total equals the corpus row count equals the
+        histogram mass, and the stored day set covers every corpus day,
+      * the true p50/p90 ranks fall inside the bins the merged stored
+        sketch selects (rank_below < target <= rank_upto, both exact
+        recounts with the engine-exact bin expression).
+
+    The oracle independently recomputes the exact percentiles
+    (percentile == quantile_cont parity) and row/day counts.
+
+    Scale notes: per batch the admission cost is one map-side-combined
+    histogram of THAT BATCH (<= 200 bins/day, kilobytes appended);
+    any window's quantile is one SUM over stored rows + a driver walk
+    over <= 200 integers.  The stream is never re-read -- the exact
+    recount here exists only to certify the claims."""
+    from math import ceil
+
+    from ..operators.histsketch import cents_bin, daily_histogram
+    from ..streaming.hist_admission import (
+        admit_hist_batch,
+        compact_hist_index,
+        init_hist_index,
+        quantile_bins_from_state,
+        read_hist_state,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    init_hist_index(spark, "qh_adm")
+    for i in range(3):
+        batch = e.filter(F.col("event_id") % 3 == i)
+        admit_hist_batch(
+            spark, batch, "qh_adm", _HIST_BINS, _HIST_SPAN_CENTS
+        )
+        if i == 0:
+            _, n_before = read_hist_state(spark, "qh_adm")
+            admit_hist_batch(  # replay: must be a no-op
+                spark, batch, "qh_adm", _HIST_BINS, _HIST_SPAN_CENTS
+            )
+            _, n_after = read_hist_state(spark, "qh_adm")
+            if n_after != n_before:
+                raise AssertionError(
+                    f"replayed batch changed ledger: {n_before} -> {n_after}"
+                )
+        if i == 1:
+            compact_hist_index(spark, "qh_adm")
+    bins, mass, picks = quantile_bins_from_state(
+        spark, "qh_adm", [0.5, 0.9]
+    )
+    n_events = e.count()
+    if mass != n_events:
+        raise AssertionError(f"histogram mass {mass} != corpus {n_events}")
+    # append == rebuild, bit for bit
+    daily_state, _ = read_hist_state(spark, "qh_adm")
+    rebuild = daily_histogram(e, "ts", "value", _HIST_BINS, _HIST_SPAN_CENTS)
+    diff = (
+        daily_state.exceptAll(rebuild).count()
+        + rebuild.exceptAll(daily_state).count()
+    )
+    state_eq_rebuild = diff == 0
+    n_days = daily_state.select("day").distinct().count()
+    rank50, rank90 = ceil(0.5 * mass), ceil(0.9 * mass)
+    b50, b90 = picks[0.5], picks[0.9]
+    binc = cents_bin(F.col("value"), _HIST_BINS, _HIST_SPAN_CENTS)
+    r = e.agg(
+        F.count(F.when(binc < b50, 1)).cast("bigint").alias("below50"),
+        F.count(F.when(binc <= b50, 1)).cast("bigint").alias("upto50"),
+        F.count(F.when(binc < b90, 1)).cast("bigint").alias("below90"),
+        F.count(F.when(binc <= b90, 1)).cast("bigint").alias("upto90"),
+        F.expr("percentile(value, 0.5D)").alias("exact_p50"),
+        F.expr("percentile(value, 0.9D)").alias("exact_p90"),
+    ).collect()[0]
+    p50_ok = r["below50"] < rank50 <= r["upto50"]
+    p90_ok = r["below90"] < rank90 <= r["upto90"]
+    return spark.createDataFrame(
+        [
+            (
+                int(mass),
+                int(n_days),
+                float(r["exact_p50"]),
+                float(r["exact_p90"]),
+                bool(p50_ok),
+                bool(p90_ok),
+                bool(state_eq_rebuild),
+            )
+        ],
+        "n bigint, n_days bigint, exact_p50 double, exact_p90 double, "
+        "p50_bin_ok boolean, p90_bin_ok boolean, state_eq_rebuild boolean",
+    )
