@@ -1301,3 +1301,216 @@ def quantile_admission_streaming_certificate(
         "n bigint, n_days bigint, exact_p50 double, exact_p90 double, "
         "p50_bin_ok boolean, p90_bin_ok boolean, state_eq_rebuild boolean",
     )
+
+
+# CMS params: cell-table geometry for the two entries below
+_CMS_W, _CMS_D = 64, 4
+_CMS_IDX_W, _CMS_IDX_D = 256, 3
+
+_CMS_ORACLE = f"""
+    WITH keyed AS (
+        SELECT event_type || ':' || CAST(user_id % 32 AS VARCHAR) AS key
+        FROM events
+    ),
+    cells AS (
+        SELECT i AS row,
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || key),
+                                    1, 15)) AS BIGINT) % {_CMS_W} AS col,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM keyed, unnest(range(0, {_CMS_D})) AS u(i)
+        GROUP BY 1, 2
+    ),
+    probes AS (SELECT DISTINCT key FROM keyed),
+    pcells AS (
+        SELECT key, i AS row,
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || key),
+                                    1, 15)) AS BIGINT) % {_CMS_W} AS col
+        FROM probes, unnest(range(0, {_CMS_D})) AS u(i)
+    ),
+    est AS (
+        SELECT p.key, CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est
+        FROM pcells p LEFT JOIN cells c USING (row, col)
+        GROUP BY 1
+    ),
+    tru AS (
+        SELECT key, CAST(COUNT(*) AS BIGINT) AS n_true FROM keyed GROUP BY 1
+    )
+    SELECT e.key, e.est, t.n_true,
+           CAST(e.est - t.n_true AS BIGINT) AS overestimate
+    FROM est e JOIN tru t USING (key)
+    ORDER BY e.key
+"""
+
+
+@register(
+    "cms_point_frequency_estimates",
+    tags=("sketch", "cms", "frequency", "approx", "scale-path"),
+    oracle=_CMS_ORACLE,
+)
+def cms_point_frequency_estimates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-Min point-frequency estimates (operators/cms.py) for every
+    (event_type, user-bucket) cell, ORACLE-EXACT INCLUDING THE
+    APPROXIMATION: the row hashes are the engine-portable md5 parse, so
+    DuckDB rebuilds the identical d x w counter table and the estimate
+    column -- collisions, overestimates and all -- hash-matches bit for
+    bit.  No error-envelope indirection: `overestimate = est - n_true`
+    is structurally >= 0 (CMS never undercounts) and its exact value is
+    part of the hashed output.
+
+    Scale notes: the build shuffles at most d*w = 256 cell rows per
+    partition (map-side combined) no matter the corpus; estimates are
+    a broadcast join of probe cells against the kilobyte sketch.  The
+    exact n_true twin exists only to certify -- at 100 TB one keeps
+    the sketch and skips the GROUP BY entirely."""
+    from ..operators.cms import cms_point_estimates, cms_sketch
+
+    e = load_table(spark, "events", sf_dir)
+    keyed = e.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit(":"),
+            F.pmod(F.col("user_id"), F.lit(32)).cast("string"),
+        ).alias("key")
+    )
+    sketch = cms_sketch(keyed, "key", _CMS_W, _CMS_D)
+    probes = keyed.distinct()
+    est = cms_point_estimates(sketch, probes, "key", _CMS_W, _CMS_D)
+    tru = keyed.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    return (
+        est.join(tru, "key")
+        .select(
+            "key",
+            "est",
+            "n_true",
+            (F.col("est") - F.col("n_true")).cast("bigint").alias(
+                "overestimate"
+            ),
+        )
+        .orderBy("key")
+    )
+
+
+_CMS_IDX_ORACLE = f"""
+    WITH keyed AS (
+        SELECT 'u' || CAST(user_id % 1000 AS VARCHAR) AS key FROM events
+    ),
+    cells AS (
+        SELECT i AS row,
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || key),
+                                    1, 15)) AS BIGINT) % {_CMS_IDX_W} AS col,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM keyed, unnest(range(0, {_CMS_IDX_D})) AS u(i)
+        GROUP BY 1, 2
+    ),
+    probes AS (SELECT DISTINCT key FROM keyed),
+    pcells AS (
+        SELECT key, i AS row,
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || key),
+                                    1, 15)) AS BIGINT) % {_CMS_IDX_W} AS col
+        FROM probes, unnest(range(0, {_CMS_IDX_D})) AS u(i)
+    ),
+    est AS (
+        SELECT p.key, CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est
+        FROM pcells p LEFT JOIN cells c USING (row, col)
+        GROUP BY 1
+    ),
+    tru AS (
+        SELECT key, CAST(COUNT(*) AS BIGINT) AS n_true FROM keyed GROUP BY 1
+    )
+    SELECT e.key, e.est, t.n_true,
+           TRUE AS state_eq_rebuild, TRUE AS row_mass_ok
+    FROM est e JOIN tru t USING (key)
+    ORDER BY e.key
+"""
+
+
+@register(
+    "cms_daily_rollup_indexed",
+    tags=("sketch", "cms", "frequency", "approx", "rollup",
+          "index-maintenance", "incremental", "scale-path"),
+    oracle=_CMS_IDX_ORACLE,
+)
+def cms_daily_rollup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX-MAINTENANCE form of the CMS: per-day partial sketches are
+    a STORED catalog artifact (materialize_cms_daily over the stream's
+    first weeks, the final days appended with append_to_cms_daily --
+    counter addition is an algebra, so the logical state after any
+    append sequence equals a full rebuild, asserted cell-for-cell
+    here), and every user's frequency estimate is served by SUMMING
+    stored rows -- the corpus is never rescanned.  The estimates off
+    the maintained index hash-match the oracle's one-shot sketch over
+    the whole corpus bit for bit (per-day partials sum to exactly the
+    global cell counts), alongside two integer-exact invariant claims:
+    state == rebuild, and each sketch row's mass == the corpus row
+    count (every event landed in exactly one cell per row).
+
+    Scale notes: each day stores <= d*w = 768 integer rows; a month's
+    estimate reads <= 31*d*w stored integers.  Resolution (w) trades
+    storage for collision overcount, never correctness of the >= true
+    guarantee."""
+    from ..operators.cms import (
+        append_to_cms_daily,
+        cms_daily_sketch,
+        cms_point_estimates,
+        load_cms_daily,
+        materialize_cms_daily,
+        merge_cms,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    keyed = e.select(
+        "ts",
+        F.concat(
+            F.lit("u"), F.pmod(F.col("user_id"), F.lit(1000)).cast("string")
+        ).alias("key"),
+    )
+    cut = "2024-01-24"
+    materialize_cms_daily(
+        spark,
+        keyed.filter(F.col("ts") < F.lit(cut).cast("timestamp_ntz")),
+        "ts",
+        "key",
+        "cms_idx",
+        _CMS_IDX_W,
+        _CMS_IDX_D,
+    )
+    append_to_cms_daily(
+        spark,
+        keyed.filter(F.col("ts") >= F.lit(cut).cast("timestamp_ntz")),
+        "ts",
+        "key",
+        "cms_idx",
+    )
+    daily, w, d = load_cms_daily(spark, "cms_idx")
+    rebuild = cms_daily_sketch(keyed, "ts", "key", w, d)
+    diff = daily.exceptAll(rebuild).count() + rebuild.exceptAll(daily).count()
+    state_eq_rebuild = diff == 0
+    merged = merge_cms(daily).localCheckpoint(eager=True)
+    n_events = e.count()
+    masses = [
+        int(r["m"])
+        for r in merged.groupBy("row")
+        .agg(F.sum("c").alias("m"))
+        .collect()
+    ]
+    row_mass_ok = len(masses) == d and all(m == n_events for m in masses)
+    probes = keyed.select("key").distinct()
+    est = cms_point_estimates(merged, probes, "key", w, d)
+    tru = keyed.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    return (
+        est.join(tru, "key")
+        .select(
+            "key",
+            "est",
+            "n_true",
+            F.lit(bool(state_eq_rebuild)).alias("state_eq_rebuild"),
+            F.lit(bool(row_mass_ok)).alias("row_mass_ok"),
+        )
+        .orderBy("key")
+    )
