@@ -142,15 +142,79 @@ def _top1(counts: DataFrame) -> DataFrame:
     )
 
 
+def _unigram_counts(cur: DataFrame) -> DataFrame:
+    """(w, wc) occurrence counts of every token of the current corpus
+    -- the denominator table for likelihood-scored (WordPiece) merge
+    selection.  Vocabulary-sized, map-side combined."""
+    return (
+        cur.select(F.explode(F.split(F.col("t"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+
+
+def _top1_likelihood(counts: DataFrame, cur: DataFrame) -> DataFrame:
+    """WordPiece merge selection: maximise score(a, b) =
+    count(ab) / (count(a) * count(b)) -- the pair whose fusion most
+    raises a unigram-LM corpus likelihood (Schuster & Nakajima,
+    "Japanese and Korean voice search", ICASSP 2012) -- instead of raw
+    pair frequency.  The score is ONE IEEE division of exactly-derived
+    doubles (each factor an exact integer count cast to double), so
+    both engines order candidates identically; ties break on
+    pair_count DESC then (w1, w2) byte order.  The unigram table is
+    vocabulary-sized and broadcast into the join."""
+    ug = _unigram_counts(cur)
+    u1 = ug.select(F.col("w").alias("w1"), F.col("wc").alias("c1"))
+    u2 = ug.select(F.col("w").alias("w2"), F.col("wc").alias("c2"))
+    scored = (
+        counts.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            (
+                F.col("pair_count").cast("double")
+                / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.desc("score"), F.desc("pair_count"), F.asc("w1"), F.asc("w2")
+        )
+        .limit(1)
+        .select(
+            F.col("w1").alias("bw1"),
+            F.col("w2").alias("bw2"),
+            F.col("pair_count").alias("bcount"),
+            F.col("score").alias("bscore"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def _train(
-    cur: DataFrame, k: int, fuse_last: bool, incremental: bool
+    cur: DataFrame,
+    k: int,
+    fuse_last: bool,
+    incremental: bool,
+    likelihood: bool = False,
 ) -> tuple[list[DataFrame], DataFrame]:
     """Shared k-round trainer core.  Returns (per-round 1-row best
     frames, final corpus).  `fuse_last` controls whether the k-th merge
     is also applied to the corpus (apply path) or only recorded (train
     path).  `incremental` selects maintained-delta pair counting over
     the naive per-round full recount; the merge sequence is identical
-    either way."""
+    either way.  `likelihood` switches merge selection from raw pair
+    frequency (BPE) to the WordPiece score count(ab)/(count(a)count(b))
+    -- the fuse machinery is shared, only the argmax differs; it
+    requires the naive counting path (the maintained-delta table does
+    not carry the unigram denominators)."""
+    if likelihood and incremental:
+        raise ValueError(
+            "likelihood scoring requires the naive counting path"
+        )
     counts = _adjacent_pair_counts(cur)
     if incremental:
         counts = counts.localCheckpoint(eager=True)
@@ -162,7 +226,9 @@ def _train(
     n_parts = cur.rdd.getNumPartitions()
     rounds: list[DataFrame] = []
     for r in range(1, k + 1):
-        best = _top1(counts)
+        best = (
+            _top1_likelihood(counts, cur) if likelihood else _top1(counts)
+        )
         rounds.append(best)
         last = r == k
         if last and not fuse_last:
@@ -424,3 +490,59 @@ def bpe_merge_table_batched(
         "merge_round bigint, w1 string, w2 string, pair_count bigint,"
         " merged string",
     )
+
+
+def wordpiece_merge_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+) -> DataFrame:
+    """Learn the first k WORDPIECE merges over the corpus: the BPE
+    k-round recurrence (same pair enumeration, same doubled-separator
+    greedy-left fuse) with LIKELIHOOD merge selection -- per round the
+    fused pair maximises count(ab) / (count(a) * count(b)), the
+    unigram-LM likelihood gain WordPiece training optimises, instead of
+    raw frequency.  Frequency promotes common collocations; likelihood
+    promotes pairs that are SURPRISINGLY adjacent relative to their
+    parts, which is why WordPiece vocabularies pick up rare-but-cohesive
+    units earlier.
+
+    Output one row per round: (merge_round, w1, w2, pair_count,
+    score double, merged).  `score` is a single IEEE division of
+    exactly-derived doubles, identical in any engine; ties break on
+    pair_count DESC then (w1, w2) byte order, so the whole table is
+    deterministic and oracle-checkable bit for bit.
+
+    Cost shape per round matches bpe_merge_table plus one
+    vocabulary-sized unigram aggregate and two broadcast joins of
+    vocabulary-sized tables; the corpus is never collected.  The
+    caller contract (no '+' corpus bytes, single-space text) is
+    bpe_merge_table's."""
+    cur = (
+        fan_out(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.lower(F.col(text_col)).alias("t"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bests, _ = _train(cur, k, fuse_last=False, incremental=False,
+                      likelihood=True)
+    rounds = [
+        best.select(
+            F.lit(r).cast("bigint").alias("merge_round"),
+            F.col("bw1").alias("w1"),
+            F.col("bw2").alias("w2"),
+            F.col("bcount").cast("bigint").alias("pair_count"),
+            F.col("bscore").alias("score"),
+            F.concat(F.col("bw1"), F.lit(JOIN_CH), F.col("bw2")).alias(
+                "merged"
+            ),
+        )
+        for r, best in enumerate(bests, start=1)
+    ]
+    out = rounds[0]
+    for fr in rounds[1:]:
+        out = out.unionByName(fr)
+    return out

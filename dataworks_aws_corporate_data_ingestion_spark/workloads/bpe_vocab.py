@@ -269,3 +269,87 @@ def bpe_merge_table_blockgreedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table_batched(
         load_table(spark, "documents", sf_dir), k=_K, batch=2
     )
+
+
+def _wp_oracle(k: int) -> str:
+    """Unrolled WordPiece recurrence: the BPE CTE chain with per-round
+    unigram-count CTEs and likelihood argmax (score DESC, pair_count
+    DESC, w1, w2) -- the score is one IEEE division of exactly-derived
+    doubles, identical in both engines."""
+    ctes = [
+        "t0 AS MATERIALIZED (SELECT doc_id, lower(text) AS t FROM documents)"
+    ]
+    sel = []
+    # every t{r} is referenced three times per round (pair counts,
+    # unigram counts, next rewrite); DuckDB inlines CTEs by default, so
+    # without MATERIALIZED the rewrite chain re-evaluates exponentially
+    # in k -- pin the chain and the twice-joined unigram table.
+    for r in range(1, k + 1):
+        prev = f"t{r - 1}"
+        ctes.append(f"""
+        tok{r} AS (
+            SELECT doc_id, string_split(t, ' ') AS a FROM {prev}
+        ),
+        c{r} AS MATERIALIZED (
+            SELECT a[i] AS w1, a[i + 1] AS w2, count(*) AS pair_count
+            FROM tok{r}, unnest(range(1, len(a))) AS u(i)
+            GROUP BY 1, 2
+        ),
+        ug{r} AS MATERIALIZED (
+            SELECT w, CAST(count(*) AS BIGINT) AS wc
+            FROM (SELECT unnest(string_split(t, ' ')) AS w FROM {prev})
+            GROUP BY 1
+        ),
+        s{r} AS (
+            SELECT c.w1, c.w2, c.pair_count,
+                   CAST(c.pair_count AS DOUBLE)
+                       / (CAST(u1.wc AS DOUBLE) * CAST(u2.wc AS DOUBLE))
+                       AS score
+            FROM c{r} c
+            JOIN ug{r} u1 ON c.w1 = u1.w
+            JOIN ug{r} u2 ON c.w2 = u2.w
+        ),
+        b{r} AS MATERIALIZED (
+            SELECT w1, w2, pair_count, score FROM s{r}
+            ORDER BY score DESC, pair_count DESC, w1, w2 LIMIT 1
+        )""")
+        if r < k:
+            ctes.append(f"""
+        t{r} AS MATERIALIZED (
+            SELECT doc_id,
+                   trim(replace(replace(
+                       ' ' || replace(t, ' ', '  ') || ' ',
+                       ' ' || (SELECT w1 FROM b{r}) || '  '
+                           || (SELECT w2 FROM b{r}) || ' ',
+                       ' ' || (SELECT w1 FROM b{r}) || '+'
+                           || (SELECT w2 FROM b{r}) || ' '),
+                       '  ', ' ')) AS t
+            FROM {prev}
+        )""")
+        sel.append(
+            f"SELECT CAST({r} AS BIGINT) AS merge_round, w1, w2,"
+            f" CAST(pair_count AS BIGINT) AS pair_count, score,"
+            f" w1 || '+' || w2 AS merged FROM b{r}"
+        )
+    return "WITH " + ",".join(ctes) + " " + " UNION ALL ".join(sel)
+
+
+@register(
+    "wordpiece_merge_table",
+    tags=("text", "tokenizer", "wordpiece", "fixed-point", "vocabulary",
+          "training-data"),
+    oracle=_wp_oracle(_K),
+)
+def wordpiece_merge_table_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 4 WORDPIECE merges learned over the documents corpus:
+    the BPE recurrence with likelihood merge selection
+    (operators/bpe.py::wordpiece_merge_table) -- per round the fused
+    pair maximises count(ab)/(count(a)count(b)), the unigram-LM
+    likelihood gain, so rare-but-cohesive units win over mere
+    collocations.  Same per-round cost shape as bpe_merge_table plus
+    one vocabulary-sized unigram aggregate and two broadcast joins;
+    hash-exact against the unrolled-CTE oracle including the double
+    score column (single IEEE division of exact integer counts)."""
+    from ..operators.bpe import wordpiece_merge_table
+
+    return wordpiece_merge_table(load_table(spark, "documents", sf_dir), k=_K)

@@ -336,3 +336,107 @@ class TestBpeBlockGreedy:
         got = self._run(spark, texts, 8, 4)
         assert got == sorted(_ref_block_greedy(texts, 8, 4))
         assert len(got) <= 8
+
+
+def _ref_wordpiece(texts: list[str], k: int):
+    """Sequential WordPiece reference: fuse the pair maximising
+    count(ab)/(count(a)*count(b)), ties on (pair_count DESC, w1, w2)."""
+    seqs = [t.lower().split(" ") for t in texts]
+    out = []
+    for r in range(1, k + 1):
+        pc: Counter = Counter()
+        ug: Counter = Counter()
+        for toks in seqs:
+            ug.update(toks)
+            for i in range(len(toks) - 1):
+                pc[(toks[i], toks[i + 1])] += 1
+        if not pc:
+            break
+        (w1, w2), cnt = sorted(
+            pc.items(),
+            key=lambda kv: (
+                -(kv[1] / (ug[kv[0][0]] * ug[kv[0][1]])),
+                -kv[1],
+                kv[0],
+            ),
+        )[0]
+        score = cnt / (ug[w1] * ug[w2])
+        out.append((r, w1, w2, cnt, score, w1 + "+" + w2))
+        fused_seqs = []
+        for toks in seqs:
+            res, i = [], 0
+            while i < len(toks):
+                if (
+                    i + 1 < len(toks)
+                    and toks[i] == w1
+                    and toks[i + 1] == w2
+                ):
+                    res.append(w1 + "+" + w2)
+                    i += 2
+                else:
+                    res.append(toks[i])
+                    i += 1
+            fused_seqs.append(res)
+        seqs = fused_seqs
+    return out
+
+
+class TestWordPieceMergeTable:
+    def test_likelihood_beats_frequency(self, spark):
+        """'zig zag' (count 2, both parts occurring ONLY here: score
+        0.5) must win round 1 over the equally-frequent 'the cat'
+        (score 2/(3*2)); plain BPE picks 'the cat' on the byte-order
+        tie -- the two trainers demonstrably diverge on this corpus."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.bpe import (
+            wordpiece_merge_table,
+        )
+
+        texts = [
+            "the cat sat", "the dog sat", "the cat ran", "zig zag",
+            "zig zag",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+        got = sorted(
+            tuple(r) for r in wordpiece_merge_table(df, k=3).collect()
+        )
+        assert got == sorted(_ref_wordpiece(texts, 3))
+        assert got[0][1:3] == ("zig", "zag")
+        bpe_first = _run(spark, texts, 1)[0]
+        assert bpe_first[1:3] == ("the", "cat")
+
+    def test_seeded_sweep_matches_sequential_reference(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.bpe import (
+            wordpiece_merge_table,
+        )
+
+        rng = random.Random(20240816)
+        words = ["ab", "cd", "ef", "gh", "ij", "kl"]
+        texts = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(2, 9)))
+            for _ in range(30)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+        got = sorted(
+            tuple(r) for r in wordpiece_merge_table(df, k=4).collect()
+        )
+        assert got == sorted(_ref_wordpiece(texts, 4))
+
+    def test_likelihood_rejects_incremental(self, spark):
+        import pytest as _pytest
+
+        from dataworks_aws_corporate_data_ingestion_spark.operators.bpe import (
+            _train,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "a b")], "doc_id bigint, t string"
+        ).select("doc_id", "t")
+        with _pytest.raises(ValueError, match="naive counting"):
+            _train(df, 1, fuse_last=False, incremental=True,
+                   likelihood=True)
