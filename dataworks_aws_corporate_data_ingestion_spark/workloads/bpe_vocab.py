@@ -13,6 +13,7 @@ fuse, so the whole recurrence hash-matches bit for bit.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.bpe import bpe_merge_table
 from ..sources.tables import load_table
@@ -353,3 +354,112 @@ def wordpiece_merge_table_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import wordpiece_merge_table
 
     return wordpiece_merge_table(load_table(spark, "documents", sf_dir), k=_K)
+
+
+_MAXMATCH_ORACLE = """
+    WITH RECURSIVE
+    words0 AS MATERIALIZED (
+        SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ),
+    w AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS wf FROM words0
+        WHERE word <> '' GROUP BY 1
+    ),
+    topw AS (
+        SELECT word AS piece FROM w WHERE length(word) >= 2
+        ORDER BY wf DESC, word LIMIT 12
+    ),
+    chars AS (
+        SELECT DISTINCT substr(word, i, 1) AS piece
+        FROM w, unnest(range(1, length(word) + 1)) AS u(i)
+    ),
+    affix AS (
+        SELECT substr(word, 1, 2) AS piece FROM w WHERE length(word) >= 2
+        UNION ALL
+        SELECT substr(word, 1, 3) FROM w WHERE length(word) >= 3
+        UNION ALL
+        SELECT substr(word, length(word) - 1, 2) FROM w
+        WHERE length(word) >= 2
+        UNION ALL
+        SELECT substr(word, length(word) - 2, 3) FROM w
+        WHERE length(word) >= 3
+    ),
+    vocab AS MATERIALIZED (
+        SELECT piece FROM topw UNION SELECT piece FROM chars
+        UNION SELECT piece FROM affix
+    ),
+    mlt AS MATERIALIZED (
+        -- longest vocabulary match at EVERY (word, pos), precomputed
+        -- outside the recursion: a correlated longest-match subquery
+        -- INSIDE a recursive term mis-evaluates in DuckDB 1.0.0 (only
+        -- some union branches of the vocab CTE match; same planner
+        -- family as the documented nested-CASE-in-lambda bug), while
+        -- this plain join + GROUP BY form is exact
+        SELECT w.word, u.i AS pos, MAX(length(v.piece)) AS ml
+        FROM w, unnest(range(1, length(word) + 1)) AS u(i), vocab v
+        WHERE v.piece = substr(w.word, u.i, length(v.piece))
+        GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT word, CAST(1 AS BIGINT) AS pos, CAST(NULL AS VARCHAR) AS piece
+        FROM w
+        UNION ALL
+        SELECT s.word, s.pos + m.ml AS pos,
+               substr(s.word, s.pos, m.ml) AS piece
+        FROM seg s JOIN mlt m ON m.word = s.word AND m.pos = s.pos
+        WHERE s.pos <= length(s.word)
+    )
+    SELECT piece,
+           CAST(SUM(wf) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT s.word) AS BIGINT) AS n_words
+    FROM (SELECT word, piece FROM seg WHERE piece IS NOT NULL) s
+    JOIN w USING (word)
+    GROUP BY piece
+    ORDER BY n_occurrences DESC, piece
+    LIMIT 50
+"""
+
+
+@register(
+    "wordpiece_segmentation_stats",
+    tags=("text", "tokenizer", "wordpiece", "maxmatch", "vocabulary",
+          "training-data", "topk"),
+    oracle=_MAXMATCH_ORACLE,
+)
+def wordpiece_segmentation_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Greedy longest-match (WordPiece-inference) segmentation of the
+    corpus under a corpus-derived piece vocabulary
+    (operators/maxmatch.py): top-50 pieces by weighted occurrence.
+    The segmentation is an iterative all-JVM DataFrame recurrence over
+    the DISTINCT-WORD table (Heaps' law: vocabulary-sized, not
+    corpus-sized -- the corpus frequency table joins once at the end),
+    and the oracle replays the identical recurrence as ONE recursive
+    CTE with a correlated longest-match subquery, so the result is
+    hash-exact bit for bit.
+
+    Scale notes: at 100 TB the per-round join touches only unfinished
+    distinct words (<= vocabulary rows) against a broadcast kilobyte
+    vocabulary; rounds are bounded by the longest word's piece count.
+    The corpus itself is read once for the word-frequency table."""
+    from ..operators.maxmatch import (
+        corpus_words,
+        maxmatch_segment,
+        maxmatch_vocab,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    words = corpus_words(docs).localCheckpoint(eager=True)
+    vocab = maxmatch_vocab(words, top_words=12)
+    seg = maxmatch_segment(words, vocab)
+    return (
+        seg.join(words, "word")
+        .groupBy("piece")
+        .agg(
+            F.sum("wf").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("word").cast("bigint").alias("n_words"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("piece"))
+        .limit(50)
+    )
