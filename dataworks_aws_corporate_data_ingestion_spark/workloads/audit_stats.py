@@ -99,3 +99,105 @@ def user_ltv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(F.col("total"), F.lit(0.75)).alias("p75"),
         F.percentile(F.col("total"), F.lit(0.90)).alias("p90"),
     )
+
+
+# drift-screen params: 40 exact-integer bins over [0, 500.00), split at
+# mid-month -- the "did the feed's value distribution move" audit
+_DRIFT_BINS = 40
+_DRIFT_SPAN_CENTS = 50_000
+_DRIFT_CUT = "2024-01-16"
+
+
+@register(
+    "event_value_drift_bins",
+    tags=("data-quality", "drift", "histogram", "aggregation",
+          "monitoring"),
+    oracle=f"""
+        WITH binned AS (
+            SELECT CAST(FLOOR(value * 100) AS BIGINT) * {_DRIFT_BINS}
+                       // {_DRIFT_SPAN_CENTS} AS rawbin,
+                   (ts < TIMESTAMP '{_DRIFT_CUT}') AS before
+            FROM events
+        ),
+        b AS (
+            SELECT LEAST(rawbin, {_DRIFT_BINS - 1}) AS bin, before
+            FROM binned
+        ),
+        agg AS (
+            SELECT bin,
+                   CAST(COUNT(*) FILTER (WHERE before) AS BIGINT)
+                       AS n_before,
+                   CAST(COUNT(*) FILTER (WHERE NOT before) AS BIGINT)
+                       AS n_after
+            FROM b GROUP BY bin
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_before) AS BIGINT) AS tb,
+                   CAST(SUM(n_after) AS BIGINT) AS ta
+            FROM agg
+        )
+        SELECT bin, n_before, n_after,
+               CAST(n_before * 10000 // tb AS BIGINT) AS share_before_bps,
+               CAST(n_after * 10000 // ta AS BIGINT) AS share_after_bps,
+               CAST(abs(n_before * 10000 // tb - n_after * 10000 // ta)
+                    AS BIGINT) AS drift_bps
+        FROM agg, tot
+        ORDER BY drift_bps DESC, bin
+        LIMIT 20
+    """,
+)
+def event_value_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift screen between the two halves of the event
+    range: exact integer value bins (the histsketch cents-bin
+    expression -- engine-exact, no float boundary can flip a row), each
+    half's per-bin share in basis points by integer cross-multiplied
+    division, ranked by absolute share drift.  The PSI/KS decision rule
+    applies downstream to these shares; keeping logs/CDFs out of the
+    hashed output is the same no-transcendentals discipline as the
+    Benford screen above.
+
+    At 100 TB this is two map-side-combined aggregates over one scan
+    (the halves are a pivot, not two passes) shuffling <= 40 bins, and
+    in the stored-sketch regime the same comparison reads two windows
+    of persisted daily histogram rows (operators/histsketch.py) without
+    rescanning anything."""
+    from ..operators.histsketch import cents_bin
+
+    e = load_table(spark, "events", sf_dir)
+    before = F.col("ts") < F.lit(_DRIFT_CUT).cast("timestamp_ntz")
+    agg = (
+        e.select(
+            cents_bin(F.col("value"), _DRIFT_BINS, _DRIFT_SPAN_CENTS).alias(
+                "bin"
+            ),
+            before.alias("before"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("before"), 1)).cast("bigint").alias(
+                "n_before"
+            ),
+            F.count(F.when(~F.col("before"), 1)).cast("bigint").alias(
+                "n_after"
+            ),
+        )
+    )
+    tot = agg.agg(
+        F.sum("n_before").cast("bigint").alias("tb"),
+        F.sum("n_after").cast("bigint").alias("ta"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_before",
+            "n_after",
+            F.expr("n_before * 10000 DIV tb").alias("share_before_bps"),
+            F.expr("n_after * 10000 DIV ta").alias("share_after_bps"),
+            F.expr(
+                "abs(n_before * 10000 DIV tb - n_after * 10000 DIV ta)"
+            ).alias("drift_bps"),
+        )
+        .orderBy(F.desc("drift_bps"), F.asc("bin"))
+        .limit(20)
+    )

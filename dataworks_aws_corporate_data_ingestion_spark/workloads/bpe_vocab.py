@@ -463,3 +463,92 @@ def wordpiece_segmentation_stats(
         .orderBy(F.desc("n_occurrences"), F.asc("piece"))
         .limit(50)
     )
+
+
+def _efficiency_oracle(k: int) -> str:
+    """Training CTE chain + final fuse (as _apply_oracle), then the
+    per-source compression report: chars per fused token in integer
+    basis points (cross-multiplied DIV, no float boundary)."""
+    base = _oracle(k)
+    with_part, _ = base.split(" SELECT CAST(1", 1)
+    return f"""
+        {with_part},
+        tfin AS (
+            SELECT doc_id,
+                   trim(replace(replace(
+                       ' ' || replace(t, ' ', '  ') || ' ',
+                       ' ' || (SELECT w1 FROM b{k}) || '  '
+                           || (SELECT w2 FROM b{k}) || ' ',
+                       ' ' || (SELECT w1 FROM b{k}) || '+'
+                           || (SELECT w2 FROM b{k}) || ' '),
+                       '  ', ' ')) AS t
+            FROM t{k - 1}
+        ),
+        m AS (
+            SELECT d.source,
+                   length(replace(lower(d.text), ' ', '')) AS nc,
+                   len(string_split(t.t, ' ')) AS nt
+            FROM tfin t JOIN documents d ON t.doc_id = d.doc_id
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nc) AS BIGINT) AS n_chars,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens,
+               CAST(SUM(nc) * 10000 // SUM(nt) AS BIGINT)
+                   AS chars_per_token_bps
+        FROM m GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "tokenizer_efficiency_by_source",
+    tags=("text", "tokenizer", "bpe", "evaluation", "training-data",
+          "aggregation"),
+    oracle=_efficiency_oracle(_K),
+)
+def tokenizer_efficiency_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer-efficiency evaluation: characters per token, by
+    source, after re-tokenising the corpus under the 4 learned BPE
+    merges (operators/bpe.py::bpe_apply) -- the standard
+    compression-ratio report a tokenizer change ships with (which
+    sources benefit from the new vocabulary, which regress).  Character
+    mass comes from the ORIGINAL text (fused '+' separators are
+    artifacts, not bytes); the ratio is integer basis points via
+    cross-multiplied DIV, so the whole report is engine-exact.
+
+    Scale notes: the apply path is the trainer's narrow-map fuse chain
+    (one literal replace per merge, whole-stage codegen); the report
+    itself is one map-side-combined aggregate over <= n_sources rows.
+    Evaluating a CANDIDATE vocabulary against production is this query
+    with bpe_segment under the stored merge table."""
+    from ..operators.bpe import bpe_apply
+
+    docs = load_table(spark, "documents", sf_dir)
+    fused = bpe_apply(docs, k=_K)
+    m = fused.join(
+        docs.select(
+            "doc_id",
+            "source",
+            F.length(
+                F.replace(F.lower(F.col("text")), F.lit(" "), F.lit(""))
+            ).alias("nc"),
+        ),
+        "doc_id",
+    ).select(
+        "source", "nc", F.size(F.split(F.col("t"), " ")).alias("nt")
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nc").cast("bigint").alias("n_chars"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "chars_per_token_bps",
+            F.expr("n_chars * 10000 DIV n_tokens"),
+        )
+        .orderBy("source")
+    )
