@@ -1,0 +1,160 @@
+"""Streaming Count-Min admission: each micro-batch folds its bounded
+d x w cell partial into a stored counter table, so ANY key's frequency
+estimate is available over an unbounded stream with the CMS guarantee
+(never undercounts) and without ever re-reading the stream.
+
+The streaming twin of operators/cms.py, keeping the admission matrix
+square: LM counts, span grams, MG counters, bloom bitsets, quantile
+bins and now CMS cells all have batch rollup + replay-safe streaming
+admission.  Counter addition is an ALGEBRA (sum per cell), so
+append == rebuild holds bit-exactly; commit markers exist only for
+replay idempotence, following lm_admission.py:
+
+  {prefix}_cms   (row int, col long, c long, batch_token long)
+                 per-batch cell partials; <= d*w rows per admitted
+                 batch plus one NULL-row marker row.
+  {prefix}_meta  (n_rows long, batch_token long) per-batch row counts;
+                 SUM(n_rows) is the stream length (the denominator of
+                 the CMS error envelope) and the replay ledger.
+
+Crash atomicity: appends run _cms -> _meta; on replay each table is
+appended only if it lacks the batch token, so every crash window heals
+without double-counting.
+
+At 100 TB/day each batch contributes kilobytes of state; a point
+estimate reads <= d*w stored integers.  Certified end-to-end by
+`cms_admission_streaming_certificate`: N-batch admission + replay +
+mid-sequence compaction, final state asserted bit-identical to a
+one-shot sketch, and the estimate table hash-matched against the same
+plain-SQL oracle the batch entry uses."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cms import cms_sketch
+from .span_admission import batch_content_token, refresh_state_tables
+
+
+def init_cms_index(spark: SparkSession, prefix: str) -> None:
+    """Create the (empty) cell table and batch ledger.  Idempotent
+    across sessions sharing a warehouse dir."""
+    from ..sinks.bucketing import _clear_orphan_location
+
+    for name in (f"{prefix}_cms", f"{prefix}_meta"):
+        _clear_orphan_location(spark, name)
+    spark.createDataFrame(
+        [], "row int, col long, c long, batch_token long"
+    ).write.format("parquet").saveAsTable(f"{prefix}_cms")
+    spark.createDataFrame(
+        [], "n_rows long, batch_token long"
+    ).write.format("parquet").saveAsTable(f"{prefix}_meta")
+
+
+def _token_committed(
+    spark: SparkSession, table: str, batch_token: int
+) -> bool:
+    return (
+        spark.table(table)
+        .filter(F.col("batch_token") == F.lit(batch_token))
+        .limit(1)
+        .count()
+        > 0
+    )
+
+
+def admit_cms_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    prefix: str,
+    w: int,
+    d: int,
+    key_col: str = "key",
+    id_col: str | None = None,
+    batch_token: int | None = None,
+) -> int:
+    """One admission round: fold the batch's cell partial into the
+    stored state (append-only, commit-marked, replay-safe).  Returns
+    the batch_token used.  The partial is bounded (<= d*w rows -- a
+    sketch, never the batch), so it is collected and written as one
+    small append together with its commit marker."""
+    token = (
+        batch_token
+        if batch_token is not None
+        else batch_content_token(batch_df, id_col or key_col)
+    )
+    refresh_state_tables(spark, f"{prefix}_cms", f"{prefix}_meta")
+    if not _token_committed(spark, f"{prefix}_cms", token):
+        part = cms_sketch(batch_df, key_col, w, d).collect()
+        rows = [(int(r["row"]), int(r["col"]), int(r["c"]), token)
+                for r in part]
+        rows.append((None, None, 0, token))  # commit marker
+        spark.createDataFrame(
+            rows, "row int, col long, c long, batch_token long"
+        ).write.mode("append").format("parquet").saveAsTable(
+            f"{prefix}_cms"
+        )
+    if not _token_committed(spark, f"{prefix}_meta", token):
+        n = batch_df.count()
+        spark.createDataFrame(
+            [(n, token)], "n_rows long, batch_token long"
+        ).write.mode("append").format("parquet").saveAsTable(
+            f"{prefix}_meta"
+        )
+    refresh_state_tables(spark, f"{prefix}_cms", f"{prefix}_meta")
+    return token
+
+
+def read_cms_state(
+    spark: SparkSession, prefix: str
+) -> tuple[DataFrame, int]:
+    """Logical state: (sketch(row, col, c), n_total).  NULL-row rows
+    are commit markers -- excluded.  The folded sketch equals a
+    one-shot cms_sketch of every admitted row (cell addition is
+    associative/commutative over any batch decomposition)."""
+    refresh_state_tables(spark, f"{prefix}_cms", f"{prefix}_meta")
+    sketch = (
+        spark.table(f"{prefix}_cms")
+        .filter(F.col("row").isNotNull())
+        .groupBy("row", "col")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    n_total = (
+        spark.table(f"{prefix}_meta")
+        .agg(F.sum("n_rows").cast("bigint").alias("n"))
+        .collect()[0]["n"]
+        or 0
+    )
+    return sketch, int(n_total)
+
+
+def compact_cms_index(spark: SparkSession, prefix: str) -> dict:
+    """Fold the append-only partials to one row per cell; the distinct
+    batch_token set survives as NULL-row marker rows so replayed
+    batches still heal.  Only safe when no batches are in flight."""
+    refresh_state_tables(spark, f"{prefix}_cms")
+    t = spark.table(f"{prefix}_cms")
+    rows_before = t.count()
+    folded = (
+        t.filter(F.col("row").isNotNull())
+        .groupBy("row", "col")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        .collect()
+    )
+    tokens = [
+        int(r["batch_token"])
+        for r in t.select("batch_token").distinct().collect()
+        if r["batch_token"] is not None
+    ]
+    rows = [
+        (int(r["row"]), int(r["col"]), int(r["c"]), None) for r in folded
+    ] + [(None, None, 0, tok) for tok in tokens]
+    compacted = spark.createDataFrame(
+        rows, "row int, col long, c long, batch_token long"
+    ).localCheckpoint(eager=True)
+    compacted.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{prefix}_cms"
+    )
+    refresh_state_tables(spark, f"{prefix}_cms")
+    return {"rows_before": rows_before, "rows_after": len(rows)}

@@ -1514,3 +1514,94 @@ def cms_daily_rollup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+@register(
+    "cms_admission_streaming_certificate",
+    tags=("sketch", "cms", "frequency", "streaming", "incremental",
+          "index-maintenance", "approx", "scale-path"),
+    oracle=_CMS_ORACLE,
+)
+def cms_admission_streaming_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming Count-Min certification (streaming/cms_admission.py):
+    the events stream is admitted in three micro-batch-shaped slices
+    (event_id % 3) through the real CMS-admission round (bounded d*w
+    cell partials, cms -> meta append order, commit markers), with the
+    FIRST batch replayed (ledger must not move) and the index compacted
+    mid-sequence (markers must survive).  The accumulated state is then
+    asserted BIT-IDENTICAL to a one-shot sketch of the whole stream
+    (cell addition is an algebra), and the point estimates served off
+    the streamed state hash-match the SAME plain-SQL oracle the batch
+    entry (`cms_point_frequency_estimates`) uses -- N-batch streaming
+    admission == batch sketch, estimate for estimate.
+
+    Scale notes: per batch the admission cost is one bounded cell
+    aggregate of THAT BATCH (kilobytes appended); the stream is never
+    re-read.  The exact recount exists only to certify."""
+    from ..operators.cms import cms_point_estimates, cms_sketch
+    from ..streaming.cms_admission import (
+        admit_cms_batch,
+        compact_cms_index,
+        init_cms_index,
+        read_cms_state,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    keyed = e.select(
+        "event_id",
+        F.concat(
+            F.col("event_type"),
+            F.lit(":"),
+            F.pmod(F.col("user_id"), F.lit(32)).cast("string"),
+        ).alias("key"),
+    )
+    init_cms_index(spark, "cms_adm")
+    for i in range(3):
+        batch = keyed.filter(F.col("event_id") % 3 == i)
+        admit_cms_batch(
+            spark, batch, "cms_adm", _CMS_W, _CMS_D,
+            key_col="key", id_col="event_id",
+        )
+        if i == 0:
+            _, n_before = read_cms_state(spark, "cms_adm")
+            admit_cms_batch(  # replay: must be a no-op
+                spark, batch, "cms_adm", _CMS_W, _CMS_D,
+                key_col="key", id_col="event_id",
+            )
+            _, n_after = read_cms_state(spark, "cms_adm")
+            if n_after != n_before:
+                raise AssertionError(
+                    f"replayed batch changed ledger: {n_before} -> {n_after}"
+                )
+        if i == 1:
+            compact_cms_index(spark, "cms_adm")
+    state, n_total = read_cms_state(spark, "cms_adm")
+    n_events = keyed.count()
+    if n_total != n_events:
+        raise AssertionError(f"ledger {n_total} != corpus {n_events}")
+    one_shot = cms_sketch(keyed.select("key"), "key", _CMS_W, _CMS_D)
+    diff = (
+        state.exceptAll(one_shot).count()
+        + one_shot.exceptAll(state).count()
+    )
+    if diff != 0:
+        raise AssertionError("streamed state != one-shot sketch")
+    probes = keyed.select("key").distinct()
+    est = cms_point_estimates(state, probes, "key", _CMS_W, _CMS_D)
+    tru = keyed.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    return (
+        est.join(tru, "key")
+        .select(
+            "key",
+            "est",
+            "n_true",
+            (F.col("est") - F.col("n_true")).cast("bigint").alias(
+                "overestimate"
+            ),
+        )
+        .orderBy("key")
+    )
