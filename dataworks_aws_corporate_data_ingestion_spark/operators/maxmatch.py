@@ -34,7 +34,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["corpus_words", "maxmatch_vocab", "maxmatch_segment"]
+__all__ = [
+    "corpus_words",
+    "maxmatch_vocab",
+    "maxmatch_segment",
+    "match_table",
+    "optimal_piece_counts",
+]
 
 
 def corpus_words(
@@ -145,5 +151,80 @@ def maxmatch_segment(
         ).filter(F.col("pos") <= F.length("word"))
     out = parts[0]
     for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def match_table(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """ALL vocabulary matches at every position of every distinct word:
+    (word, pos, l) -- the edge list of the segmentation DAG.  Computed
+    once, outside any iteration: candidate lengths exploded as codegen
+    exprs against the broadcast vocabulary, exactly the maxmatch_segment
+    probe without the per-round max."""
+    vocab = vocab.select("piece").localCheckpoint(eager=True)
+    max_l = vocab.agg(F.max(F.length("piece"))).collect()[0][0]
+    if max_l is None:
+        raise ValueError("empty vocabulary")
+    lengths = F.array(*[F.lit(l) for l in range(1, int(max_l) + 1)])
+    positions = F.expr("sequence(1, length(word))")
+    return (
+        words.select("word")
+        .distinct()
+        .select("word", F.explode(positions).alias("pos"))
+        .select("word", F.col("pos").cast("bigint").alias("pos"),
+                F.explode(lengths).alias("l"))
+        .filter(F.col("pos") + F.col("l") - 1 <= F.length("word"))
+        .withColumn("piece", F.expr("substring(word, pos, l)"))
+        .join(F.broadcast(vocab), "piece")
+        .select("word", "pos", F.col("l").cast("bigint").alias("l"))
+    )
+
+
+def optimal_piece_counts(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """MINIMUM piece count per distinct word -- the Viterbi/DP layer of
+    a unigram-style tokenizer under the min-pieces objective (uniform
+    piece scores), chosen precisely because it is integer-exact and
+    engine-portable where probability-weighted Viterbi would drag
+    transcendentals into the hashed output.
+
+    BFS over the segmentation DAG: round c holds every (word, pos)
+    reachable with exactly c pieces; the first round that reaches
+    pos = len(word)+1 is that word's optimum (BFS layers = shortest
+    path).  Finished words are pruned, states deduped per round, so
+    the working set never exceeds (distinct words x positions) -- all
+    vocabulary-sized, never corpus-sized.  Rounds are bounded by the
+    longest word.  Returns (word, np_opt bigint)."""
+    mt = match_table(words, vocab).localCheckpoint(eager=True)
+    states = (
+        words.select("word")
+        .distinct()
+        .select("word", F.lit(1).cast("bigint").alias("pos"))
+    )
+    finished: list[DataFrame] = []
+    c = 0
+    while True:
+        states = states.localCheckpoint(eager=True)
+        if states.count() == 0:
+            break
+        done = states.filter(
+            F.col("pos") == F.length("word") + 1
+        ).select("word", F.lit(c).cast("bigint").alias("np_opt"))
+        finished.append(done.localCheckpoint(eager=True))
+        active = states.filter(F.col("pos") <= F.length("word")).join(
+            done.select("word").withColumn("__f", F.lit(1)), "word", "left"
+        ).filter(F.col("__f").isNull()).drop("__f")
+        states = (
+            active.join(mt, ["word", "pos"])
+            .select("word", (F.col("pos") + F.col("l")).alias("pos"))
+            .distinct()
+        )
+        c += 1
+        if c > 64:
+            raise ValueError(
+                "segmentation DAG deeper than 64 rounds: vocabulary "
+                "does not cover some character"
+            )
+    out = finished[0]
+    for p in finished[1:]:
         out = out.unionByName(p)
     return out

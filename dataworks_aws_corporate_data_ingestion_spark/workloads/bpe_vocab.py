@@ -552,3 +552,135 @@ def tokenizer_efficiency_by_source(
         )
         .orderBy("source")
     )
+
+
+_OPTIMALITY_ORACLE = """
+    WITH RECURSIVE
+    words0 AS MATERIALIZED (
+        SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ),
+    w AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS wf FROM words0
+        WHERE word <> '' GROUP BY 1
+    ),
+    topw AS (
+        SELECT word AS piece FROM w WHERE length(word) >= 2
+        ORDER BY wf DESC, word LIMIT 12
+    ),
+    chars AS (
+        SELECT DISTINCT substr(word, i, 1) AS piece
+        FROM w, unnest(range(1, length(word) + 1)) AS u(i)
+    ),
+    affix AS (
+        SELECT substr(word, 1, 2) AS piece FROM w WHERE length(word) >= 2
+        UNION ALL
+        SELECT substr(word, 1, 3) FROM w WHERE length(word) >= 3
+        UNION ALL
+        SELECT substr(word, length(word) - 1, 2) FROM w
+        WHERE length(word) >= 2
+        UNION ALL
+        SELECT substr(word, length(word) - 2, 3) FROM w
+        WHERE length(word) >= 3
+    ),
+    vocab AS MATERIALIZED (
+        SELECT piece FROM topw UNION SELECT piece FROM chars
+        UNION SELECT piece FROM affix
+    ),
+    mt AS MATERIALIZED (
+        -- ALL matches: the segmentation-DAG edge list, precomputed
+        -- outside the recursions (the DuckDB 1.0.0 correlated-subquery
+        -- -in-recursive-term workaround, cf. wordpiece_segmentation)
+        SELECT w.word, u.i AS pos, CAST(length(v.piece) AS BIGINT) AS l
+        FROM w, unnest(range(1, length(word) + 1)) AS u(i), vocab v
+        WHERE v.piece = substr(w.word, u.i, length(v.piece))
+    ),
+    mlt AS MATERIALIZED (
+        SELECT word, pos, MAX(l) AS ml FROM mt GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT word, CAST(1 AS BIGINT) AS pos, FALSE AS emitted FROM w
+        UNION ALL
+        SELECT s.word, s.pos + m.ml AS pos, TRUE AS emitted
+        FROM seg s JOIN mlt m ON m.word = s.word AND m.pos = s.pos
+        WHERE s.pos <= length(s.word)
+    ),
+    greedy AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS np_greedy
+        FROM seg WHERE emitted GROUP BY 1
+    ),
+    reach AS (
+        SELECT word, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS np
+        FROM w
+        UNION
+        SELECT r.word, r.pos + m.l AS pos, r.np + 1 AS np
+        FROM reach r JOIN mt m ON m.word = r.word AND m.pos = r.pos
+        WHERE r.pos <= length(r.word)
+    ),
+    optimal AS (
+        SELECT word, CAST(MIN(np) AS BIGINT) AS np_opt
+        FROM reach WHERE pos = length(word) + 1 GROUP BY 1
+    )
+    SELECT o.np_opt, g.np_greedy,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(w.wf) AS BIGINT) AS n_occurrences
+    FROM optimal o
+    JOIN greedy g USING (word)
+    JOIN w USING (word)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+@register(
+    "segmentation_optimality_report",
+    tags=("text", "tokenizer", "wordpiece", "maxmatch", "viterbi",
+          "evaluation", "training-data"),
+    oracle=_OPTIMALITY_ORACLE,
+)
+def segmentation_optimality_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Greedy-vs-optimal segmentation audit: for every distinct word,
+    the MINIMUM piece count over ALL segmentations (BFS shortest path
+    over the segmentation DAG -- operators/maxmatch.py::
+    optimal_piece_counts, the Viterbi/DP layer of a unigram-style
+    tokenizer under the integer-exact min-pieces objective) against
+    what greedy longest-match actually emits, reported as
+    (np_opt, np_greedy) cells with word and weighted-occurrence
+    counts.  Cells above the diagonal quantify exactly how much token
+    budget greedy MaxMatch wastes under this vocabulary -- the report
+    a tokenizer-inference change (greedy vs Viterbi decoding) is
+    justified with.
+
+    Scale notes: both recurrences run over the DISTINCT-WORD table
+    (vocabulary-sized); the DAG edge list is one broadcast-join probe
+    computed once; BFS rounds are bounded by the longest word; the
+    corpus weighs in through one final join.  Oracle: two recursive
+    CTEs (greedy chain + BFS reachability with UNION-dedup) sharing
+    one materialized edge list."""
+    from ..operators.maxmatch import (
+        corpus_words,
+        maxmatch_segment,
+        maxmatch_vocab,
+        optimal_piece_counts,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    words = corpus_words(docs).localCheckpoint(eager=True)
+    vocab = maxmatch_vocab(words, top_words=12)
+    greedy = (
+        maxmatch_segment(words, vocab)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("np_greedy"))
+    )
+    opt = optimal_piece_counts(words, vocab)
+    return (
+        opt.join(greedy, "word")
+        .join(words, "word")
+        .groupBy("np_opt", "np_greedy")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("wf").cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy("np_opt", "np_greedy")
+    )

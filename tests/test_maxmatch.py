@@ -97,3 +97,70 @@ class TestMaxMatch:
                 _words_df(spark, ["ab"]),
                 _vocab_df(spark, []).filter(F.lit(False)),
             )
+
+
+class TestOptimalPieceCounts:
+    def test_greedy_strictly_suboptimal_case(self, spark):
+        """'aaab' under {a, b, aa, aab}: greedy takes aa (aab does not
+        match at pos 1), then a+b -- 3 pieces; optimal is a+aab -- 2.
+        The DP must find 2 where greedy emits 3."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.maxmatch import (
+            optimal_piece_counts,
+        )
+
+        words = _words_df(spark, ["aaab"])
+        vocab = _vocab_df(spark, ["a", "b", "aa", "aab"])
+        opt = {
+            r["word"]: r["np_opt"]
+            for r in optimal_piece_counts(words, vocab).collect()
+        }
+        assert opt == {"aaab": 2}
+        greedy = maxmatch_segment(words, vocab).count()
+        assert greedy == 3
+
+    def test_matches_bruteforce_on_seeded_inputs(self, spark):
+        """BFS shortest-path piece counts equal a driver-side
+        exhaustive DP over every word of a random corpus."""
+        import random
+
+        from dataworks_aws_corporate_data_ingestion_spark.operators.maxmatch import (
+            optimal_piece_counts,
+        )
+
+        rng = random.Random(20240816)
+        alpha = "ab"
+        words = sorted(
+            {
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 7)))
+                for _ in range(25)
+            }
+        )
+        pieces = sorted(
+            {"a", "b"}
+            | {
+                "".join(rng.choice(alpha) for _ in range(rng.randint(2, 3)))
+                for _ in range(6)
+            }
+        )
+
+        def ref_opt(word):
+            best = [None] * (len(word) + 1)
+            best[0] = 0
+            for i in range(len(word)):
+                if best[i] is None:
+                    continue
+                for p in pieces:
+                    if word.startswith(p, i):
+                        j = i + len(p)
+                        if best[j] is None or best[j] > best[i] + 1:
+                            best[j] = best[i] + 1
+            return best[len(word)]
+
+        got = {
+            r["word"]: r["np_opt"]
+            for r in optimal_piece_counts(
+                _words_df(spark, words), _vocab_df(spark, pieces)
+            ).collect()
+        }
+        want = {w: ref_opt(w) for w in words}
+        assert got == want
