@@ -201,3 +201,123 @@ def event_value_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("drift_bps"), F.asc("bin"))
         .limit(20)
     )
+
+
+@register(
+    "drift_from_stored_histograms",
+    tags=("data-quality", "drift", "histogram", "sketch", "rollup",
+          "index-maintenance", "monitoring", "scale-path"),
+    oracle=f"""
+        WITH binned AS (
+            SELECT CAST(FLOOR(value * 100) AS BIGINT) * {_DRIFT_BINS}
+                       // {_DRIFT_SPAN_CENTS} AS rawbin,
+                   (ts < TIMESTAMP '{_DRIFT_CUT}') AS before
+            FROM events
+        ),
+        b AS (
+            SELECT LEAST(rawbin, {_DRIFT_BINS - 1}) AS bin, before
+            FROM binned
+        ),
+        agg AS (
+            SELECT bin,
+                   CAST(COUNT(*) FILTER (WHERE before) AS BIGINT)
+                       AS n_before,
+                   CAST(COUNT(*) FILTER (WHERE NOT before) AS BIGINT)
+                       AS n_after
+            FROM b GROUP BY bin
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_before) AS BIGINT) AS tb,
+                   CAST(SUM(n_after) AS BIGINT) AS ta
+            FROM agg
+        )
+        SELECT bin, n_before, n_after,
+               CAST(n_before * 10000 // tb AS BIGINT) AS share_before_bps,
+               CAST(n_after * 10000 // ta AS BIGINT) AS share_after_bps,
+               CAST(abs(n_before * 10000 // tb - n_after * 10000 // ta)
+                    AS BIGINT) AS drift_bps
+        FROM agg, tot
+        ORDER BY drift_bps DESC, bin
+        LIMIT 20
+    """,
+)
+def drift_from_stored_histograms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME drift screen as `event_value_drift_bins`, served
+    entirely off STORED per-day histogram rows: the first weeks'
+    sketches are materialised as a catalog table, the final days
+    appended (bin addition is an algebra, append == rebuild asserted
+    row-for-row), and the monitoring query then reads ONLY the stored
+    table -- grouping days into the two windows, summing bins, and
+    ranking share drift.  Hash-matching the recompute oracle proves the
+    100 TB monitoring path: a daily drift dashboard reads <= 40 stored
+    integer rows per day and never rescans an event.
+
+    This is the consumer side of the quantile-sketch state the
+    streaming admission path (streaming/hist_admission.py) maintains --
+    the same stored rows answer both quantile and drift questions."""
+    from ..operators.histsketch import daily_histogram
+    from ..sinks.bucketing import _clear_orphan_location
+
+    e = load_table(spark, "events", sf_dir)
+    cut_ts = F.lit(_DRIFT_CUT).cast("timestamp_ntz")
+    append_from = F.lit("2024-01-25").cast("timestamp_ntz")
+    name = "drift_hist_idx"
+    _clear_orphan_location(spark, name)
+    daily_histogram(
+        e.filter(F.col("ts") < append_from), "ts", "value",
+        _DRIFT_BINS, _DRIFT_SPAN_CENTS,
+    ).write.format("parquet").saveAsTable(name)
+    daily_histogram(
+        e.filter(F.col("ts") >= append_from), "ts", "value",
+        _DRIFT_BINS, _DRIFT_SPAN_CENTS,
+    ).write.mode("append").format("parquet").saveAsTable(name)
+    spark.catalog.refreshTable(name)
+    stored = (
+        spark.table(name)
+        .groupBy("day", "bin")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    rebuild = daily_histogram(e, "ts", "value", _DRIFT_BINS,
+                              _DRIFT_SPAN_CENTS)
+    diff = (
+        stored.exceptAll(rebuild).count()
+        + rebuild.exceptAll(stored).count()
+    )
+    if diff != 0:
+        raise AssertionError("stored daily histograms != rebuild")
+    # the monitoring query proper: stored rows only, corpus untouched
+    agg = (
+        stored.withColumn(
+            "before", F.col("day") < cut_ts.cast("date")
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("before"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_before"),
+            F.sum(F.when(~F.col("before"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_after"),
+        )
+    )
+    tot = agg.agg(
+        F.sum("n_before").cast("bigint").alias("tb"),
+        F.sum("n_after").cast("bigint").alias("ta"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_before",
+            "n_after",
+            F.expr("n_before * 10000 DIV tb").alias("share_before_bps"),
+            F.expr("n_after * 10000 DIV ta").alias("share_after_bps"),
+            F.expr(
+                "abs(n_before * 10000 DIV tb - n_after * 10000 DIV ta)"
+            ).alias("drift_bps"),
+        )
+        .orderBy(F.desc("drift_bps"), F.asc("bin"))
+        .limit(20)
+    )
