@@ -684,3 +684,122 @@ def segmentation_optimality_report(
         )
         .orderBy("np_opt", "np_greedy")
     )
+
+
+def _unigram_oracle(
+    iterations: int = 2,
+    max_piece_len: int = 4,
+    min_count: int = 5,
+    prune_min: int = 5,
+    top: int = 30,
+) -> str:
+    """Unrolled hard-EM unigram recurrence: seed substring scores, then
+    per iteration a materialized edge list (the recursive-term
+    correlated-subquery workaround), a recursive path enumeration, a
+    window top-1 per word on the integer-exact objective
+    (np, -ssum, seq), a weighted usage recount, and the prune/rescore
+    step.  Every comparison is integer or byte-order string."""
+    ctes = [f"""
+    w AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS wf
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY 1
+    ),
+    sub AS (
+        SELECT substr(word, i, l) AS piece, wf
+        FROM w, unnest(range(1, length(word) + 1)) AS u(i),
+             unnest(range(1, {max_piece_len + 1})) AS v(l)
+        WHERE i + l - 1 <= length(word)
+    ),
+    s1 AS MATERIALIZED (
+        SELECT piece, CAST(SUM(wf) AS BIGINT) AS s FROM sub
+        GROUP BY 1
+        HAVING length(piece) = 1 OR SUM(wf) >= {min_count}
+    )"""]
+    for t in range(1, iterations + 1):
+        ctes.append(f"""
+    e{t} AS MATERIALIZED (
+        SELECT w.word, u.i AS pos, CAST(length(v.piece) AS BIGINT) AS l,
+               v.piece, v.s
+        FROM w, unnest(range(1, length(word) + 1)) AS u(i), s{t} v
+        WHERE v.piece = substr(w.word, u.i, length(v.piece))
+    ),
+    p{t} AS (
+        SELECT word, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS np,
+               CAST(0 AS BIGINT) AS ssum, '' AS seq
+        FROM w
+        UNION ALL
+        SELECT p.word, p.pos + e.l AS pos, p.np + 1 AS np,
+               p.ssum + e.s AS ssum,
+               CASE WHEN p.seq = '' THEN e.piece
+                    ELSE p.seq || ' ' || e.piece END AS seq
+        FROM p{t} p JOIN e{t} e ON e.word = p.word AND e.pos = p.pos
+        WHERE p.pos <= length(p.word)
+    ),
+    b{t} AS MATERIALIZED (
+        SELECT word, seq FROM (
+            SELECT word, seq,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY word
+                       ORDER BY np, ssum DESC, seq
+                   ) AS rn
+            FROM p{t} WHERE pos = length(word) + 1
+        ) WHERE rn = 1
+    ),
+    u{t} AS MATERIALIZED (
+        SELECT piece, CAST(SUM(wf) AS BIGINT) AS usage
+        FROM (SELECT word, unnest(string_split(seq, ' ')) AS piece
+              FROM b{t}) q
+        JOIN w USING (word)
+        GROUP BY 1
+    ),
+    s{t + 1} AS MATERIALIZED (
+        SELECT sv.piece, CAST(COALESCE(u.usage, 0) AS BIGINT) AS s
+        FROM (SELECT piece FROM s{t}) sv LEFT JOIN u{t} u USING (piece)
+        WHERE length(sv.piece) = 1 OR COALESCE(u.usage, 0) >= {prune_min}
+    )""")
+    return (
+        "WITH RECURSIVE "
+        + ",".join(ctes)
+        + f"""
+    SELECT piece, usage FROM u{iterations}
+    ORDER BY usage DESC, piece LIMIT {top}
+    """
+    )
+
+
+@register(
+    "unigram_vocab_hard_em",
+    tags=("text", "tokenizer", "unigram", "sentencepiece", "fixed-point",
+          "vocabulary", "training-data", "viterbi", "topk"),
+    oracle=_unigram_oracle(),
+)
+def unigram_vocab_hard_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer vocabulary by HARD EM
+    (operators/unigram.py::unigram_train -- the SentencePiece recipe
+    with an integer-exact Viterbi objective): seed every 1..4-char
+    substring with weighted occurrence scores, then two rounds of
+    (Viterbi-segment every distinct word / recount weighted usage /
+    prune unused multi-char pieces / re-score), reporting the top-30
+    surviving pieces by usage.  Completes the trainer family: BPE
+    merges by frequency, WordPiece by likelihood, unigram by
+    segment-and-prune from a rich seed.
+
+    Oracle: the full two-iteration recurrence unrolled -- recursive
+    path enumeration per round, window top-1 on (pieces, -score sum,
+    sequence byte order), usage/prune CTEs -- bit-exact by the
+    no-transcendentals discipline.  Scale notes: every EM structure is
+    vocabulary-sized (distinct words x bounded paths); the corpus is
+    scanned once for word frequencies."""
+    from ..operators.maxmatch import corpus_words
+    from ..operators.unigram import unigram_train
+
+    docs = load_table(spark, "documents", sf_dir)
+    words = corpus_words(docs)
+    vocab = unigram_train(
+        words, iterations=2, max_piece_len=4, min_count=5, prune_min=5
+    )
+    return (
+        vocab.orderBy(F.desc("usage"), F.asc("piece")).limit(30)
+    )
