@@ -546,3 +546,27 @@ def wordpiece_merge_table(
     for fr in rounds[1:]:
         out = out.unionByName(fr)
     return out
+
+
+def wordpiece_apply(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+) -> DataFrame:
+    """Train k WordPiece merges (same recurrence as
+    wordpiece_merge_table) and return the corpus RE-TOKENISED under
+    them: (doc_id, t) -- the apply half, built from the same per-round
+    broadcast-fuse so train and apply cannot drift (the bpe_apply
+    contract with likelihood selection)."""
+    cur = (
+        fan_out(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.lower(F.col(text_col)).alias("t"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _, cur = _train(cur, k, fuse_last=True, incremental=False,
+                    likelihood=True)
+    return cur

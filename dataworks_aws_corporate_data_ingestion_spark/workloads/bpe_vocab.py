@@ -803,3 +803,57 @@ def unigram_vocab_hard_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         vocab.orderBy(F.desc("usage"), F.asc("piece")).limit(30)
     )
+
+
+def _wp_apply_oracle(k: int) -> str:
+    """WordPiece training chain with the FINAL fuse included, then
+    fused-token counts -- the _apply_oracle splice over _wp_oracle."""
+    base = _wp_oracle(k)
+    with_part, _ = base.split(" SELECT CAST(1", 1)
+    return f"""
+        {with_part},
+        tfin AS (
+            SELECT doc_id,
+                   trim(replace(replace(
+                       ' ' || replace(t, ' ', '  ') || ' ',
+                       ' ' || (SELECT w1 FROM b{k}) || '  '
+                           || (SELECT w2 FROM b{k}) || ' ',
+                       ' ' || (SELECT w1 FROM b{k}) || '+'
+                           || (SELECT w2 FROM b{k}) || ' '),
+                       '  ', ' ')) AS t
+            FROM t{k - 1}
+        ),
+        toks AS (
+            SELECT unnest(string_split(t, ' ')) AS token FROM tfin
+        )
+        SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM toks GROUP BY token
+        ORDER BY n_occurrences DESC, token LIMIT 20
+    """
+
+
+@register(
+    "wordpiece_vocab_counts",
+    tags=("text", "tokenizer", "wordpiece", "fixed-point", "vocabulary",
+          "training-data", "topk"),
+    oracle=_wp_apply_oracle(_K),
+)
+def wordpiece_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 vocabulary entries of the corpus re-tokenised under the 4
+    learned WORDPIECE merges (operators/bpe.py::wordpiece_apply) --
+    the apply-path twin of bpe_vocab_counts under likelihood selection,
+    pinning that train and apply share the fuse chain for this trainer
+    too.  Where the BPE twin surfaces the most FREQUENT collocations,
+    this one fuses the most COHESIVE pairs first, so the two token
+    distributions demonstrably diverge on the same corpus."""
+    from ..operators.bpe import wordpiece_apply
+
+    docs = load_table(spark, "documents", sf_dir)
+    fused = wordpiece_apply(docs, k=_K)
+    return (
+        fused.select(F.explode(F.split(F.col("t"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(20)
+    )
