@@ -1344,6 +1344,7 @@ _CMS_ORACLE = f"""
 
 @register(
     "cms_point_frequency_estimates",
+    bench=True,
     tags=("sketch", "cms", "frequency", "approx", "scale-path"),
     oracle=_CMS_ORACLE,
 )

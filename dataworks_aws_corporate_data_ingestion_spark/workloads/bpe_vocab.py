@@ -337,6 +337,7 @@ def _wp_oracle(k: int) -> str:
 
 @register(
     "wordpiece_merge_table",
+    bench=True,
     tags=("text", "tokenizer", "wordpiece", "fixed-point", "vocabulary",
           "training-data"),
     oracle=_wp_oracle(_K),
