@@ -46,7 +46,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["seed_scores", "viterbi_segment", "unigram_train"]
+__all__ = ["seed_scores", "viterbi_segment", "unigram_train",
+           "ensure_coverage"]
 
 _MAX_WORD_LEN = 16  # enumeration guard: 2^15 paths per word at most
 
@@ -161,13 +162,17 @@ def unigram_train(
     max_piece_len: int = 4,
     min_count: int = 2,
     prune_min: int = 2,
-) -> DataFrame:
+    return_scores: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Hard-EM unigram trainer over a (word, wf) frequency table:
     seed substring scores -> repeat `iterations` times (Viterbi-segment
     every word, recount weighted piece usage, prune multi-char pieces
     under `prune_min`, re-score from usage).  Returns the final
     (piece, usage bigint) vocabulary -- pieces that survived pruning
-    and earned usage in the last segmentation pass.
+    and earned usage in the last segmentation pass; with
+    `return_scores` also the final (piece, s) score table, i.e. THE
+    MODEL the apply path (ensure_coverage + viterbi_segment on new
+    text) consumes.
 
     Scores between rounds are COALESCE(usage, 0) over the surviving
     vocabulary, so an unused single char stays segmentable at score 0
@@ -196,4 +201,28 @@ def unigram_train(
             "piece",
             F.coalesce(F.col("usage"), F.lit(0)).cast("bigint").alias("s"),
         )
+    if return_scores:
+        return usage, scores
     return usage
+
+
+def ensure_coverage(scores: DataFrame, words: DataFrame) -> DataFrame:
+    """Union every single character of `words` into the score table at
+    score 0 -- the SentencePiece required-character discipline, so a
+    stored model can segment NEW text containing characters the
+    training corpus never produced (they tokenize as zero-familiarity
+    char pieces instead of stalling)."""
+    chars = (
+        words.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word)),"
+                    " i -> substring(word, i, 1))"
+                )
+            ).alias("piece")
+        )
+        .distinct()
+        .join(scores.select("piece"), "piece", "left_anti")
+        .select("piece", F.lit(0).cast("bigint").alias("s"))
+    )
+    return scores.unionByName(chars)

@@ -693,6 +693,7 @@ def _unigram_oracle(
     min_count: int = 5,
     prune_min: int = 5,
     top: int = 30,
+    where: str = "",
 ) -> str:
     """Unrolled hard-EM unigram recurrence: seed substring scores, then
     per iteration a materialized edge list (the recursive-term
@@ -704,7 +705,7 @@ def _unigram_oracle(
     w AS MATERIALIZED (
         SELECT word, CAST(count(*) AS BIGINT) AS wf
         FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
-              FROM documents)
+              FROM documents{where})
         WHERE word <> '' GROUP BY 1
     ),
     sub AS (
@@ -857,4 +858,114 @@ def wordpiece_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("token"))
         .limit(20)
+    )
+
+
+def _unigram_apply_oracle() -> str:
+    """Training chain on the EVEN doc half (s3 = the stored model after
+    2 hard-EM iterations), then the apply path on the held-out ODD
+    half: char-coverage union at score 0, edge list, recursive Viterbi
+    paths, window top-1, usage weighted by held-out frequencies."""
+    base = _unigram_oracle(where=" WHERE doc_id % 2 = 0")
+    with_part = base.split("SELECT piece, usage FROM u2", 1)[0]
+    return f"""
+    {with_part},
+    wo AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS wf
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+              FROM documents WHERE doc_id % 2 = 1)
+        WHERE word <> '' GROUP BY 1
+    ),
+    cov AS MATERIALIZED (
+        SELECT piece, s FROM s3
+        UNION ALL
+        SELECT piece, CAST(0 AS BIGINT) AS s FROM (
+            SELECT DISTINCT substr(word, i, 1) AS piece
+            FROM wo, unnest(range(1, length(word) + 1)) AS u(i)
+        ) c WHERE piece NOT IN (SELECT piece FROM s3)
+    ),
+    eo AS MATERIALIZED (
+        SELECT wo.word, u.i AS pos, CAST(length(v.piece) AS BIGINT) AS l,
+               v.piece, v.s
+        FROM wo, unnest(range(1, length(word) + 1)) AS u(i), cov v
+        WHERE v.piece = substr(wo.word, u.i, length(v.piece))
+    ),
+    po AS (
+        SELECT word, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS np,
+               CAST(0 AS BIGINT) AS ssum, '' AS seq
+        FROM wo
+        UNION ALL
+        SELECT p.word, p.pos + e.l AS pos, p.np + 1 AS np,
+               p.ssum + e.s AS ssum,
+               CASE WHEN p.seq = '' THEN e.piece
+                    ELSE p.seq || ' ' || e.piece END AS seq
+        FROM po p JOIN eo e ON e.word = p.word AND e.pos = p.pos
+        WHERE p.pos <= length(p.word)
+    ),
+    bo AS MATERIALIZED (
+        SELECT word, seq FROM (
+            SELECT word, seq,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY word
+                       ORDER BY np, ssum DESC, seq
+                   ) AS rn
+            FROM po WHERE pos = length(word) + 1
+        ) WHERE rn = 1
+    ),
+    uo AS (
+        SELECT piece, CAST(SUM(wf) AS BIGINT) AS usage
+        FROM (SELECT word, unnest(string_split(seq, ' ')) AS piece
+              FROM bo) q
+        JOIN wo USING (word)
+        GROUP BY 1
+    )
+    SELECT piece, usage FROM uo ORDER BY usage DESC, piece LIMIT 30
+    """
+
+
+@register(
+    "unigram_segment_new_text",
+    tags=("text", "tokenizer", "unigram", "sentencepiece", "vocabulary",
+          "training-data", "viterbi", "topk"),
+    oracle=_unigram_apply_oracle(),
+)
+def unigram_segment_new_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM APPLY path (train once, segment forever): the hard-EM
+    model is trained on the EVEN doc_id half, its final score table is
+    the stored artifact, and the held-out ODD half is Viterbi-segmented
+    under it after the char-coverage union (operators/unigram.py::
+    ensure_coverage -- the SentencePiece required-character discipline:
+    unseen characters tokenize as zero-familiarity pieces instead of
+    stalling).  Top-30 held-out piece usage, weighted by held-out word
+    frequency -- full value-hash against the unrolled train + apply
+    oracle.
+
+    Scale notes: the model is a kilobyte score table; segmenting new
+    text is the vocabulary-sized Viterbi recurrence plus one weighted
+    join -- no training pass touches the held-out corpus."""
+    from ..operators.maxmatch import corpus_words
+    from ..operators.unigram import (
+        ensure_coverage,
+        unigram_train,
+        viterbi_segment,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    even = corpus_words(docs.filter(F.col("doc_id") % 2 == 0))
+    odd = corpus_words(docs.filter(F.col("doc_id") % 2 == 1)).localCheckpoint(
+        eager=True
+    )
+    _, scores = unigram_train(
+        even, iterations=2, max_piece_len=4, min_count=5, prune_min=5,
+        return_scores=True,
+    )
+    cov = ensure_coverage(scores, odd)
+    seg = viterbi_segment(odd, cov)
+    return (
+        seg.select("word", F.explode(F.split("seq", " ")).alias("piece"))
+        .join(odd, "word")
+        .groupBy("piece")
+        .agg(F.sum("wf").cast("bigint").alias("usage"))
+        .orderBy(F.desc("usage"), F.asc("piece"))
+        .limit(30)
     )

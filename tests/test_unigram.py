@@ -149,3 +149,28 @@ class TestUnigramHardEm:
                 _words_df(spark, {"a" * 20: 1}),
                 spark.createDataFrame([("a", 1)], "piece string, s long"),
             )
+
+
+class TestEnsureCoverage:
+    def test_unseen_chars_segment_at_zero_score(self, spark):
+        """A stored model trained without 'z' must still segment 'zab'
+        after the coverage union -- 'z' as a zero-familiarity char
+        piece, known pieces still preferred by score."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.unigram import (
+            ensure_coverage,
+        )
+
+        scores = spark.createDataFrame(
+            [("ab", 5), ("a", 2), ("b", 2)], "piece string, s long"
+        )
+        new_words = _words_df(spark, {"zab": 1})
+        with pytest.raises(ValueError):
+            # without coverage the word stalls: no segmentation exists
+            seqs = viterbi_segment(new_words, scores).collect()
+            if not seqs:  # enumeration yields nothing -> paths[0] empty
+                raise ValueError("no segmentation")
+        cov = ensure_coverage(scores, new_words)
+        seq = viterbi_segment(new_words, cov).collect()[0]["seq"]
+        assert seq == "z ab"
+        # idempotent on covered vocabularies
+        assert ensure_coverage(cov, new_words).count() == cov.count()
