@@ -73,9 +73,15 @@ def cms_sketch(
     """Build the sketch over every row of `df`: (row int, col bigint,
     c bigint), at most d*w rows total.  One explode (d cells per input
     row, all codegen exprs) into a map-side-combined count -- the only
-    shuffle is the bounded cell table."""
+    data shuffle is the bounded cell table.  The input is projected to
+    the key column and fanned out first (single-file parquet arrives as
+    ONE partition; the d-way explode + md5 work must not serialise on
+    one task -- the engine-wide fan_out rule for amplifying maps)."""
+    from ..partitioning import fan_out
+
+    keyed = fan_out(df.select(F.col(key_col).alias("__k")))
     return (
-        df.select(F.explode(_cells(F.col(key_col), w, d)).alias("cell"))
+        keyed.select(F.explode(_cells(F.col("__k"), w, d)).alias("cell"))
         .select("cell.row", "cell.col")
         .groupBy("row", "col")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
@@ -86,11 +92,19 @@ def cms_daily_sketch(
     df: DataFrame, ts_col: str, key_col: str, w: int, d: int
 ) -> DataFrame:
     """Per-day partial sketches -- the stored daily state: (day, row,
-    col, c), at most d*w rows per day."""
-    return (
+    col, c), at most d*w rows per day.  Projected + fanned out like
+    cms_sketch."""
+    from ..partitioning import fan_out
+
+    keyed = fan_out(
         df.select(
             F.col(ts_col).cast("date").alias("day"),
-            F.explode(_cells(F.col(key_col), w, d)).alias("cell"),
+            F.col(key_col).alias("__k"),
+        )
+    )
+    return (
+        keyed.select(
+            "day", F.explode(_cells(F.col("__k"), w, d)).alias("cell")
         )
         .select("day", "cell.row", "cell.col")
         .groupBy("day", "row", "col")

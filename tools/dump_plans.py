@@ -57,6 +57,11 @@ SHOWCASE = [
     ("returning_users_bloom_semi", "bit_or-packed bloom build -> map-side ArrowEvalPython probe -> sliver verify join"),
     ("cross_corpus_dedup_bloom", "one bloom_classify pass: scan-stage probe, only positives join"),
     ("event_revenue_auto_skew_join", "MG-detected hot set -> salted hot slice + plain cold slice -> union"),
+    ("cms_point_frequency_estimates", "d-cell explode absorbed by map-side partial agg -> broadcast probe join"),
+    ("wordpiece_merge_table", "per-round pair+unigram aggs, broadcast likelihood argmax, narrow fuse"),
+    ("wordpiece_segmentation_stats", "vocabulary-sized iterative broadcast probe; corpus weighs in once"),
+    ("event_value_drift_bins", "one scan, two pivoted bin aggs, broadcast totals"),
+    ("unigram_vocab_hard_em", "vocab-sized EM structures: edge probe, bounded paths, window top-1"),
 ]
 
 
