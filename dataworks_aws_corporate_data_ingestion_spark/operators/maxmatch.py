@@ -48,11 +48,14 @@ def corpus_words(
 ) -> DataFrame:
     """(word, wf) frequency table of whitespace words, lowercased,
     empties dropped -- the distinct-word domain segmentation runs on
-    and the weight table piece stats join back to."""
+    and the weight table piece stats join back to.  Projected + fanned
+    out before the token explode (single-file parquet = one partition;
+    the amplifying map must not serialise on one task)."""
+    from ..partitioning import fan_out
+
     return (
-        docs.select(
-            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word")
-        )
+        fan_out(docs.select(F.lower(F.col(text_col)).alias("__t")))
+        .select(F.explode(F.split(F.col("__t"), " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("wf"))
