@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import sys
 
 import duckdb
@@ -76,7 +77,13 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # scale dirs (.scaledata/sf*) carry only events/documents; a
+        # restricted --queries run must not die on the absent TPC-H
+        # tables it never touches
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
