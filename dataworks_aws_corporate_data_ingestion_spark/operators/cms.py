@@ -68,7 +68,8 @@ def _cells(key: F.Column, w: int, d: int) -> F.Column:
 
 
 def cms_sketch(
-    df: DataFrame, key_col: str, w: int, d: int
+    df: DataFrame, key_col: str, w: int, d: int,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the sketch over every row of `df`: (row int, col bigint,
     c bigint), at most d*w rows total.  One explode (d cells per input
@@ -76,15 +77,32 @@ def cms_sketch(
     data shuffle is the bounded cell table.  The input is projected to
     the key column and fanned out first (single-file parquet arrives as
     ONE partition; the d-way explode + md5 work must not serialise on
-    one task -- the engine-wide fan_out rule for amplifying maps)."""
+    one task -- the engine-wide fan_out rule for amplifying maps).
+
+    With `weight_col` (non-negative integer weights) the counters
+    accumulate WEIGHT MASS instead of row counts -- the weighted CMS
+    (Cormode & Muthukrishnan section 4: updates of arbitrary positive
+    increments), mirroring heavy_hitters_exact(weight_col=): estimates
+    answer "how much value did THIS key carry" and still never
+    undercount."""
     from ..partitioning import fan_out
 
-    keyed = fan_out(df.select(F.col(key_col).alias("__k")))
+    sel = [F.col(key_col).alias("__k")] + (
+        [F.col(weight_col).cast("bigint").alias("__w")] if weight_col else []
+    )
+    keyed = fan_out(df.select(*sel))
+    measure = (
+        F.sum("__w") if weight_col else F.count(F.lit(1))
+    ).cast("bigint").alias("c")
+    cols = ["cell.row", "cell.col"] + (["__w"] if weight_col else [])
     return (
-        keyed.select(F.explode(_cells(F.col("__k"), w, d)).alias("cell"))
-        .select("cell.row", "cell.col")
+        keyed.select(
+            *(["__w"] if weight_col else []),
+            F.explode(_cells(F.col("__k"), w, d)).alias("cell"),
+        )
+        .select(*cols)
         .groupBy("row", "col")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(measure)
     )
 
 

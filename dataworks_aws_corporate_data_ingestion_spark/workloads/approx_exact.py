@@ -1606,3 +1606,91 @@ def cms_admission_streaming_certificate(
         )
         .orderBy("key")
     )
+
+
+@register(
+    "cms_value_mass_estimates",
+    tags=("sketch", "cms", "frequency", "weighted", "approx",
+          "scale-path"),
+    oracle=f"""
+        WITH keyed AS (
+            SELECT event_type || ':' || CAST(user_id % 32 AS VARCHAR)
+                       AS key,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        cells AS (
+            SELECT i AS row,
+                   CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || key),
+                                        1, 15)) AS BIGINT) % {_CMS_W} AS col,
+                   CAST(SUM(cents) AS BIGINT) AS c
+            FROM keyed, unnest(range(0, {_CMS_D})) AS u(i)
+            GROUP BY 1, 2
+        ),
+        probes AS (SELECT DISTINCT key FROM keyed),
+        pcells AS (
+            SELECT key, i AS row,
+                   CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || key),
+                                        1, 15)) AS BIGINT) % {_CMS_W} AS col
+            FROM probes, unnest(range(0, {_CMS_D})) AS u(i)
+        ),
+        est AS (
+            SELECT p.key, CAST(MIN(COALESCE(c.c, 0)) AS BIGINT)
+                       AS est_cents
+            FROM pcells p LEFT JOIN cells c USING (row, col)
+            GROUP BY 1
+        ),
+        tru AS (
+            SELECT key, CAST(SUM(cents) AS BIGINT) AS true_cents
+            FROM keyed GROUP BY 1
+        )
+        SELECT e.key, e.est_cents, t.true_cents,
+               CAST(e.est_cents - t.true_cents AS BIGINT)
+                   AS overestimate_cents
+        FROM est e JOIN tru t USING (key)
+        ORDER BY e.key
+    """,
+)
+def cms_value_mass_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED Count-Min: per-cell counters accumulate exact VALUE
+    CENTS instead of row counts, so the estimate answers "how much
+    revenue did this key carry" with the same never-undercount
+    guarantee -- the CMS half of the weighted matrix whose Misra-Gries
+    half is `heavy_value_cells_mg_exact` ({frequency, weighted} x
+    {MG, CMS}, every cell oracle-certified).  Oracle-exact including
+    the approximation, like the unweighted entry.
+
+    Scale notes: identical plan shape to the unweighted build (the
+    weight rides the explode as one extra bigint column); estimates
+    stay a broadcast probe of a kilobyte sketch."""
+    from ..operators.cms import cms_point_estimates, cms_sketch
+
+    e = load_table(spark, "events", sf_dir)
+    keyed = e.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit(":"),
+            F.pmod(F.col("user_id"), F.lit(32)).cast("string"),
+        ).alias("key"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    sketch = cms_sketch(keyed, "key", _CMS_W, _CMS_D, weight_col="cents")
+    probes = keyed.select("key").distinct()
+    est = cms_point_estimates(
+        sketch, probes, "key", _CMS_W, _CMS_D
+    ).withColumnRenamed("est", "est_cents")
+    tru = keyed.groupBy("key").agg(
+        F.sum("cents").cast("bigint").alias("true_cents")
+    )
+    return (
+        est.join(tru, "key")
+        .select(
+            "key",
+            "est_cents",
+            "true_cents",
+            (F.col("est_cents") - F.col("true_cents")).cast("bigint").alias(
+                "overestimate_cents"
+            ),
+        )
+        .orderBy("key")
+    )

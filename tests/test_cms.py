@@ -123,3 +123,32 @@ class TestStoredIndex:
             )
         finally:
             spark.sql("DROP TABLE IF EXISTS t_cms1")
+
+
+class TestWeightedCms:
+    def test_weighted_never_undercounts_and_mass_conserves(self, spark):
+        """Value-mass sketch: a rare-by-rows but heavy-by-weight whale
+        key must estimate >= its true mass; every sketch row's total
+        equals the corpus weight sum."""
+        rows = [("whale", 5000)] + [(f"u{i}", 3) for i in range(40)]
+        df = spark.createDataFrame(rows, "key string, w long")
+        sketch = cms_sketch(df, "key", W, D, weight_col="w").localCheckpoint(
+            eager=True
+        )
+        total = sum(w for _, w in rows)
+        masses = [
+            int(r["m"])
+            for r in sketch.groupBy("row").agg(F.sum("c").alias("m")).collect()
+        ]
+        assert len(masses) == D and all(m == total for m in masses)
+        est = {
+            r["key"]: r["est"]
+            for r in cms_point_estimates(
+                sketch, df.select("key").distinct(), "key", W, D
+            ).collect()
+        }
+        true = {k: 0 for k, _ in rows}
+        for k, w in rows:
+            true[k] += w
+        assert all(est[k] >= true[k] for k in true)
+        assert est["whale"] >= 5000
