@@ -73,12 +73,18 @@ def admit_cms_batch(
     key_col: str = "key",
     id_col: str | None = None,
     batch_token: int | None = None,
+    weight_col: str | None = None,
 ) -> int:
     """One admission round: fold the batch's cell partial into the
     stored state (append-only, commit-marked, replay-safe).  Returns
     the batch_token used.  The partial is bounded (<= d*w rows -- a
     sketch, never the batch), so it is collected and written as one
-    small append together with its commit marker."""
+    small append together with its commit marker.
+
+    With `weight_col` (non-negative integer weights) the cells and the
+    ledger accumulate weight MASS -- the weighted CMS over a stream
+    (cf. admit_mg_batch(weight_col=)); a prefix must use one mode
+    consistently."""
     token = (
         batch_token
         if batch_token is not None
@@ -86,7 +92,9 @@ def admit_cms_batch(
     )
     refresh_state_tables(spark, f"{prefix}_cms", f"{prefix}_meta")
     if not _token_committed(spark, f"{prefix}_cms", token):
-        part = cms_sketch(batch_df, key_col, w, d).collect()
+        part = cms_sketch(
+            batch_df, key_col, w, d, weight_col=weight_col
+        ).collect()
         rows = [(int(r["row"]), int(r["col"]), int(r["c"]), token)
                 for r in part]
         rows.append((None, None, 0, token))  # commit marker
@@ -96,7 +104,13 @@ def admit_cms_batch(
             f"{prefix}_cms"
         )
     if not _token_committed(spark, f"{prefix}_meta", token):
-        n = batch_df.count()
+        if weight_col:
+            n = int(
+                batch_df.agg(F.sum(weight_col).cast("bigint")).collect()[0][0]
+                or 0
+            )
+        else:
+            n = batch_df.count()
         spark.createDataFrame(
             [(n, token)], "n_rows long, batch_token long"
         ).write.mode("append").format("parquet").saveAsTable(

@@ -1608,11 +1608,7 @@ def cms_admission_streaming_certificate(
     )
 
 
-@register(
-    "cms_value_mass_estimates",
-    tags=("sketch", "cms", "frequency", "weighted", "approx",
-          "scale-path"),
-    oracle=f"""
+_CMS_WEIGHTED_ORACLE = f"""
         WITH keyed AS (
             SELECT event_type || ':' || CAST(user_id % 32 AS VARCHAR)
                        AS key,
@@ -1649,7 +1645,14 @@ def cms_admission_streaming_certificate(
                    AS overestimate_cents
         FROM est e JOIN tru t USING (key)
         ORDER BY e.key
-    """,
+"""
+
+
+@register(
+    "cms_value_mass_estimates",
+    tags=("sketch", "cms", "frequency", "weighted", "approx",
+          "scale-path"),
+    oracle=_CMS_WEIGHTED_ORACLE,
 )
 def cms_value_mass_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED Count-Min: per-cell counters accumulate exact VALUE
@@ -1678,6 +1681,101 @@ def cms_value_mass_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = keyed.select("key").distinct()
     est = cms_point_estimates(
         sketch, probes, "key", _CMS_W, _CMS_D
+    ).withColumnRenamed("est", "est_cents")
+    tru = keyed.groupBy("key").agg(
+        F.sum("cents").cast("bigint").alias("true_cents")
+    )
+    return (
+        est.join(tru, "key")
+        .select(
+            "key",
+            "est_cents",
+            "true_cents",
+            (F.col("est_cents") - F.col("true_cents")).cast("bigint").alias(
+                "overestimate_cents"
+            ),
+        )
+        .orderBy("key")
+    )
+
+
+@register(
+    "cms_admission_weighted_certificate",
+    tags=("sketch", "cms", "frequency", "weighted", "streaming",
+          "incremental", "index-maintenance", "approx", "scale-path"),
+    oracle=_CMS_WEIGHTED_ORACLE,
+)
+def cms_admission_weighted_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIGHTED streaming CMS certification: event VALUE mass (exact
+    cents) is admitted in three batch-shaped slices through the real
+    admission round with `weight_col`, the first batch replayed (the
+    weight ledger must not move) and the index compacted mid-sequence.
+    The accumulated state is asserted bit-identical to a one-shot
+    weighted sketch, and the estimates hash-match the SAME oracle as
+    the batch entry (`cms_value_mass_estimates`) -- completing the
+    {frequency, weighted} x {batch, streaming} CMS matrix, every cell
+    oracle-certified, mirroring the MG matrix."""
+    from ..operators.cms import cms_point_estimates, cms_sketch
+    from ..streaming.cms_admission import (
+        admit_cms_batch,
+        compact_cms_index,
+        init_cms_index,
+        read_cms_state,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    keyed = e.select(
+        "event_id",
+        F.concat(
+            F.col("event_type"),
+            F.lit(":"),
+            F.pmod(F.col("user_id"), F.lit(32)).cast("string"),
+        ).alias("key"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    init_cms_index(spark, "cmsw_adm")
+    for i in range(3):
+        batch = keyed.filter(F.col("event_id") % 3 == i)
+        admit_cms_batch(
+            spark, batch, "cmsw_adm", _CMS_W, _CMS_D,
+            key_col="key", id_col="event_id", weight_col="cents",
+        )
+        if i == 0:
+            _, n_before = read_cms_state(spark, "cmsw_adm")
+            admit_cms_batch(  # replay: must be a no-op
+                spark, batch, "cmsw_adm", _CMS_W, _CMS_D,
+                key_col="key", id_col="event_id", weight_col="cents",
+            )
+            _, n_after = read_cms_state(spark, "cmsw_adm")
+            if n_after != n_before:
+                raise AssertionError(
+                    f"replay moved weight ledger: {n_before} -> {n_after}"
+                )
+        if i == 1:
+            compact_cms_index(spark, "cmsw_adm")
+    state, mass_total = read_cms_state(spark, "cmsw_adm")
+    corpus_mass = int(
+        keyed.agg(F.sum("cents").cast("bigint")).collect()[0][0] or 0
+    )
+    if mass_total != corpus_mass:
+        raise AssertionError(
+            f"ledger mass {mass_total} != corpus mass {corpus_mass}"
+        )
+    one_shot = cms_sketch(
+        keyed.select("key", "cents"), "key", _CMS_W, _CMS_D,
+        weight_col="cents",
+    )
+    diff = (
+        state.exceptAll(one_shot).count()
+        + one_shot.exceptAll(state).count()
+    )
+    if diff != 0:
+        raise AssertionError("streamed weighted state != one-shot sketch")
+    probes = keyed.select("key").distinct()
+    est = cms_point_estimates(
+        state, probes, "key", _CMS_W, _CMS_D
     ).withColumnRenamed("est", "est_cents")
     tru = keyed.groupBy("key").agg(
         F.sum("cents").cast("bigint").alias("true_cents")

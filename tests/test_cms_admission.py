@@ -205,3 +205,46 @@ class TestForeachBatch:
             assert n == corpus.count()
         finally:
             _cleanup(spark, "t_ca6")
+
+
+class TestWeightedAdmission:
+    def test_weighted_prefix_equals_rebuild(self, spark):
+        """Weighted streaming admission must equal the one-shot
+        weighted sketch at every prefix, including a rare-by-rows but
+        heavy-by-weight whale key; the ledger tracks weight mass."""
+        wbatches = [
+            [("whale", 5000)] + [(f"u{i}", 3) for i in range(10)],
+            [("warm", 2000), ("whale", 1000)]
+            + [(f"v{i}", 5) for i in range(8)],
+            [("warm", 3000)] + [(f"w{i}", 2) for i in range(9)],
+        ]
+        try:
+            init_cms_index(spark, "t_caw1")
+            seen = []
+            sid = 0
+            for b in wbatches:
+                rows = [(sid + i, k, w) for i, (k, w) in enumerate(b)]
+                sid += 10000
+                seen.extend(rows)
+                df = spark.createDataFrame(
+                    rows, "event_id bigint, key string, w long"
+                ).repartition(2)
+                admit_cms_batch(
+                    spark, df, "t_caw1", W, D, key_col="key",
+                    id_col="event_id", weight_col="w",
+                )
+                corpus = spark.createDataFrame(
+                    seen, "event_id bigint, key string, w long"
+                )
+                got, mass = _state_rows(spark, "t_caw1")
+                want = sorted(
+                    tuple(r)
+                    for r in cms_sketch(
+                        corpus.select("key", "w"), "key", W, D,
+                        weight_col="w",
+                    ).collect()
+                )
+                assert got == want and got
+                assert mass == sum(w for _, _, w in seen)
+        finally:
+            _cleanup(spark, "t_caw1")
