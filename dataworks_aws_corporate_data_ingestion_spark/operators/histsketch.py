@@ -27,7 +27,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cents_bin", "daily_histogram", "merge_histograms", "bin_for_rank"]
+__all__ = ["cents_bin", "daily_histogram", "merge_histograms",
+           "bin_for_rank", "grouped_daily_histogram",
+           "merge_grouped_histograms"]
 
 
 def cents_bin(value_col: Column, n_bins: int, span_cents: int) -> Column:
@@ -83,3 +85,35 @@ def bin_for_rank(bins: list[tuple[int, int]], rank: int) -> int:
         if cum >= rank:
             return b
     raise ValueError(f"rank {rank} exceeds histogram mass {cum}")
+
+
+def grouped_daily_histogram(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    n_bins: int,
+    span_cents: int,
+) -> DataFrame:
+    """Per-(group, day, bin) counts -- the stored daily sketch of a
+    GROUPED quantile dashboard (one histogram per key, e.g. per event
+    type or per tenant).  <= n_bins rows per (group, day); the same
+    addition algebra, so any window's per-group quantile merges from
+    stored rows without rescanning events."""
+    return (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(ts_col).cast("date").alias("day"),
+            cents_bin(F.col(value_col), n_bins, span_cents).alias("bin"),
+        )
+        .groupBy("g", "day", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def merge_grouped_histograms(daily: DataFrame) -> DataFrame:
+    """Roll stored per-(group, day) sketches up to one histogram per
+    group: integer addition per (g, bin)."""
+    return daily.groupBy("g", "bin").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )

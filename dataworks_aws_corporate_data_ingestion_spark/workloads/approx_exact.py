@@ -1792,3 +1792,104 @@ def cms_admission_weighted_certificate(
         )
         .orderBy("key")
     )
+
+
+@register(
+    "grouped_quantile_rollup_certificate",
+    tags=("sketch", "quantile", "histogram", "approx", "rollup",
+          "recall-certificate", "scale-path"),
+    oracle="""
+        SELECT event_type AS g,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+               quantile_cont(value, 0.5) AS exact_p50,
+               quantile_cont(value, 0.9) AS exact_p90,
+               TRUE AS p50_bin_ok,
+               TRUE AS p90_bin_ok
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def grouped_quantile_rollup_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROUPED mergeable quantile rollup (operators/histsketch.py::
+    grouped_daily_histogram): one stored per-day histogram PER EVENT
+    TYPE -- the per-tenant / per-key dashboard shape -- with every
+    group's p50/p90 served by summing its stored bin rows and the rank
+    guarantee certified per group (true rank falls inside the chosen
+    bin, exact conditional recounts against a broadcast probe of the
+    per-group picks).  The exact per-group percentiles ride along and
+    the oracle recomputes them independently (percentile ==
+    quantile_cont parity, bit for bit).
+
+    Scale notes: each (group, day) persists <= 200 integer rows; a
+    grouped dashboard reads <= groups x days x 200 stored integers and
+    never rescans an event.  The driver-side walk is bounded by the
+    group count (a bounded contract like the ANN codebooks)."""
+    from math import ceil
+
+    from ..operators.histsketch import (
+        bin_for_rank,
+        cents_bin,
+        grouped_daily_histogram,
+        merge_grouped_histograms,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    daily = grouped_daily_histogram(
+        e, "event_type", "ts", "value", _HIST_BINS, _HIST_SPAN_CENTS
+    ).persist()
+    merged = merge_grouped_histograms(daily)
+    by_g: dict[str, list[tuple[int, int]]] = {}
+    for r in merged.collect():
+        by_g.setdefault(r["g"], []).append((int(r["bin"]), int(r["n"])))
+    days = {
+        r["g"]: int(r["nd"])
+        for r in daily.groupBy("g")
+        .agg(F.countDistinct("day").alias("nd"))
+        .collect()
+    }
+    daily.unpersist()
+    probe_rows = []
+    ranks: dict[str, tuple[int, int, int]] = {}
+    for g, bins in sorted(by_g.items()):
+        n = sum(c for _, c in bins)
+        r50, r90 = ceil(0.5 * n), ceil(0.9 * n)
+        probe_rows.append((g, bin_for_rank(bins, r50), bin_for_rank(bins, r90)))
+        ranks[g] = (n, r50, r90)
+    probe = spark.createDataFrame(
+        probe_rows, "g string, b50 bigint, b90 bigint"
+    )
+    binc = cents_bin(F.col("value"), _HIST_BINS, _HIST_SPAN_CENTS)
+    agg = (
+        e.join(F.broadcast(probe), e.event_type == probe.g)
+        .groupBy("g")
+        .agg(
+            F.count(F.when(binc < F.col("b50"), 1)).cast("bigint").alias("below50"),
+            F.count(F.when(binc <= F.col("b50"), 1)).cast("bigint").alias("upto50"),
+            F.count(F.when(binc < F.col("b90"), 1)).cast("bigint").alias("below90"),
+            F.count(F.when(binc <= F.col("b90"), 1)).cast("bigint").alias("upto90"),
+            F.expr("percentile(value, 0.5D)").alias("exact_p50"),
+            F.expr("percentile(value, 0.9D)").alias("exact_p90"),
+        )
+    )
+    out_rows = []
+    for r in sorted(agg.collect(), key=lambda r: r["g"]):
+        g = r["g"]
+        n, r50, r90 = ranks[g]
+        out_rows.append(
+            (
+                g,
+                n,
+                days[g],
+                float(r["exact_p50"]),
+                float(r["exact_p90"]),
+                bool(r["below50"] < r50 <= r["upto50"]),
+                bool(r["below90"] < r90 <= r["upto90"]),
+            )
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "g string, n bigint, n_days bigint, exact_p50 double, "
+        "exact_p90 double, p50_bin_ok boolean, p90_bin_ok boolean",
+    ).orderBy("g")

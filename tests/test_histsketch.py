@@ -128,3 +128,42 @@ class TestRankGuarantee:
         assert bin_for_rank(bins, 21) == 3
         assert bin_for_rank(bins, 26) == 5
         assert bin_for_rank(bins, 35) == 5
+
+
+class TestGroupedHistogram:
+    def test_grouped_daily_merge_equals_one_shot(self, spark):
+        """Per-group daily sketches merged over days equal a direct
+        per-group histogram of all rows; groups stay independent."""
+        from datetime import datetime
+
+        from dataworks_aws_corporate_data_ingestion_spark.operators.histsketch import (
+            cents_bin,
+            grouped_daily_histogram,
+            merge_grouped_histograms,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [
+            (g, datetime(2024, 1, day, 9), float(v))
+            for g, vals in [("a", [5, 15, 95]), ("b", [45, 45, 999])]
+            for day, v in zip((1, 2, 3), vals)
+        ]
+        df = spark.createDataFrame(
+            rows, "g string, ts timestamp_ntz, value double"
+        )
+        daily = grouped_daily_histogram(df, "g", "ts", "value", 10, 10_000)
+        merged = merge_grouped_histograms(daily)
+        direct = (
+            df.select(
+                "g", cents_bin(F.col("value"), 10, 10_000).alias("bin")
+            )
+            .groupBy("g", "bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        assert (
+            merged.exceptAll(direct).count()
+            + direct.exceptAll(merged).count()
+            == 0
+        )
+        # per-day rows bounded by bins, and day decomposition is exact
+        assert daily.count() == 6  # one (g, day, bin) row per input here
