@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["seed_scores", "viterbi_segment", "unigram_train",
-           "ensure_coverage"]
+           "ensure_coverage", "viterbi_costs_dp"]
 
 _MAX_WORD_LEN = 16  # enumeration guard: 2^15 paths per word at most
 
@@ -226,3 +226,61 @@ def ensure_coverage(scores: DataFrame, words: DataFrame) -> DataFrame:
         .select("piece", F.lit(0).cast("bigint").alias("s"))
     )
     return scores.unionByName(chars)
+
+
+def viterbi_costs_dp(words: DataFrame, scores: DataFrame) -> DataFrame:
+    """Optimal segmentation COSTS by positional dynamic programming:
+    (word, np bigint, ssum bigint) of the best segmentation under
+    (fewest pieces, largest score sum) -- the scale path for corpora
+    whose words exceed viterbi_segment's enumeration guard
+    (URLs, DNA k-mers, agglutinative compounds).
+
+    Left-to-right sweep over positions: best[j] = min over edges
+    (i -> j) of combine(best[i], edge) under (np ASC, ssum DESC);
+    the objective's first two keys have optimal substructure, so the
+    sweep is exact for them (pinned against the enumeration by test).
+    The third enumeration key (lexicographic sequence) is NOT
+    DP-compatible and is not reconstructed here -- use this twin when
+    the COSTS are the product (token counts, familiarity totals), and
+    the enumeration when the concrete piece sequence must be total-
+    ordered for an oracle.
+
+    Each round j touches only edges landing on position j -- bounded
+    joins over the distinct-word table; rounds = longest word."""
+    edges = _edges(words, scores).localCheckpoint(eager=True)
+    max_len = int(
+        words.agg(F.max(F.length("word"))).collect()[0][0] or 0
+    )
+    best = (
+        words.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.lit(1).cast("bigint").alias("pos"),
+            F.lit(0).cast("bigint").alias("np"),
+            F.lit(0).cast("bigint").alias("ssum"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for j in range(2, max_len + 2):
+        landing = edges.filter(F.col("pos") + F.col("l") == j).select(
+            "word", "pos", "l", "s"
+        )
+        cand = best.join(landing, ["word", "pos"]).select(
+            "word",
+            F.lit(j).cast("bigint").alias("pos"),
+            (F.col("np") + 1).alias("np"),
+            (F.col("ssum") + F.col("s")).alias("ssum"),
+        )
+        win = Window.partitionBy("word", "pos").orderBy(
+            F.asc("np"), F.desc("ssum")
+        )
+        new_best = (
+            cand.withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        best = best.unionByName(new_best).localCheckpoint(eager=True)
+    return best.filter(
+        F.col("pos") == F.length("word") + 1
+    ).select("word", "np", "ssum")

@@ -174,3 +174,62 @@ class TestEnsureCoverage:
         assert seq == "z ab"
         # idempotent on covered vocabularies
         assert ensure_coverage(cov, new_words).count() == cov.count()
+
+
+class TestViterbiCostsDp:
+    def test_dp_costs_equal_enumeration_on_seeded_sweep(self, spark):
+        """The positional DP's (np, ssum) must equal the enumeration's
+        best on every word of a random corpus."""
+        import random
+
+        from dataworks_aws_corporate_data_ingestion_spark.operators.unigram import (
+            viterbi_costs_dp,
+        )
+
+        rng = random.Random(20240816)
+        words = sorted(
+            {
+                "".join(rng.choice("ab") for _ in range(rng.randint(1, 8)))
+                for _ in range(25)
+            }
+        )
+        pieces = sorted(
+            {"a", "b"}
+            | {
+                "".join(rng.choice("ab") for _ in range(rng.randint(2, 3)))
+                for _ in range(6)
+            }
+        )
+        scores_rows = [(p, rng.randint(1, 50)) for p in pieces]
+        scores = spark.createDataFrame(scores_rows, "piece string, s long")
+        wdf = _words_df(spark, {w: 1 for w in words})
+        dp = {
+            r["word"]: (r["np"], r["ssum"])
+            for r in viterbi_costs_dp(wdf, scores).collect()
+        }
+        smap = dict(scores_rows)
+        want = {}
+        for w in words:
+            segs = _ref_segmentations(w, set(smap))
+            best = min(
+                segs,
+                key=lambda s: (len(s), -sum(smap[p] for p in s)),
+            )
+            want[w] = (len(best), sum(smap[p] for p in best))
+        assert dp == want
+
+    def test_dp_handles_words_beyond_enumeration_guard(self, spark):
+        """A 100-char word segments fine in the DP (the enumeration
+        guard would refuse): 50 'ab' pieces beat 100 chars."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.unigram import (
+            viterbi_costs_dp,
+        )
+
+        word = "ab" * 50
+        scores = spark.createDataFrame(
+            [("a", 1), ("b", 1), ("ab", 10)], "piece string, s long"
+        )
+        got = viterbi_costs_dp(
+            _words_df(spark, {word: 1}), scores
+        ).collect()[0]
+        assert (got["np"], got["ssum"]) == (50, 500)
