@@ -38,7 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["mg_candidates", "mg_summary", "heavy_hitters_exact"]
+__all__ = ["mg_candidates", "mg_summary", "heavy_hitters_exact",
+           "mg_summary_by_group"]
 
 
 def _mg_reduce(state: dict, k: int) -> dict:
@@ -165,3 +166,60 @@ def heavy_hitters_exact(
         .agg(measure)
         .filter(F.col("n_rows") * (k + 1) > F.lit(n_total))
     )
+
+
+def mg_summary_by_group(
+    df: DataFrame,
+    group_col: str,
+    key_cols: Sequence[str],
+    k: int,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-partition, PER-GROUP Misra-Gries summaries: one k-bounded
+    counter dict per group value seen in the partition, so the
+    guarantee is scoped to the group -- a key heavy WITHIN its group
+    (> n_group/(k+1), locally) survives that group's summary.  Rows
+    (group_col, key_cols..., c bigint), <= k per (partition, group).
+
+    This is the building block of WINDOWED heavy hitters over stored
+    per-day summaries: summaries are mergeable per group, and the
+    superset guarantee composes across any union of groups (a
+    window-heavy key must be day-heavy in at least one day, by
+    pigeonhole over the window's days).  State per task is
+    <= k x groups-per-partition counters (days, tenants -- small)."""
+    cols = list(key_cols)
+    sel = [group_col] + cols + ([weight_col] if weight_col else [])
+    keyed = df.select(*sel)
+    out_schema = df.select(group_col, *cols).withColumn(
+        "c", F.lit(0).cast("bigint")
+    ).schema
+
+    def summarise(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: dict[object, dict[tuple, int]] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if weight_col:
+                counts = pdf.groupby([group_col] + cols, sort=False)[
+                    weight_col
+                ].sum()
+            else:
+                counts = pdf.groupby([group_col] + cols, sort=False).size()
+            touched = set()
+            for gk, c in counts.items():
+                g, key = gk[0], tuple(gk[1:])
+                st = states.setdefault(g, {})
+                st[key] = st.get(key, 0) + int(c)
+                touched.add(g)
+            for g in touched:
+                states[g] = _mg_reduce(states[g], k)
+        rows = []
+        for g, st in states.items():
+            for key, c in st.items():
+                rows.append((g, *key, c))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[group_col] + cols + ["c"]
+            )
+
+    return keyed.mapInPandas(summarise, out_schema)

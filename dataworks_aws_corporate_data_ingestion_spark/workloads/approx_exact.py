@@ -1893,3 +1893,97 @@ def grouped_quantile_rollup_certificate(
         "g string, n bigint, n_days bigint, exact_p50 double, "
         "exact_p90 double, p50_bin_ok boolean, p90_bin_ok boolean",
     ).orderBy("g")
+
+
+@register(
+    "heavy_hitters_windowed_mg",
+    tags=("sketch", "heavy-hitters", "misra-gries", "rollup",
+          "index-maintenance", "approx-prune-exact-verify", "scale-path"),
+    oracle=f"""
+        WITH keyed AS (
+            SELECT CASE WHEN event_type = 'click' THEN 'hot'
+                        ELSE 'u' || CAST(user_id % 16 AS VARCHAR) END AS key
+            FROM events WHERE ts >= TIMESTAMP '{_CUTOFF}'
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM keyed),
+        c AS (
+            SELECT key, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM keyed GROUP BY 1
+        )
+        SELECT key, n_events,
+               CAST(n_events * 10000 // n AS BIGINT) AS share_bps
+        FROM c, tot
+        WHERE n_events * {_MG_K + 1} > n
+        ORDER BY key
+    """,
+)
+def heavy_hitters_windowed_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED heavy hitters from STORED per-day Misra-Gries
+    summaries (operators/heavyhitters.py::mg_summary_by_group): the
+    whole month's stream is summarised ONCE into a (day, key, c)
+    catalog table (<= k rows per partition-day, per-day scoped
+    guarantee) plus a (day, n_rows) ledger; the "top entities last
+    week" query then merges only the window's stored rows into a
+    candidate set -- a window-heavy key must be day-heavy in at least
+    one of its days (pigeonhole over the window), so the union of
+    daily survivors is a guaranteed superset -- and one sliver-only
+    recount over the window corpus restores exactness.  Hash-matches
+    the plain GROUP BY + HAVING oracle over the window.
+
+    Scale notes: history is summarised once, kilobytes per day; every
+    new window choice (last week, last day, month-to-date) reads only
+    stored rows plus one candidate-sliver recount of THAT window --
+    the full stream is never re-scanned per dashboard query.  The key
+    is deliberately one-hot ('click' collapses to 'hot', ~20% of
+    events) so skew rides through the stored summaries."""
+    from ..operators.heavyhitters import mg_summary_by_group
+    from ..sinks.bucketing import _clear_orphan_location
+
+    e = load_table(spark, "events", sf_dir)
+    key = F.when(F.col("event_type") == "click", F.lit("hot")).otherwise(
+        F.concat(F.lit("u"), F.pmod(F.col("user_id"), F.lit(16)).cast("string"))
+    )
+    keyed = e.select(
+        F.col("ts").cast("date").alias("day"), key.alias("key"), "ts"
+    )
+    for name in ("whm_idx", "whm_meta"):
+        _clear_orphan_location(spark, name)
+    mg_summary_by_group(
+        keyed.select("day", "key"), "day", ["key"], _MG_K
+    ).groupBy("day", "key").agg(
+        F.sum("c").cast("bigint").alias("c")
+    ).write.format("parquet").saveAsTable("whm_idx")
+    keyed.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    ).write.format("parquet").saveAsTable("whm_meta")
+    # the window query proper: stored rows only, then one sliver recount
+    lo = F.lit(_CUTOFF).cast("date")
+    cands = (
+        spark.table("whm_idx")
+        .filter(F.col("day") >= lo)
+        .select("key")
+        .distinct()
+    )
+    n_window = int(
+        spark.table("whm_meta")
+        .filter(F.col("day") >= lo)
+        .agg(F.sum("n_rows").cast("bigint"))
+        .collect()[0][0]
+        or 0
+    )
+    window_corpus = keyed.filter(
+        F.col("ts") >= F.lit(_CUTOFF).cast("timestamp_ntz")
+    )
+    n_corpus = window_corpus.count()
+    if n_window != n_corpus:
+        raise AssertionError(
+            f"ledger/window divergence: {n_window} vs {n_corpus}"
+        )
+    return (
+        window_corpus.join(F.broadcast(cands), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .filter(F.col("n_events") * (_MG_K + 1) > F.lit(n_window))
+        .withColumn("share_bps", F.expr(f"n_events * 10000 DIV {n_window}"))
+        .orderBy("key")
+    )

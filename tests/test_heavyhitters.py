@@ -217,3 +217,64 @@ class TestWeightedHeavyHitters:
         assert results[0] == sorted(
             self._exact_weighted(rows, 15).items()
         )
+
+
+class TestGroupedMgSummaries:
+    def test_group_heavy_but_globally_light_key_survives(self, spark):
+        """The per-group guarantee, distinct from plain mg_summary: a
+        key holding 60% of a SMALL day while a huge other day drowns it
+        globally must survive its day's summary."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.heavyhitters import (
+            mg_summary_by_group,
+        )
+
+        k = 3
+        rows = (
+            [("d1", "niche")] * 6 + [("d1", f"x{i}") for i in range(4)]
+            + [("d2", f"y{i % 40}") for i in range(400)]
+        )
+        df = spark.createDataFrame(rows, "day string, key string").repartition(
+            4
+        )
+        out = mg_summary_by_group(df, "day", ["key"], k).collect()
+        d1_keys = {r["key"] for r in out if r["day"] == "d1"}
+        assert "niche" in d1_keys  # 60% of d1 >> 1/(k+1)
+        # and per (partition, group) the summary stays k-bounded:
+        # folding to one row per (day, key) can never exceed k x n_parts
+        from collections import Counter
+
+        per_day = Counter(r["day"] for r in out)
+        assert per_day["d1"] <= k * 4
+
+    def test_window_union_is_superset_of_window_heavy(self, spark):
+        """Pigeonhole composition: a key heavy over a two-day window
+        must appear in at least one day's survivors."""
+        from dataworks_aws_corporate_data_ingestion_spark.operators.heavyhitters import (
+            mg_summary_by_group,
+        )
+
+        k = 3
+        rows = (
+            [("d1", "w")] * 30 + [("d1", f"a{i}") for i in range(40)]
+            + [("d2", "w")] * 30 + [("d2", f"b{i}") for i in range(40)]
+        )
+        # w holds 60/140 ~ 43% of the window > 1/(k+1) = 25%
+        df = spark.createDataFrame(rows, "day string, key string").repartition(
+            5
+        )
+        out = mg_summary_by_group(df, "day", ["key"], k).collect()
+        assert "w" in {r["key"] for r in out}
+
+    def test_weighted_mode_tracks_mass(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.heavyhitters import (
+            mg_summary_by_group,
+        )
+
+        rows = [("d1", "whale", 900)] + [
+            ("d1", f"u{i}", 2) for i in range(30)
+        ]
+        df = spark.createDataFrame(
+            rows, "day string, key string, wt long"
+        ).repartition(3)
+        out = mg_summary_by_group(df, "day", ["key"], 2, weight_col="wt")
+        assert "whale" in {r["key"] for r in out.collect()}
