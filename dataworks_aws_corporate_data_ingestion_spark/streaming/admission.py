@@ -1,0 +1,217 @@
+"""Shared catalog-as-state streaming-admission framework.
+
+Every admission family ({lm,span,mg,cms,hist,bloom,dedup}_admission)
+follows the same replay-safe protocol over parquet catalog tables:
+
+  token = caller's foreachBatch batch_id, else the order-insensitive
+          sum/xor/count content hash of the batch's id set
+          (span_admission.batch_content_token -- the one definition)
+  for each state table, IN A FIXED ORDER:
+      if the table lacks the token -> append the batch's BOUNDED
+      partial (a sketch / counter table, never the batch itself) plus
+      one marker row carrying the token
+  compaction folds the append-only partials to one row per logical
+  cell and preserves the distinct token set as marker rows, so
+  replayed batches still heal after a compact
+
+Crash atomicity falls out of the per-table marker: a crash between the
+table appends leaves a window where only a prefix of the tables holds
+the token, and the replay appends exactly the missing suffix --
+certified per family by the *_admission_streaming_certificate registry
+entries (admit, replay mid-sequence, crash-window replay, compact,
+exact-verify against a one-shot oracle).
+
+The seven family modules each re-implemented this shell (~150 LoC of
+ledger check + marker append + compaction plumbing); this module is
+the single implementation (r8 verdict item #5), with mg_admission and
+cms_admission re-expressed on it.  The family modules keep their
+public APIs and their family-specific logic (what the bounded partial
+IS, what folding MEANS -- e.g. the MG re-trim rule); the certificates
+and replay/crash-window pytests pin the refactor hash-for-hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "batch_content_token",
+    "refresh_state_tables",
+    "init_state_tables",
+    "token_committed",
+    "append_once",
+    "ledger_measure",
+    "admit_ledger_once",
+    "read_ledger_total",
+    "compact_index",
+]
+
+
+def refresh_state_tables(spark: SparkSession, *names: str) -> None:
+    """Invalidate the session's cached file listings for cross-batch
+    state tables.  Inside foreachBatch the hook runs under a CLONED
+    SparkSession (micro-batch isolation), so a saveAsTable append's
+    implicit relation-cache refresh lands on the clone -- the captured
+    outer session keeps serving the stale pre-append FileIndex for any
+    state table it read in an earlier batch (appends become invisible:
+    batch 2 would see batch 1's index as empty).  Admission rounds call
+    this on their state tables before reading and after appending;
+    the cost is one metadata listing per table per batch."""
+    for name in names:
+        spark.catalog.refreshTable(name)
+
+
+def batch_content_token(
+    batch_df: DataFrame, id_col: str = "doc_id"
+) -> int:
+    """Deterministic 62-bit token from the batch's doc-id set (order
+    independent; a replay of the same source offsets reproduces it).
+
+    The token mixes THREE order-independent combiners of the per-id
+    xxhash64 values -- sum, xor, and row count -- through one final
+    non-additive hash (blake2b).  A plain additive sum (the r7 scheme)
+    admits structurally-easy multiset collisions (any two id-sets whose
+    hash sums coincide mod 2^62, and every empty batch mapped to 0); a
+    colliding fresh batch would be silently treated as already-committed
+    and its gram/count contribution dropped.  Sum and xor cannot be
+    equalised by the same rearrangement (xor is not additive), and the
+    count pins the multiset size, so a collision now needs all three to
+    agree AND blake2b to collide on the packed triple.  Kept under 2^62
+    so stream batch ids offset by (1 << 62) stay disjoint."""
+    import hashlib
+    import struct as _struct
+
+    hashed = batch_df.select(
+        F.xxhash64(F.col(id_col).cast("string")).alias("h")
+    )
+    row = hashed.agg(
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+        F.expr("bit_xor(h)").alias("x"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    s = int(row.s or 0) % (1 << 64)
+    x = int(row.x or 0) & ((1 << 64) - 1)
+    n = int(row.n or 0)
+    digest = hashlib.blake2b(
+        _struct.pack("<QQQ", s, x, n), digest_size=8
+    ).digest()
+    return _struct.unpack("<Q", digest)[0] % (1 << 62)
+
+
+def init_state_tables(spark: SparkSession, schemas: dict[str, str]) -> None:
+    """Create empty state tables (name -> DDL schema string), clearing
+    any orphaned warehouse location first.  Idempotent across sessions
+    sharing a warehouse dir."""
+    from ..sinks.bucketing import _clear_orphan_location
+
+    for name in schemas:
+        _clear_orphan_location(spark, name)
+    for name, schema in schemas.items():
+        spark.createDataFrame([], schema).write.format("parquet").saveAsTable(
+            name
+        )
+
+
+def token_committed(
+    spark: SparkSession, table: str, batch_token: int
+) -> bool:
+    """True iff the table already holds this batch's commit marker."""
+    return (
+        spark.table(table)
+        .filter(F.col("batch_token") == F.lit(batch_token))
+        .limit(1)
+        .count()
+        > 0
+    )
+
+
+def append_once(
+    spark: SparkSession,
+    table: str,
+    schema: str,
+    batch_token: int,
+    rows_fn: Callable[[], list[tuple]],
+) -> bool:
+    """Append rows_fn()'s rows iff the token is absent; returns whether
+    the append ran.  rows_fn must include the family's commit-marker row
+    (the marker column layout is per-table) and is only evaluated when
+    the append is needed, so replays skip the partial computation too."""
+    if token_committed(spark, table, batch_token):
+        return False
+    spark.createDataFrame(rows_fn(), schema).write.mode("append").format(
+        "parquet"
+    ).saveAsTable(table)
+    return True
+
+
+def ledger_measure(batch_df: DataFrame, weight_col: str | None = None) -> int:
+    """The batch's ledger contribution: row count, or (weighted mode)
+    the non-negative integer weight mass."""
+    if weight_col:
+        return int(
+            batch_df.agg(F.sum(weight_col).cast("bigint")).collect()[0][0]
+            or 0
+        )
+    return batch_df.count()
+
+
+def admit_ledger_once(
+    spark: SparkSession,
+    meta_table: str,
+    batch_token: int,
+    batch_df: DataFrame,
+    weight_col: str | None = None,
+) -> bool:
+    """Append the (n_rows, batch_token) ledger row iff absent."""
+    return append_once(
+        spark,
+        meta_table,
+        "n_rows long, batch_token long",
+        batch_token,
+        lambda: [(ledger_measure(batch_df, weight_col), batch_token)],
+    )
+
+
+def read_ledger_total(spark: SparkSession, meta_table: str) -> int:
+    """SUM(n_rows) over the ledger -- the admitted stream length (or
+    weight mass), the denominator every family's guarantee needs."""
+    refresh_state_tables(spark, meta_table)
+    n = (
+        spark.table(meta_table)
+        .agg(F.sum("n_rows").cast("bigint").alias("n"))
+        .collect()[0]["n"]
+    )
+    return int(n or 0)
+
+
+def compact_index(
+    spark: SparkSession,
+    table: str,
+    schema: str,
+    marker_col: str,
+    fold_fn: Callable[[DataFrame], list[tuple]],
+    marker_fn: Callable[[int], tuple],
+) -> dict:
+    """Fold the append-only partials (rows where marker_col is not null)
+    via the family's fold_fn, preserve the distinct batch_token set as
+    marker_fn rows, and overwrite the table.  Only safe when no batches
+    are in flight (caller contract).  Returns {rows_before, rows_after}."""
+    refresh_state_tables(spark, table)
+    t = spark.table(table)
+    rows_before = t.count()
+    data_rows = fold_fn(t.filter(F.col(marker_col).isNotNull()))
+    tokens = [
+        int(r["batch_token"])
+        for r in t.select("batch_token").distinct().collect()
+        if r["batch_token"] is not None
+    ]
+    rows = data_rows + [marker_fn(tok) for tok in tokens]
+    compacted = spark.createDataFrame(rows, schema).localCheckpoint(
+        eager=True
+    )
+    compacted.write.mode("overwrite").format("parquet").saveAsTable(table)
+    refresh_state_tables(spark, table)
+    return {"rows_before": rows_before, "rows_after": len(rows)}

@@ -57,15 +57,18 @@ from ..operators.bloomjoin import (
     load_bloom_index,
     materialize_bloom_index,
 )
-from .span_admission import batch_content_token, refresh_state_tables
+from .admission import (
+    batch_content_token,
+    init_state_tables,
+    refresh_state_tables,
+    token_committed,
+)
 
 
 def init_bloom_dedup_index(
     spark: SparkSession, prefix: str, m_bits: int = 1 << 20, n_hashes: int = 5
 ) -> None:
     """Create the empty bloom index + fingerprint ledger."""
-    from ..sinks.bucketing import _clear_orphan_location
-
     materialize_bloom_index(
         spark,
         spark.createDataFrame([], "fp string"),
@@ -74,22 +77,7 @@ def init_bloom_dedup_index(
         m_bits=m_bits,
         n_hashes=n_hashes,
     )
-    _clear_orphan_location(spark, f"{prefix}_fps")
-    spark.createDataFrame(
-        [], "fp string, batch_token long"
-    ).write.format("parquet").saveAsTable(f"{prefix}_fps")
-
-
-def _token_committed(
-    spark: SparkSession, table: str, batch_token: int
-) -> bool:
-    return (
-        spark.table(table)
-        .filter(F.col("batch_token") == F.lit(batch_token))
-        .limit(1)
-        .count()
-        > 0
-    )
+    init_state_tables(spark, {f"{prefix}_fps": "fp string, batch_token long"})
 
 
 def admit_dedup_batch(
@@ -134,7 +122,7 @@ def admit_dedup_batch(
     append_to_bloom_index(
         spark, admitted.select(F.col(fp_col).alias("fp")), "fp", prefix
     )
-    if not _token_committed(spark, f"{prefix}_fps", token):
+    if not token_committed(spark, f"{prefix}_fps", token):
         admitted.select(
             F.col(fp_col).alias("fp"), F.lit(token).alias("batch_token")
         ).write.mode("append").format("parquet").saveAsTable(

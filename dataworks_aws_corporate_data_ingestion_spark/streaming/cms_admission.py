@@ -34,33 +34,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.cms import cms_sketch
-from .span_admission import batch_content_token, refresh_state_tables
+from .admission import (
+    admit_ledger_once,
+    append_once,
+    batch_content_token,
+    compact_index,
+    init_state_tables,
+    read_ledger_total,
+    refresh_state_tables,
+)
+
+_CMS_SCHEMA = "row int, col long, c long, batch_token long"
 
 
 def init_cms_index(spark: SparkSession, prefix: str) -> None:
     """Create the (empty) cell table and batch ledger.  Idempotent
     across sessions sharing a warehouse dir."""
-    from ..sinks.bucketing import _clear_orphan_location
-
-    for name in (f"{prefix}_cms", f"{prefix}_meta"):
-        _clear_orphan_location(spark, name)
-    spark.createDataFrame(
-        [], "row int, col long, c long, batch_token long"
-    ).write.format("parquet").saveAsTable(f"{prefix}_cms")
-    spark.createDataFrame(
-        [], "n_rows long, batch_token long"
-    ).write.format("parquet").saveAsTable(f"{prefix}_meta")
-
-
-def _token_committed(
-    spark: SparkSession, table: str, batch_token: int
-) -> bool:
-    return (
-        spark.table(table)
-        .filter(F.col("batch_token") == F.lit(batch_token))
-        .limit(1)
-        .count()
-        > 0
+    init_state_tables(
+        spark,
+        {
+            f"{prefix}_cms": _CMS_SCHEMA,
+            f"{prefix}_meta": "n_rows long, batch_token long",
+        },
     )
 
 
@@ -91,31 +86,20 @@ def admit_cms_batch(
         else batch_content_token(batch_df, id_col or key_col)
     )
     refresh_state_tables(spark, f"{prefix}_cms", f"{prefix}_meta")
-    if not _token_committed(spark, f"{prefix}_cms", token):
+
+    def _cell_rows() -> list[tuple]:
         part = cms_sketch(
             batch_df, key_col, w, d, weight_col=weight_col
         ).collect()
         rows = [(int(r["row"]), int(r["col"]), int(r["c"]), token)
                 for r in part]
         rows.append((None, None, 0, token))  # commit marker
-        spark.createDataFrame(
-            rows, "row int, col long, c long, batch_token long"
-        ).write.mode("append").format("parquet").saveAsTable(
-            f"{prefix}_cms"
-        )
-    if not _token_committed(spark, f"{prefix}_meta", token):
-        if weight_col:
-            n = int(
-                batch_df.agg(F.sum(weight_col).cast("bigint")).collect()[0][0]
-                or 0
-            )
-        else:
-            n = batch_df.count()
-        spark.createDataFrame(
-            [(n, token)], "n_rows long, batch_token long"
-        ).write.mode("append").format("parquet").saveAsTable(
-            f"{prefix}_meta"
-        )
+        return rows
+
+    append_once(spark, f"{prefix}_cms", _CMS_SCHEMA, token, _cell_rows)
+    admit_ledger_once(
+        spark, f"{prefix}_meta", token, batch_df, weight_col=weight_col
+    )
     refresh_state_tables(spark, f"{prefix}_cms", f"{prefix}_meta")
     return token
 
@@ -127,48 +111,36 @@ def read_cms_state(
     are commit markers -- excluded.  The folded sketch equals a
     one-shot cms_sketch of every admitted row (cell addition is
     associative/commutative over any batch decomposition)."""
-    refresh_state_tables(spark, f"{prefix}_cms", f"{prefix}_meta")
+    refresh_state_tables(spark, f"{prefix}_cms")
     sketch = (
         spark.table(f"{prefix}_cms")
         .filter(F.col("row").isNotNull())
         .groupBy("row", "col")
         .agg(F.sum("c").cast("bigint").alias("c"))
     )
-    n_total = (
-        spark.table(f"{prefix}_meta")
-        .agg(F.sum("n_rows").cast("bigint").alias("n"))
-        .collect()[0]["n"]
-        or 0
-    )
-    return sketch, int(n_total)
+    return sketch, read_ledger_total(spark, f"{prefix}_meta")
 
 
 def compact_cms_index(spark: SparkSession, prefix: str) -> dict:
     """Fold the append-only partials to one row per cell; the distinct
     batch_token set survives as NULL-row marker rows so replayed
     batches still heal.  Only safe when no batches are in flight."""
-    refresh_state_tables(spark, f"{prefix}_cms")
-    t = spark.table(f"{prefix}_cms")
-    rows_before = t.count()
-    folded = (
-        t.filter(F.col("row").isNotNull())
-        .groupBy("row", "col")
-        .agg(F.sum("c").cast("bigint").alias("c"))
-        .collect()
+
+    def _fold(data: DataFrame) -> list[tuple]:
+        folded = (
+            data.groupBy("row", "col")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+            .collect()
+        )
+        return [
+            (int(r["row"]), int(r["col"]), int(r["c"]), None) for r in folded
+        ]
+
+    return compact_index(
+        spark,
+        f"{prefix}_cms",
+        _CMS_SCHEMA,
+        "row",
+        _fold,
+        lambda tok: (None, None, 0, tok),
     )
-    tokens = [
-        int(r["batch_token"])
-        for r in t.select("batch_token").distinct().collect()
-        if r["batch_token"] is not None
-    ]
-    rows = [
-        (int(r["row"]), int(r["col"]), int(r["c"]), None) for r in folded
-    ] + [(None, None, 0, tok) for tok in tokens]
-    compacted = spark.createDataFrame(
-        rows, "row int, col long, c long, batch_token long"
-    ).localCheckpoint(eager=True)
-    compacted.write.mode("overwrite").format("parquet").saveAsTable(
-        f"{prefix}_cms"
-    )
-    refresh_state_tables(spark, f"{prefix}_cms")
-    return {"rows_before": rows_before, "rows_after": len(rows)}

@@ -46,33 +46,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.histsketch import daily_histogram
-from .span_admission import batch_content_token, refresh_state_tables
+from .admission import (
+    admit_ledger_once,
+    append_once,
+    batch_content_token,
+    compact_index,
+    init_state_tables,
+    read_ledger_total,
+    refresh_state_tables,
+)
+
+_HIST_SCHEMA = "day date, bin long, n long, batch_token long"
 
 
 def init_hist_index(spark: SparkSession, prefix: str) -> None:
     """Create the (empty) per-day bin table and batch ledger.
     Idempotent across sessions sharing a warehouse dir."""
-    from ..sinks.bucketing import _clear_orphan_location
-
-    for name in (f"{prefix}_hist", f"{prefix}_meta"):
-        _clear_orphan_location(spark, name)
-    spark.createDataFrame(
-        [], "day date, bin long, n long, batch_token long"
-    ).write.format("parquet").saveAsTable(f"{prefix}_hist")
-    spark.createDataFrame(
-        [], "n_rows long, batch_token long"
-    ).write.format("parquet").saveAsTable(f"{prefix}_meta")
-
-
-def _token_committed(
-    spark: SparkSession, table: str, batch_token: int
-) -> bool:
-    return (
-        spark.table(table)
-        .filter(F.col("batch_token") == F.lit(batch_token))
-        .limit(1)
-        .count()
-        > 0
+    init_state_tables(
+        spark,
+        {
+            f"{prefix}_hist": _HIST_SCHEMA,
+            f"{prefix}_meta": "n_rows long, batch_token long",
+        },
     )
 
 
@@ -101,24 +96,17 @@ def admit_hist_batch(
         else batch_content_token(batch_df, id_col)
     )
     refresh_state_tables(spark, f"{prefix}_hist", f"{prefix}_meta")
-    if not _token_committed(spark, f"{prefix}_hist", token):
+
+    def _bin_rows() -> list[tuple]:
         part = daily_histogram(
             batch_df, ts_col, value_col, n_bins, span_cents
         ).collect()
         rows = [(r["day"], int(r["bin"]), int(r["n"]), token) for r in part]
         rows.append((None, None, 0, token))  # commit marker
-        spark.createDataFrame(
-            rows, "day date, bin long, n long, batch_token long"
-        ).write.mode("append").format("parquet").saveAsTable(
-            f"{prefix}_hist"
-        )
-    if not _token_committed(spark, f"{prefix}_meta", token):
-        n = batch_df.count()
-        spark.createDataFrame(
-            [(n, token)], "n_rows long, batch_token long"
-        ).write.mode("append").format("parquet").saveAsTable(
-            f"{prefix}_meta"
-        )
+        return rows
+
+    append_once(spark, f"{prefix}_hist", _HIST_SCHEMA, token, _bin_rows)
+    admit_ledger_once(spark, f"{prefix}_meta", token, batch_df)
     refresh_state_tables(spark, f"{prefix}_hist", f"{prefix}_meta")
     return token
 
@@ -131,20 +119,14 @@ def read_hist_state(
     frame is exactly a histsketch daily_histogram of every admitted
     row, because per-(day, bin) integer addition is associative and
     commutative over any batch decomposition."""
-    refresh_state_tables(spark, f"{prefix}_hist", f"{prefix}_meta")
+    refresh_state_tables(spark, f"{prefix}_hist")
     daily = (
         spark.table(f"{prefix}_hist")
         .filter(F.col("bin").isNotNull())
         .groupBy("day", "bin")
         .agg(F.sum("n").cast("bigint").alias("n"))
     )
-    n_total = (
-        spark.table(f"{prefix}_meta")
-        .agg(F.sum("n_rows").cast("bigint").alias("n"))
-        .collect()[0]["n"]
-        or 0
-    )
-    return daily, int(n_total)
+    return daily, read_ledger_total(spark, f"{prefix}_meta")
 
 
 def compact_hist_index(spark: SparkSession, prefix: str) -> dict:
@@ -152,31 +134,23 @@ def compact_hist_index(spark: SparkSession, prefix: str) -> dict:
     distinct batch_token set survives as NULL-bin marker rows so
     replayed batches still heal after compaction.  Only safe when no
     batches are in flight (caller contract)."""
-    refresh_state_tables(spark, f"{prefix}_hist")
-    t = spark.table(f"{prefix}_hist")
-    rows_before = t.count()
-    folded = (
-        t.filter(F.col("bin").isNotNull())
-        .groupBy("day", "bin")
-        .agg(F.sum("n").cast("bigint").alias("n"))
-        .collect()
+
+    def _fold(data: DataFrame) -> list[tuple]:
+        folded = (
+            data.groupBy("day", "bin")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+            .collect()
+        )
+        return [(r["day"], int(r["bin"]), int(r["n"]), None) for r in folded]
+
+    return compact_index(
+        spark,
+        f"{prefix}_hist",
+        _HIST_SCHEMA,
+        "bin",
+        _fold,
+        lambda tok: (None, None, 0, tok),
     )
-    tokens = [
-        int(r["batch_token"])
-        for r in t.select("batch_token").distinct().collect()
-        if r["batch_token"] is not None
-    ]
-    rows = [(r["day"], int(r["bin"]), int(r["n"]), None) for r in folded] + [
-        (None, None, 0, tok) for tok in tokens
-    ]
-    compacted = spark.createDataFrame(
-        rows, "day date, bin long, n long, batch_token long"
-    ).localCheckpoint(eager=True)
-    compacted.write.mode("overwrite").format("parquet").saveAsTable(
-        f"{prefix}_hist"
-    )
-    refresh_state_tables(spark, f"{prefix}_hist")
-    return {"rows_before": rows_before, "rows_after": len(rows)}
 
 
 def quantile_bins_from_state(

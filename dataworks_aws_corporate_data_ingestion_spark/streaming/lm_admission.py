@@ -61,7 +61,11 @@ from ..operators.ngram_lm import (
     score_documents_against_lm,
     train_bigram_lm,
 )
-from .span_admission import batch_content_token, refresh_state_tables
+from .admission import (
+    batch_content_token,
+    refresh_state_tables,
+    token_committed as _token_committed,
+)
 
 
 def init_lm_index(
@@ -171,21 +175,6 @@ def compact_lm_index(spark: SparkSession, prefix: str) -> dict:
         rows_after += compacted.count()
     refresh_state_tables(spark, f"{prefix}_uni", f"{prefix}_bi")
     return {"rows_before": rows_before, "rows_after": rows_after}
-
-
-def _token_committed(
-    spark: SparkSession, table: str, batch_token: int
-) -> bool:
-    """Has this batch's count append already been published to `table`?
-    The token scan is column-pruned + footer-min/max-pruned parquet;
-    each count table holds one distinct token per admitted batch."""
-    return (
-        spark.table(table)
-        .filter(F.col("batch_token") == F.lit(batch_token))
-        .limit(1)
-        .count()
-        > 0
-    )
 
 
 def admit_lm_batch(

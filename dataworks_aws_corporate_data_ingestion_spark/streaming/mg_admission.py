@@ -55,33 +55,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.heavyhitters import _mg_reduce, mg_summary
-from .span_admission import batch_content_token, refresh_state_tables
+from .admission import (
+    admit_ledger_once,
+    append_once,
+    batch_content_token,
+    compact_index,
+    init_state_tables,
+    read_ledger_total,
+    refresh_state_tables,
+)
+
+_MG_SCHEMA = "key string, c long, batch_token long"
 
 
 def init_mg_index(spark: SparkSession, prefix: str) -> None:
     """Create the (empty) partial-summary table and batch ledger.
     Idempotent across sessions sharing a warehouse dir."""
-    from ..sinks.bucketing import _clear_orphan_location
-
-    for name in (f"{prefix}_mg", f"{prefix}_meta"):
-        _clear_orphan_location(spark, name)
-    spark.createDataFrame(
-        [], "key string, c long, batch_token long"
-    ).write.format("parquet").saveAsTable(f"{prefix}_mg")
-    spark.createDataFrame(
-        [], "n_rows long, batch_token long"
-    ).write.format("parquet").saveAsTable(f"{prefix}_meta")
-
-
-def _token_committed(
-    spark: SparkSession, table: str, batch_token: int
-) -> bool:
-    return (
-        spark.table(table)
-        .filter(F.col("batch_token") == F.lit(batch_token))
-        .limit(1)
-        .count()
-        > 0
+    init_state_tables(
+        spark,
+        {
+            f"{prefix}_mg": _MG_SCHEMA,
+            f"{prefix}_meta": "n_rows long, batch_token long",
+        },
     )
 
 
@@ -114,7 +109,8 @@ def admit_mg_batch(
         else batch_content_token(batch_df, id_col or key_col)
     )
     refresh_state_tables(spark, f"{prefix}_mg", f"{prefix}_meta")
-    if not _token_committed(spark, f"{prefix}_mg", token):
+
+    def _mg_rows() -> list[tuple]:
         sel = [F.col(key_col).alias("key")] + (
             [F.col(weight_col).alias("__w")] if weight_col else []
         )
@@ -128,22 +124,12 @@ def admit_mg_batch(
         state = _mg_reduce(state, k)
         rows = [(key[0], c, token) for key, c in state.items()]
         rows.append((None, 0, token))  # commit marker
-        spark.createDataFrame(
-            rows, "key string, c long, batch_token long"
-        ).write.mode("append").format("parquet").saveAsTable(f"{prefix}_mg")
-    if not _token_committed(spark, f"{prefix}_meta", token):
-        if weight_col:
-            n = int(
-                batch_df.agg(F.sum(weight_col).cast("bigint")).collect()[0][0]
-                or 0
-            )
-        else:
-            n = batch_df.count()
-        spark.createDataFrame(
-            [(n, token)], "n_rows long, batch_token long"
-        ).write.mode("append").format("parquet").saveAsTable(
-            f"{prefix}_meta"
-        )
+        return rows
+
+    append_once(spark, f"{prefix}_mg", _MG_SCHEMA, token, _mg_rows)
+    admit_ledger_once(
+        spark, f"{prefix}_meta", token, batch_df, weight_col=weight_col
+    )
     refresh_state_tables(spark, f"{prefix}_mg", f"{prefix}_meta")
     return token
 
@@ -154,20 +140,14 @@ def read_mg_state(
     """Logical state: (candidates(key, c_lower), n_total).  Candidates
     are a superset of every key with stream frequency > n_total/(k+1);
     c_lower is the folded MG lower-bound counter."""
-    refresh_state_tables(spark, f"{prefix}_mg", f"{prefix}_meta")
+    refresh_state_tables(spark, f"{prefix}_mg")
     cands = (
         spark.table(f"{prefix}_mg")
         .filter(F.col("key").isNotNull())
         .groupBy("key")
         .agg(F.sum("c").cast("bigint").alias("c_lower"))
     )
-    n_total = (
-        spark.table(f"{prefix}_meta")
-        .agg(F.sum("n_rows").cast("bigint").alias("n"))
-        .collect()[0]["n"]
-        or 0
-    )
-    return cands, int(n_total)
+    return cands, read_ledger_total(spark, f"{prefix}_meta")
 
 
 def compact_mg_index(
@@ -178,34 +158,26 @@ def compact_mg_index(
     the superset guarantee survives).  The distinct batch_token set is
     preserved as NULL-key marker rows so replayed batches still heal.
     Only safe when no batches are in flight (caller contract)."""
-    refresh_state_tables(spark, f"{prefix}_mg")
-    t = spark.table(f"{prefix}_mg")
-    rows_before = t.count()
-    folded_rows = (
-        t.filter(F.col("key").isNotNull())
-        .groupBy("key")
-        .agg(F.sum("c").cast("bigint").alias("c"))
-        .collect()
+
+    def _fold(data: DataFrame) -> list[tuple]:
+        folded_rows = (
+            data.groupBy("key")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+            .collect()
+        )
+        state = {(r["key"],): int(r["c"]) for r in folded_rows}
+        if k is not None:
+            state = _mg_reduce(state, k)
+        return [(key[0], c, None) for key, c in state.items()]
+
+    return compact_index(
+        spark,
+        f"{prefix}_mg",
+        _MG_SCHEMA,
+        "key",
+        _fold,
+        lambda tok: (None, 0, tok),
     )
-    state = {(r["key"],): int(r["c"]) for r in folded_rows}
-    if k is not None:
-        state = _mg_reduce(state, k)
-    tokens = [
-        int(r["batch_token"])
-        for r in t.select("batch_token").distinct().collect()
-        if r["batch_token"] is not None
-    ]
-    rows = [(key[0], c, None) for key, c in state.items()] + [
-        (None, 0, tok) for tok in tokens
-    ]
-    compacted = spark.createDataFrame(
-        rows, "key string, c long, batch_token long"
-    ).localCheckpoint(eager=True)
-    compacted.write.mode("overwrite").format("parquet").saveAsTable(
-        f"{prefix}_mg"
-    )
-    refresh_state_tables(spark, f"{prefix}_mg")
-    return {"rows_before": rows_before, "rows_after": len(rows)}
 
 
 def heavy_hitters_from_state(

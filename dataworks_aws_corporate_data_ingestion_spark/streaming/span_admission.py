@@ -60,6 +60,10 @@ from ..operators.spandedup import (
     mask_duplicated_spans_incremental,
     ngram_positions,
 )
+# the shared protocol shell lives in admission.py (r8 verdict item #5);
+# re-exported here because this module defined them first and the
+# certificates / tests / sibling families import them from both homes
+from .admission import batch_content_token, refresh_state_tables  # noqa: F401
 
 
 def init_span_index(
@@ -84,20 +88,6 @@ def init_span_index(
     spark.createDataFrame([], "doc_id long").write.format(
         "parquet"
     ).saveAsTable(f"{prefix}_spandocs")
-
-
-def refresh_state_tables(spark: SparkSession, *names: str) -> None:
-    """Invalidate the session's cached file listings for cross-batch
-    state tables.  Inside foreachBatch the hook runs under a CLONED
-    SparkSession (micro-batch isolation), so a saveAsTable append's
-    implicit relation-cache refresh lands on the clone -- the captured
-    outer session keeps serving the stale pre-append FileIndex for any
-    state table it read in an earlier batch (appends become invisible:
-    batch 2 would see batch 1's index as empty).  Admission rounds call
-    this on their state tables before reading and after appending;
-    the cost is one metadata listing per table per batch."""
-    for name in names:
-        spark.catalog.refreshTable(name)
 
 
 def _n_buckets(spark: SparkSession, prefix: str) -> int:
@@ -160,43 +150,6 @@ def compact_span_index(spark: SparkSession, prefix: str) -> dict:
     )
     refresh_state_tables(spark, f"{prefix}_grams")
     return {"rows_before": rows_before, "rows_after": compacted.count()}
-
-
-def batch_content_token(
-    batch_df: DataFrame, id_col: str = "doc_id"
-) -> int:
-    """Deterministic 62-bit token from the batch's doc-id set (order
-    independent; a replay of the same source offsets reproduces it).
-
-    The token mixes THREE order-independent combiners of the per-id
-    xxhash64 values -- sum, xor, and row count -- through one final
-    non-additive hash (blake2b).  A plain additive sum (the r7 scheme)
-    admits structurally-easy multiset collisions (any two id-sets whose
-    hash sums coincide mod 2^62, and every empty batch mapped to 0); a
-    colliding fresh batch would be silently treated as already-committed
-    and its gram/count contribution dropped.  Sum and xor cannot be
-    equalised by the same rearrangement (xor is not additive), and the
-    count pins the multiset size, so a collision now needs all three to
-    agree AND blake2b to collide on the packed triple.  Kept under 2^62
-    so stream batch ids offset by (1 << 62) stay disjoint."""
-    import hashlib
-    import struct as _struct
-
-    hashed = batch_df.select(
-        F.xxhash64(F.col(id_col).cast("string")).alias("h")
-    )
-    row = hashed.agg(
-        F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
-        F.expr("bit_xor(h)").alias("x"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    s = int(row.s or 0) % (1 << 64)
-    x = int(row.x or 0) & ((1 << 64) - 1)
-    n = int(row.n or 0)
-    digest = hashlib.blake2b(
-        _struct.pack("<QQQ", s, x, n), digest_size=8
-    ).digest()
-    return _struct.unpack("<Q", digest)[0] % (1 << 62)
 
 
 def admit_span_batch(

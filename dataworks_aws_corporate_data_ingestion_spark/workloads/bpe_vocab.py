@@ -272,6 +272,110 @@ def bpe_merge_table_blockgreedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wp_batched_oracle(k: int, batch: int) -> str:
+    """Unrolled block-greedy WordPiece recurrence: per pass one pair-
+    count CTE, one unigram CTE, one scored join, then `batch` disjoint-
+    selection CTEs (score DESC, pair_count DESC, w1, w2; later picks
+    exclude every token of the pass's earlier picks), then one chained-
+    fuse rewrite.  MATERIALIZED pins (DuckDB inlines CTEs by default;
+    the rewrite chain would re-evaluate exponentially in k).  Assumes
+    every pass finds `batch` disjoint pairs (true for the documents
+    corpus at every SF; the operator handles exhaustion, pytest-pinned)."""
+    assert k % batch == 0
+    ctes = [
+        "t0 AS MATERIALIZED (SELECT doc_id, lower(text) AS t FROM documents)"
+    ]
+    sel = []
+    rnd = 0
+    for p in range(1, k // batch + 1):
+        prev = f"t{p - 1}"
+        ctes.append(f"""
+        tok{p} AS (
+            SELECT doc_id, string_split(t, ' ') AS a FROM {prev}
+        ),
+        c{p} AS MATERIALIZED (
+            SELECT a[i] AS w1, a[i + 1] AS w2, count(*) AS pair_count
+            FROM tok{p}, unnest(range(1, len(a))) AS u(i)
+            GROUP BY 1, 2
+        ),
+        ug{p} AS MATERIALIZED (
+            SELECT w, CAST(count(*) AS BIGINT) AS wc
+            FROM (SELECT unnest(string_split(t, ' ')) AS w FROM {prev})
+            GROUP BY 1
+        ),
+        s{p} AS MATERIALIZED (
+            SELECT c.w1, c.w2, c.pair_count,
+                   CAST(c.pair_count AS DOUBLE)
+                       / (CAST(u1.wc AS DOUBLE) * CAST(u2.wc AS DOUBLE))
+                       AS score
+            FROM c{p} c
+            JOIN ug{p} u1 ON c.w1 = u1.w
+            JOIN ug{p} u2 ON c.w2 = u2.w
+        )""")
+        picks = []
+        for j in range(batch):
+            name = f"wb{p}_{j}"
+            excl = ""
+            if picks:
+                toks = ", ".join(
+                    f"(SELECT w1 FROM {q}), (SELECT w2 FROM {q})"
+                    for q in picks
+                )
+                excl = f" WHERE w1 NOT IN ({toks}) AND w2 NOT IN ({toks})"
+            ctes.append(f"""
+        {name} AS MATERIALIZED (
+            SELECT w1, w2, pair_count, score FROM s{p}{excl}
+            ORDER BY score DESC, pair_count DESC, w1, w2 LIMIT 1
+        )""")
+            picks.append(name)
+            rnd += 1
+            sel.append(
+                f"SELECT CAST({rnd} AS BIGINT) AS merge_round, w1, w2,"
+                f" CAST(pair_count AS BIGINT) AS pair_count, score,"
+                f" w1 || '+' || w2 AS merged FROM {name}"
+            )
+        if p < k // batch:
+            expr = "t"
+            for q in picks:
+                expr = f"""trim(replace(replace(
+                       ' ' || replace({expr}, ' ', '  ') || ' ',
+                       ' ' || (SELECT w1 FROM {q}) || '  '
+                           || (SELECT w2 FROM {q}) || ' ',
+                       ' ' || (SELECT w1 FROM {q}) || '+'
+                           || (SELECT w2 FROM {q}) || ' '),
+                       '  ', ' '))"""
+            ctes.append(f"""
+        t{p} AS MATERIALIZED (
+            SELECT doc_id, {expr} AS t FROM {prev}
+        )""")
+    return "WITH " + ",".join(ctes) + " " + " UNION ALL ".join(sel)
+
+
+@register(
+    "wordpiece_merge_table_blockgreedy",
+    tags=("text", "tokenizer", "wordpiece", "fixed-point", "vocabulary",
+          "training-data"),
+    oracle=_wp_batched_oracle(_K, 2),
+)
+def wordpiece_merge_table_blockgreedy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First 4 WordPiece merges learned block-greedily, 2 token-disjoint
+    pairs per corpus pass (operators/bpe.py::wordpiece_merge_table_batched):
+    the per-round floor -- corpus rewrite + pair-count shuffle + unigram
+    aggregate -- is paid once per PASS.  Token-disjointness makes each
+    pick's likelihood score INVARIANT under the pass's other fuses
+    (count(cd), count(c), count(d) all untouched), so the recorded
+    scores are the true at-fuse-time values; the oracle unrolls the same
+    block-greedy recurrence so the deliberate divergence from sequential
+    WordPiece is itself pinned bit-for-bit, double score included."""
+    from ..operators.bpe import wordpiece_merge_table_batched
+
+    return wordpiece_merge_table_batched(
+        load_table(spark, "documents", sf_dir), k=_K, batch=2
+    )
+
+
 def _wp_oracle(k: int) -> str:
     """Unrolled WordPiece recurrence: the BPE CTE chain with per-round
     unigram-count CTEs and likelihood argmax (score DESC, pair_count

@@ -1022,3 +1022,69 @@ def bm25_search_with_deletions(
     )
     postings, dfs, stats = live_index_frames(spark, "bm25_del_index")
     return bm25_search(postings, dfs, stats, _BUCKETED_TERMS)
+
+
+@register(
+    "bm25_delete_crash_heal_certificate",
+    tags=("text", "relevance", "search", "inverted-index",
+          "index-maintenance", "compliance", "rtbf", "crash-recovery",
+          "certificate", "topk"),
+    oracle=_bm25_postings_oracle(
+        _BUCKETED_TERMS_SQL, where="WHERE doc_id % 10 NOT IN (3, 5, 7)"
+    ),
+)
+def bm25_delete_crash_heal_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Crash-window certificate for the search-index delete heal
+    (operators/search.py::heal_search_index_dims, the r7-advisor fix):
+    drives the exact failure mode through the registry like the other
+    crash-window certificates do for the admission ledgers.
+
+    Sequence: (1) build the bucketed index from the full corpus and
+    erase doc_id % 10 == 3 through the normal delete (tombstone append
+    + incremental dim subtraction + watermark); (2) simulate a delete
+    of doc_id % 10 == 7 that CRASHES between its tombstone append and
+    its dim commit, by appending the ids straight to the tombstone
+    table -- compliance holds (searches anti-join tombstones, the docs
+    are already gone from results) but `n_del_applied` is now STALE;
+    (3) a later delete batch (doc_id % 10 == 5) detects watermark <
+    tombstone count and runs heal_search_index_dims, which recomputes
+    the affected terms' df and the global stats from (postings minus
+    the FULL tombstone set) -- a pure function of ground truth, so it
+    also absorbs batch 3's own fresh ids in the same pass.
+
+    The returned search hash-matches a from-scratch index over only the
+    surviving corpus (doc_id % 10 not in 3, 5, 7): rankings, idf and
+    avgdl all prove the healed dims equal a rebuild, bit for bit."""
+    from ..operators.search import (
+        _stats_del_applied,
+        bm25_search,
+        delete_from_search_index,
+        live_index_frames,
+        materialize_search_index,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    prefix = "bm25_heal_index"
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_deleted")
+    materialize_search_index(spark, docs, prefix, n_buckets=8)
+    delete_from_search_index(
+        spark, docs.filter(F.col("doc_id") % 10 == 3).select("doc_id"),
+        prefix,
+    )
+    # simulated crash: tombstones land (step 2), dims never updated
+    docs.filter(F.col("doc_id") % 10 == 7).select("doc_id").distinct()\
+        .write.mode("append").format("parquet")\
+        .saveAsTable(f"{prefix}_deleted")
+    delete_from_search_index(
+        spark, docs.filter(F.col("doc_id") % 10 == 5).select("doc_id"),
+        prefix,
+    )
+    postings, dfs, stats = live_index_frames(spark, prefix)
+    n_tomb = spark.table(f"{prefix}_deleted").count()
+    if _stats_del_applied(spark.table(f"{prefix}_stats")) != n_tomb:
+        raise AssertionError(
+            "heal did not stamp the watermark to the tombstone count"
+        )
+    return bm25_search(postings, dfs, stats, _BUCKETED_TERMS)

@@ -440,3 +440,130 @@ class TestWordPieceMergeTable:
         with _pytest.raises(ValueError, match="naive counting"):
             _train(df, 1, fuse_last=False, incremental=True,
                    likelihood=True)
+
+
+def _ref_wp_block_greedy(texts: list[str], k: int, batch: int):
+    """Sequential reference of the block-greedy WORDPIECE spec: per pass
+    score every snapshot pair count(ab)/(count(a)count(b)), rank by
+    (score DESC, pair_count DESC, w1, w2), pick up to `batch` mutually
+    token-disjoint pairs greedily by rank, fuse them all."""
+    seqs = [t.lower().split(" ") for t in texts]
+    out = []
+    while len(out) < k:
+        pc: Counter = Counter()
+        ug: Counter = Counter()
+        for toks in seqs:
+            ug.update(toks)
+            for i in range(len(toks) - 1):
+                pc[(toks[i], toks[i + 1])] += 1
+        ranked = sorted(
+            pc.items(),
+            key=lambda kv: (
+                -(kv[1] / (ug[kv[0][0]] * ug[kv[0][1]])),
+                -kv[1],
+                kv[0],
+            ),
+        )
+        sels, used = [], set()
+        for (w1, w2), cnt in ranked:
+            if len(sels) == min(batch, k - len(out)):
+                break
+            if w1 in used or w2 in used:
+                continue
+            sels.append((w1, w2, cnt, cnt / (ug[w1] * ug[w2])))
+            used.update((w1, w2))
+        if not sels:
+            break
+        for w1, w2, cnt, score in sels:
+            out.append((len(out) + 1, w1, w2, cnt, score, w1 + "+" + w2))
+        for w1, w2, _, _ in sels:
+            fused_seqs = []
+            for toks in seqs:
+                res, i = [], 0
+                while i < len(toks):
+                    if (
+                        i + 1 < len(toks)
+                        and toks[i] == w1
+                        and toks[i + 1] == w2
+                    ):
+                        res.append(w1 + "+" + w2)
+                        i += 2
+                    else:
+                        res.append(toks[i])
+                        i += 1
+                fused_seqs.append(res)
+            seqs = fused_seqs
+    return out
+
+
+class TestWordPieceBlockGreedy:
+    """Block-greedy WordPiece (operators/bpe.py::
+    wordpiece_merge_table_batched): up to `batch` token-disjoint
+    likelihood-selected merges per corpus pass.  Disjointness makes
+    each pick's score invariant under the pass's other fuses, so the
+    recorded (pair_count, score) are true at-fuse-time values."""
+
+    def _run(self, spark, texts, k, batch):
+        from dataworks_aws_corporate_data_ingestion_spark.operators.bpe import (
+            wordpiece_merge_table_batched,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+        return sorted(
+            tuple(r)
+            for r in wordpiece_merge_table_batched(
+                df, k=k, batch=batch
+            ).collect()
+        )
+
+    def test_hand_example_score_order_not_frequency_order(self, spark):
+        """'zig zag' (score 0.5, count 2) wins round 1 over the equally
+        -frequent 'the cat' (score 2/6) -- likelihood order, not
+        frequency order.  The pass's second pick is the score-0.5
+        count-1 'cat ran' (ties 'zig zag' on score, loses on count;
+        disjoint from it, so it survives the exclusion), NOT the more
+        frequent 'the cat'."""
+        texts = [
+            "the cat sat", "the dog sat", "the cat ran", "zig zag",
+            "zig zag",
+        ]
+        got = self._run(spark, texts, 2, 2)
+        ref = sorted(_ref_wp_block_greedy(texts, 2, 2))
+        assert got == ref
+        by_round = {r[0]: r for r in got}
+        assert by_round[1][1:3] == ("zig", "zag")
+        assert by_round[2][1:3] == ("cat", "ran")
+
+    def test_disjointness_skips_shared_token(self, spark):
+        """When rank-2 shares a token with rank-1, the pass must skip
+        to the best disjoint pair, exactly like the BPE block-greedy."""
+        texts = ["a b b c d e", "a b b c d e", "b c"]
+        got = self._run(spark, texts, 2, 2)
+        assert got == sorted(_ref_wp_block_greedy(texts, 2, 2))
+        used = {t for r in got for t in (r[1], r[2])}
+        assert len(used) == 4  # two fully disjoint pairs
+
+    def test_seeded_sweep_matches_reference(self, spark):
+        rng = random.Random(0x5C04E)
+        vocab = ["ab", "cd", "ef", "gh", "ij"]
+        for case in range(4):
+            texts = [
+                " ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(1, 10))
+                )
+                for _ in range(rng.randint(2, 8))
+            ]
+            got = self._run(spark, texts, 6, 3)
+            assert got == sorted(_ref_wp_block_greedy(texts, 6, 3)), (
+                case,
+                texts,
+            )
+
+    def test_pair_exhaustion_truncates(self, spark):
+        texts = ["a b", "b a"]
+        got = self._run(spark, texts, 8, 4)
+        assert got == sorted(_ref_wp_block_greedy(texts, 8, 4))
+        assert len(got) <= 8

@@ -52,21 +52,36 @@ def main() -> int:
         default=None,
         help="extra incremental=False point at this k (both modes already run at every --ks value)",
     )
+    p.add_argument(
+        "--family",
+        choices=("bpe", "wordpiece"),
+        default="bpe",
+        help="trainer family to sweep: wordpiece measures the sequential "
+        "likelihood trainer vs its block-greedy batched path (r8 verdict "
+        "item #3) and merges into 'wordpiece_k_sweep'; the incremental "
+        "mode is BPE-only (likelihood needs the naive counting path)",
+    )
     args = p.parse_args()
 
     from bench import _end_repeat
     from dataworks_aws_corporate_data_ingestion_spark.operators.bpe import (
         bpe_merge_table,
         bpe_merge_table_batched,
+        wordpiece_merge_table,
+        wordpiece_merge_table_batched,
     )
     from dataworks_aws_corporate_data_ingestion_spark.session import get_session
 
-    spark = get_session(app_name="cdi-bpe-k-sweep")
+    wp = args.family == "wordpiece"
+    seq_fn = wordpiece_merge_table if wp else bpe_merge_table
+    batched_fn = wordpiece_merge_table_batched if wp else bpe_merge_table_batched
+
+    spark = get_session(app_name=f"cdi-{args.family}-k-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
 
     # warm: codegen + shuffle infra, smallest k
-    bpe_merge_table(docs, k=2).write.format("noop").mode("overwrite").save()
+    seq_fn(docs, k=2).write.format("noop").mode("overwrite").save()
     _end_repeat(spark)
 
     def measure(k: int, incremental: bool, batch: int = 0) -> dict:
@@ -74,9 +89,13 @@ def main() -> int:
         for _ in range(args.repeats):
             t0 = time.perf_counter()
             if batch:
-                bpe_merge_table_batched(docs, k=k, batch=batch).write.format(
+                batched_fn(docs, k=k, batch=batch).write.format(
                     "noop"
                 ).mode("overwrite").save()
+            elif wp:
+                seq_fn(docs, k=k).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             else:
                 bpe_merge_table(
                     docs, k=k, incremental=incremental
@@ -98,9 +117,15 @@ def main() -> int:
         )
         return rec
 
-    # both modes at every k: the adjudication that set the naive
-    # default (see operators/bpe.py docstring) lives in this artifact
-    points = [measure(k, inc) for k in args.ks for inc in (False, True)]
+    if wp:
+        # sequential likelihood trainer vs block-greedy (incremental
+        # counting does not apply -- the delta table lacks the unigram
+        # denominators, operators/bpe.py::_train)
+        points = [measure(k, False) for k in args.ks]
+    else:
+        # both modes at every k: the adjudication that set the naive
+        # default (see operators/bpe.py docstring) lives in this artifact
+        points = [measure(k, inc) for k in args.ks for inc in (False, True)]
     if args.batch:
         points += [measure(k, False, batch=args.batch) for k in args.ks]
     if args.naive_k is not None:
@@ -116,10 +141,10 @@ def main() -> int:
     if os.path.exists(args.out):
         with open(args.out) as fd:
             prior = json.load(fd)
-    prior["bpe_k_sweep"] = sweep
+    prior[f"{args.family}_k_sweep"] = sweep
     with open(args.out, "w") as fd:
         json.dump(prior, fd, indent=2)
-    print(f"merged bpe_k_sweep into {args.out}")
+    print(f"merged {args.family}_k_sweep into {args.out}")
 
     ok = True
     for mode in sorted({r["mode"] for r in points}):
