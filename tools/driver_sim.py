@@ -65,6 +65,21 @@ def main() -> int:
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i : i + 2]
+    skip: set[str] = set()
+    skip_reason = ""
+    if "--skip" in args:
+        # everything after --skip (until end) is excluded; each skipped
+        # name is ENUMERATED in the JSON artifact as an explicit
+        # {"skipped": reason} record so the exclusion list is part of
+        # the committed evidence, not an absence to be inferred
+        i = args.index("--skip")
+        skip = set(args[i + 1 :])
+        del args[i:]
+        skip_reason = os.environ.get(
+            "SPARK_GRAFT_SIM_SKIP_REASON",
+            "quadratic-oracle exclusion (standing list; the operator's "
+            "scale path is certified by its recall-certificate twin)",
+        )
     sf_dir = args.pop(0) if args and args[0].startswith("/") else "/root/testdata/sf0.01"
     only = set(args)  # optional query names to restrict the run to
     spark = SparkSession.builder.master("local[8]").getOrCreate()  # plain, like the driver
@@ -91,6 +106,10 @@ def main() -> int:
     report: dict[str, dict] = {}
     for name, fn in sorted(queries.items()):
         if only and name not in only:
+            continue
+        if name in skip:
+            report[name] = {"skipped": skip_reason}
+            print(f"SKIP {name}: {skip_reason}")
             continue
         rec = {
             "rows_match": None,
