@@ -182,10 +182,32 @@ def _stage_metrics_since(spark, before_ids: set[int]) -> dict | None:
 
 
 def _end_repeat(spark) -> None:
-    """Free repeat-scoped state: tracked operator caches + catalog cache."""
+    """Free repeat-scoped state: tracked operator caches, catalog cache,
+    AND every still-persistent RDD.
+
+    The third step is the r9 addition: iterative trainers (bpe/wordpiece/
+    unigram, merge chains) call localCheckpoint(eager=True) per round, and
+    those blocks are NOT tracked -- they free only when the ContextCleaner
+    notices the JVM-side RDD is unreachable, which on a 32 GB driver heap
+    can be never (full GCs don't happen).  Measured this round: a
+    repeats=5 full bench accumulated enough orphaned checkpoint blocks
+    that late entries ran 1.6-3x slow with executor_run_ms ballooning
+    while cpu_ms stayed flat (storage-eviction/spill churn), and the same
+    entries returned to band standalone and at repeats=2.  Safe here:
+    every repeat rebuilds its plans from scratch, so no live plan depends
+    on a previous repeat's checkpoint blocks."""
     release_tracked()
     try:
         spark.catalog.clearCache()
+    except Exception:
+        pass
+    try:
+        import gc
+
+        gc.collect()  # drop py4j proxies so the JVM side is unreachable
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
     except Exception:
         pass
 

@@ -27,6 +27,26 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod  # noqa: E402
 from dataworks_aws_corporate_data_ingestion_spark.caching import release_tracked  # noqa: E402
 
+
+def release_all(spark) -> None:
+    """Per-query cleanup: tracked caches + every still-persistent RDD.
+
+    The iterative trainers localCheckpoint(eager=True) per round and those
+    blocks free only via ContextCleaner after a JVM GC that a big driver
+    heap may never run; over a 200-query session they accumulate into
+    storage-eviction churn (measured in bench.py, same fix).  Safe between
+    queries: each query builds its plans from scratch."""
+    release_tracked()
+    try:
+        import gc
+
+        gc.collect()
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+    except Exception:
+        pass
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -126,10 +146,10 @@ def main() -> int:
             failures.append(name)
             rec["err"] = f"spark: {exc}"[:300]
             print(f"FAIL {name}: spark raised {exc}")
-            release_tracked()
+            release_all(spark)
             continue
         finally:
-            release_tracked()
+            release_all(spark)
         rec["spark_rows"] = len(sdf)
         try:
             driver_canon_probe(sdf)
