@@ -102,7 +102,21 @@ def main() -> int:
         )
     sf_dir = args.pop(0) if args and args[0].startswith("/") else "/root/testdata/sf0.01"
     only = set(args)  # optional query names to restrict the run to
-    spark = SparkSession.builder.master("local[8]").getOrCreate()  # plain, like the driver
+    # plain, like the driver -- by default.  The sf0.01 contract check
+    # must mimic the round driver's unconfigured session exactly; the
+    # LARGE-sf breadth sweeps (sf1.0 over the full registry) legitimately
+    # need a bigger driver heap -- the plain 1g JVM GC-thrashed to a
+    # standstill at sf1.0 (measured: running job, zero active tasks,
+    # ~5 cores of GC) -- so the session is env-sizable WITHOUT changing
+    # any query-visible conf (no AQE/shuffle/codegen toggles: correctness
+    # semantics stay the driver's).
+    builder = SparkSession.builder.master(
+        f"local[{os.environ.get('SPARK_GRAFT_SIM_CPUS', '8')}]"
+    )
+    mem = os.environ.get("SPARK_GRAFT_SIM_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     res = entrymod.entry(spark)

@@ -62,6 +62,10 @@ SHOWCASE = [
     ("wordpiece_segmentation_stats", "vocabulary-sized iterative broadcast probe; corpus weighs in once"),
     ("event_value_drift_bins", "one scan, two pivoted bin aggs, broadcast totals"),
     ("unigram_vocab_hard_em", "vocab-sized EM structures: edge probe, bounded paths, window top-1"),
+    ("wordpiece_merge_table_blockgreedy", "pass-level pair+unigram aggs checkpointed; <=batch disjoint argmax scans + one narrow chained fuse per pass"),
+    ("bm25_delete_crash_heal_certificate", "tombstone-healed dims: affected-term recount joins bucketed postings exchange-free"),
+    ("heavy_hitters_windowed_mg", "stored per-day MG rows -> candidate union -> sliver-only window recount"),
+    ("drift_from_stored_histograms", "stored bin rows only: day-window grouping, no corpus rescan"),
 ]
 
 
