@@ -116,6 +116,14 @@ def main() -> int:
     mem = os.environ.get("SPARK_GRAFT_SIM_DRIVER_MEM")
     if mem:
         builder = builder.config("spark.driver.memory", mem)
+    # .scaledata tables are single parquet files; at sf1.0+ the default
+    # 128 MiB split floor makes every scan ONE task and serialises
+    # whole-table aggregates (measured: approx_percentile over the 114 MiB
+    # lineitem pinned a chunk for 18+ min on one straggler task).  A
+    # smaller split size is physical-only -- hashes unchanged.
+    mpb = os.environ.get("SPARK_GRAFT_SIM_MAX_PARTITION_BYTES")
+    if mpb:
+        builder = builder.config("spark.sql.files.maxPartitionBytes", mpb)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -125,6 +133,11 @@ def main() -> int:
     assert len(rows) >= 0
 
     con = duckdb.connect()
+    # parallel chunked sweeps: without a cap each DuckDB connection
+    # schedules on every host core and N concurrent sims thrash
+    dthreads = os.environ.get("SPARK_GRAFT_SIM_DUCKDB_THREADS")
+    if dthreads:
+        con.execute(f"SET threads TO {int(dthreads)}")
     for t in TABLES:
         # scale dirs (.scaledata/sf*) carry only events/documents; a
         # restricted --queries run must not die on the absent TPC-H
