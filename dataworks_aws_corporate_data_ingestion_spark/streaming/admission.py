@@ -191,18 +191,20 @@ def compact_index(
     spark: SparkSession,
     table: str,
     schema: str,
-    marker_col: str,
+    data_col: str,
     fold_fn: Callable[[DataFrame], list[tuple]],
     marker_fn: Callable[[int], tuple],
 ) -> dict:
-    """Fold the append-only partials (rows where marker_col is not null)
-    via the family's fold_fn, preserve the distinct batch_token set as
-    marker_fn rows, and overwrite the table.  Only safe when no batches
-    are in flight (caller contract).  Returns {rows_before, rows_after}."""
+    """Fold the append-only partials via the family's fold_fn, preserve
+    the distinct batch_token set as marker_fn rows, and overwrite the
+    table.  `data_col` is the family's data-discriminator column: rows
+    where it is NON-NULL are data partials; commit-marker rows carry it
+    NULL (marker_fn builds them).  Only safe when no batches are in
+    flight (caller contract).  Returns {rows_before, rows_after}."""
     refresh_state_tables(spark, table)
     t = spark.table(table)
     rows_before = t.count()
-    data_rows = fold_fn(t.filter(F.col(marker_col).isNotNull()))
+    data_rows = fold_fn(t.filter(F.col(data_col).isNotNull()))
     tokens = [
         int(r["batch_token"])
         for r in t.select("batch_token").distinct().collect()

@@ -88,13 +88,15 @@ def main() -> int:
     skip: set[str] = set()
     skip_reason = ""
     if "--skip" in args:
-        # everything after --skip (until end) is excluded; each skipped
-        # name is ENUMERATED in the JSON artifact as an explicit
+        # --skip takes ONE comma-separated value (r9 advice: the old
+        # consume-to-end-of-argv form silently swallowed a trailing
+        # sf_dir / query name as a skip entry).  Each skipped name is
+        # ENUMERATED in the JSON artifact as an explicit
         # {"skipped": reason} record so the exclusion list is part of
-        # the committed evidence, not an absence to be inferred
+        # the committed evidence, not an absence to be inferred.
         i = args.index("--skip")
-        skip = set(args[i + 1 :])
-        del args[i:]
+        skip = {s for s in args[i + 1].split(",") if s}
+        del args[i : i + 2]
         skip_reason = os.environ.get(
             "SPARK_GRAFT_SIM_SKIP_REASON",
             "quadratic-oracle exclusion (standing list; the operator's "
@@ -149,6 +151,12 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = skip - set(queries)
+    if unknown:
+        # a typo'd --skip must fail loudly, not silently "skip" nothing
+        print(f"ERROR: --skip names not in the registry: {sorted(unknown)}")
+        spark.stop()
+        return 2
     failures = []
     report: dict[str, dict] = {}
     for name, fn in sorted(queries.items()):
@@ -173,8 +181,7 @@ def main() -> int:
             failures.append(name)
             rec["err"] = f"spark: {exc}"[:300]
             print(f"FAIL {name}: spark raised {exc}")
-            release_all(spark)
-            continue
+            continue  # the finally below already runs release_all
         finally:
             release_all(spark)
         rec["spark_rows"] = len(sdf)
