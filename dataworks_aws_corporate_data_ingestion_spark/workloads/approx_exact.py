@@ -353,6 +353,8 @@ def corpus_overlap_kmv_certificate(
 
 @register(
     "mg_admission_streaming_certificate",
+    bench=True,  # r10: the streaming-admission family's benched
+    # representative (r9 verdict #7 -- every scale-path family gets one)
     tags=("sketch", "heavy-hitters", "misra-gries", "streaming",
           "incremental", "index-maintenance", "approx-prune-exact-verify",
           "scale-path"),

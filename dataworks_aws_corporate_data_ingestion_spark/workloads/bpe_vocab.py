@@ -215,8 +215,16 @@ def _batched_oracle(k: int, batch: int) -> str:
             name = f"b{p}_{j}"
             excl = ""
             if picks:
+                # COALESCE each scalar pick to chr(1) (a byte that cannot
+                # be a space-split token of lower(text) here): if a pass
+                # ever exhausts disjoint pairs, an EMPTY pick CTE would
+                # otherwise make these scalar subqueries NULL, turning the
+                # NOT IN into always-false and the rewrite into NULL -- a
+                # confusing corpus-wide hash mismatch instead of the
+                # operator's clean truncation (r9 advice).
                 toks = ", ".join(
-                    f"(SELECT w1 FROM {q}), (SELECT w2 FROM {q})"
+                    f"COALESCE((SELECT w1 FROM {q}), chr(1)),"
+                    f" COALESCE((SELECT w2 FROM {q}), chr(1))"
                     for q in picks
                 )
                 excl = f" WHERE w1 NOT IN ({toks}) AND w2 NOT IN ({toks})"
@@ -235,12 +243,15 @@ def _batched_oracle(k: int, batch: int) -> str:
         if p < k // batch:
             expr = "t"
             for q in picks:
+                # COALESCE-to-chr(1): an empty pick makes the replace
+                # pattern unmatchable (identity rewrite) instead of
+                # NULLing the whole corpus column.
                 expr = f"""trim(replace(replace(
                        ' ' || replace({expr}, ' ', '  ') || ' ',
-                       ' ' || (SELECT w1 FROM {q}) || '  '
-                           || (SELECT w2 FROM {q}) || ' ',
-                       ' ' || (SELECT w1 FROM {q}) || '+'
-                           || (SELECT w2 FROM {q}) || ' '),
+                       ' ' || COALESCE((SELECT w1 FROM {q}), chr(1)) || '  '
+                           || COALESCE((SELECT w2 FROM {q}), chr(1)) || ' ',
+                       ' ' || COALESCE((SELECT w1 FROM {q}), chr(1)) || '+'
+                           || COALESCE((SELECT w2 FROM {q}), chr(1)) || ' '),
                        '  ', ' '))"""
             ctes.append(f"""
         t{p} AS (
@@ -317,8 +328,11 @@ def _wp_batched_oracle(k: int, batch: int) -> str:
             name = f"wb{p}_{j}"
             excl = ""
             if picks:
+                # COALESCE-to-chr(1) guard: see _batched_oracle -- an
+                # empty pick must truncate cleanly, not NULL the NOT IN.
                 toks = ", ".join(
-                    f"(SELECT w1 FROM {q}), (SELECT w2 FROM {q})"
+                    f"COALESCE((SELECT w1 FROM {q}), chr(1)),"
+                    f" COALESCE((SELECT w2 FROM {q}), chr(1))"
                     for q in picks
                 )
                 excl = f" WHERE w1 NOT IN ({toks}) AND w2 NOT IN ({toks})"
@@ -337,12 +351,15 @@ def _wp_batched_oracle(k: int, batch: int) -> str:
         if p < k // batch:
             expr = "t"
             for q in picks:
+                # COALESCE-to-chr(1): an empty pick makes the replace
+                # pattern unmatchable (identity rewrite) instead of
+                # NULLing the whole corpus column.
                 expr = f"""trim(replace(replace(
                        ' ' || replace({expr}, ' ', '  ') || ' ',
-                       ' ' || (SELECT w1 FROM {q}) || '  '
-                           || (SELECT w2 FROM {q}) || ' ',
-                       ' ' || (SELECT w1 FROM {q}) || '+'
-                           || (SELECT w2 FROM {q}) || ' '),
+                       ' ' || COALESCE((SELECT w1 FROM {q}), chr(1)) || '  '
+                           || COALESCE((SELECT w2 FROM {q}), chr(1)) || ' ',
+                       ' ' || COALESCE((SELECT w1 FROM {q}), chr(1)) || '+'
+                           || COALESCE((SELECT w2 FROM {q}), chr(1)) || ' '),
                        '  ', ' '))"""
             ctes.append(f"""
         t{p} AS MATERIALIZED (
@@ -353,6 +370,8 @@ def _wp_batched_oracle(k: int, batch: int) -> str:
 
 @register(
     "wordpiece_merge_table_blockgreedy",
+    bench=True,  # the WordPiece headline since r10 -- see the rationale
+    # on wordpiece_merge_table's register block
     tags=("text", "tokenizer", "wordpiece", "fixed-point", "vocabulary",
           "training-data"),
     oracle=_wp_batched_oracle(_K, 2),
@@ -441,7 +460,13 @@ def _wp_oracle(k: int) -> str:
 
 @register(
     "wordpiece_merge_table",
-    bench=True,
+    # bench flag moved to the block-greedy twin in r10: this sequential
+    # k=4 trainer was the single most expensive bench entry (2.99s
+    # judge-quiet) while the production-round-count scale path -- the
+    # block-greedy trainer, measured 4.5x faster at k=64 -- sat unbenched.
+    # The sequential form stays the ORACLE-exactness twin (hash-checked
+    # every round); the headline now times what a real vocabulary build
+    # would run.  (r9 verdict #4.)
     tags=("text", "tokenizer", "wordpiece", "fixed-point", "vocabulary",
           "training-data"),
     oracle=_wp_oracle(_K),
