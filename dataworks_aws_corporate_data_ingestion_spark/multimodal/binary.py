@@ -278,6 +278,125 @@ def pixel_stats(decoded: DataFrame) -> DataFrame:
     return decoded.mapInPandas(batches, PIXEL_STATS_SCHEMA)
 
 
+PIXEL_STATS_EXACT_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("min_luma", LongType()),
+        StructField("max_luma", LongType()),
+    ]
+)
+
+
+def pixel_stats_exact(decoded: DataFrame) -> DataFrame:
+    """Integer-exact per-image statistics over decoded RGB buffers:
+    channel SUMS instead of means, plus min/max integer luma ((77R +
+    150G + 29B) >> 8).  Every output is a bigint, so the whole decode ->
+    featurise path is driver-oracle-checkable bit-for-bit (means divide
+    and are kept on pixel_stats, the analyst-facing variant)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, px in zip(pdf["asset_id"], pdf["pixels"]):
+                arr = np.frombuffer(px or b"", dtype=np.uint8)
+                arr = arr[: (arr.size // 3) * 3].reshape(-1, 3).astype(np.int64)
+                n = int(arr.shape[0])
+                if n:
+                    sums = arr.sum(axis=0)
+                    luma = (77 * arr[:, 0] + 150 * arr[:, 1] + 29 * arr[:, 2]) >> 8
+                    rows.append(
+                        (int(aid), n, int(sums[0]), int(sums[1]), int(sums[2]),
+                         int(luma.min()), int(luma.max()))
+                    )
+                else:
+                    rows.append((int(aid), 0, 0, 0, 0, 0, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "n_pixels", "sum_r", "sum_g", "sum_b",
+                         "min_luma", "max_luma"],
+            )
+
+    return decoded.mapInPandas(batches, PIXEL_STATS_EXACT_SCHEMA)
+
+
+def extract_wav_pcm(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Strip the WAV container: RIFF chunk walk to the `data` chunk,
+    returning (asset_id, data) where data is the raw PCM payload --
+    the un-containerised input waveform_stats expects.  Pure stdlib
+    (the RIFF layout is a public spec); non-WAV blobs yield empty PCM."""
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, blob in zip(pdf[id_col], pdf["data"]):
+                blob = bytes(blob or b"")
+                pcm = b""
+                if len(blob) >= 12 and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+                    pos = 12
+                    while pos + 8 <= len(blob):
+                        cid = blob[pos : pos + 4]
+                        size = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+                        if cid == b"data":
+                            pcm = blob[pos + 8 : pos + 8 + size]
+                            break
+                        pos += 8 + size + (size % 2)  # chunks are word-aligned
+                rows.append((int(aid), pcm))
+            yield pd.DataFrame(rows, columns=["asset_id", "data"])
+
+    return df.mapInPandas(
+        batches,
+        StructType(
+            [StructField("asset_id", LongType()), StructField("data", BinaryType())]
+        ),
+    )
+
+
+WAVEFORM_EXACT_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("zero_crossings", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("peak_abs", LongType()),
+    ]
+)
+
+
+def waveform_stats_exact(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Integer-exact waveform statistics over raw 16-bit LE mono PCM:
+    sample count, zero crossings, sum of |sample| and peak |sample| --
+    all bigints, so the audio path is driver-oracle-checkable (RMS
+    needs a sqrt and stays on waveform_stats)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, blob in zip(pdf[id_col], pdf["data"]):
+                blob = blob or b""
+                usable = len(blob) - (len(blob) % 2)
+                s = np.frombuffer(blob[:usable], dtype="<i2").astype(np.int64)
+                n = int(s.size)
+                if n:
+                    zc = int(np.count_nonzero(np.diff(np.signbit(s))))
+                    sum_abs = int(np.abs(s).sum())
+                    peak = int(np.abs(s).max())
+                else:
+                    zc, sum_abs, peak = 0, 0, 0
+                rows.append((int(aid), n, zc, sum_abs, peak))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "n_samples", "zero_crossings",
+                         "sum_abs", "peak_abs"],
+            )
+
+    return df.mapInPandas(batches, WAVEFORM_EXACT_SCHEMA)
+
+
 WAVEFORM_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),

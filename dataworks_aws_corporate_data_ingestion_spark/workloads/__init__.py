@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     ops_certificates,
     curation,
     dedup_suite,
+    multimodal_suite,
     relational,
     relational2,
     relational3,

@@ -7,6 +7,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from dataworks_aws_corporate_data_ingestion_spark.multimodal.binary import (
     decode_images,
@@ -293,3 +294,145 @@ class TestPurePythonDecode:
         with _pytest.raises(Exception) as exc:
             self._decode(spark, png_magic)
         assert "PIL" in str(exc.value) or "NotImplementedError" in str(exc.value)
+
+
+class TestExactOperators:
+    """Integer-exact multimodal reducers (r10): the driver-oracle-checkable
+    twins of pixel_stats / waveform_stats."""
+
+    PIXELS = [
+        (10, 20, 30), (200, 100, 0), (255, 255, 255),
+        (0, 0, 0), (1, 2, 3), (90, 180, 45),
+    ]
+
+    def test_pixel_stats_exact_matches_numpy(self, spark):
+        import numpy as np
+
+        from dataworks_aws_corporate_data_ingestion_spark.multimodal.binary import (
+            decode_images,
+            pixel_stats_exact,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(_make_bmp(3, 2, self.PIXELS))),
+                (2, bytearray(_make_ppm(3, 2, self.PIXELS))),
+            ],
+            "asset_id long, data binary",
+        )
+        got = {r.asset_id: r for r in pixel_stats_exact(decode_images(df)).collect()}
+        arr = np.array(self.PIXELS, dtype=np.int64)
+        sums = arr.sum(axis=0)
+        luma = (77 * arr[:, 0] + 150 * arr[:, 1] + 29 * arr[:, 2]) >> 8
+        for aid in (1, 2):
+            r = got[aid]
+            assert r.n_pixels == 6
+            assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(s) for s in sums)
+            assert (r.min_luma, r.max_luma) == (int(luma.min()), int(luma.max()))
+
+    def test_wav_pcm_extraction_and_exact_stats(self, spark):
+        """Real WAV (stdlib wave module) -> extract_wav_pcm strips the
+        container byte-exactly -> waveform_stats_exact matches numpy."""
+        import io
+        import wave as wavemod
+
+        import numpy as np
+
+        from dataworks_aws_corporate_data_ingestion_spark.multimodal.binary import (
+            extract_wav_pcm,
+            waveform_stats_exact,
+        )
+
+        samples = np.array([100, -200, 300, -400, 0, 32767, -32768, 5],
+                           dtype="<i2")
+        buf = io.BytesIO()
+        with wavemod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(samples.tobytes())
+        blob = buf.getvalue()
+        df = spark.createDataFrame(
+            [(7, bytearray(blob))], "asset_id long, data binary"
+        )
+        pcm = extract_wav_pcm(df)
+        assert bytes(pcm.collect()[0]["data"]) == samples.tobytes()
+        r = waveform_stats_exact(pcm).collect()[0]
+        s = samples.astype(np.int64)
+        assert r.n_samples == 8
+        assert r.sum_abs == int(np.abs(s).sum())
+        assert r.peak_abs == 32768
+        assert r.zero_crossings == int(
+            np.count_nonzero(np.diff(np.signbit(s)))
+        )
+
+    def test_extract_wav_pcm_non_wav_is_empty(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.multimodal.binary import extract_wav_pcm
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"not a riff file"))], "asset_id long, data binary"
+        )
+        assert bytes(extract_wav_pcm(df).collect()[0]["data"]) == b""
+
+
+class TestMetadataPushdownWithoutBlobs:
+    """Pins the 100 TB-critical layout property (r9 verdict #2): width /
+    media_type predicates over the typed metadata struct reach the
+    parquet scan as pushed filters, and a metadata-only projection prunes
+    the blob column out of ReadSchema entirely -- filtering a media lake
+    never touches the bytes."""
+
+    def _write_media(self, spark, tmp_path):
+        import random
+
+        rnd = random.Random(7)
+        rows = [
+            (
+                i,
+                bytes(rnd.getrandbits(8) for _ in range(64)),
+                ("image/bmp" if i % 2 else "audio/wav",
+                 100 + i, 80 + i, 16000, 1000, "raw"),
+            )
+            for i in range(50)
+        ]
+        path = str(tmp_path / "media_lake")
+        spark.createDataFrame(
+            rows,
+            "asset_id bigint, data binary, meta struct<media_type:string,"
+            "width:int,height:int,sample_rate:int,duration_ms:bigint,"
+            "codec:string>",
+        ).write.mode("overwrite").parquet(path)
+        return path
+
+    def test_metadata_filter_pushes_and_prunes_blob(self, spark, tmp_path):
+        path = self._write_media(spark, tmp_path)
+        q = (
+            spark.read.parquet(path)
+            .filter(
+                (F.col("meta.width") > 120)
+                & (F.col("meta.media_type") == "image/bmp")
+            )
+            .select("asset_id", "meta.width", "meta.media_type")
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+        assert scan, plan
+        scan_line = scan[0]
+        # the struct-field predicates reach the scan
+        assert "PushedFilters: [" in scan_line
+        assert "width" in scan_line.split("PushedFilters:")[1].split("]")[0]
+        # and the blob column is pruned out of the read schema
+        read_schema = scan_line.split("ReadSchema:")[1]
+        assert "data" not in read_schema
+        assert "width" in read_schema
+        # correctness of the pruned plan
+        rows = q.collect()
+        assert rows and all(r["width"] > 120 for r in rows)
+
+    def test_rebalance_by_size_respects_byte_budget(self, spark, tmp_path):
+        from dataworks_aws_corporate_data_ingestion_spark.multimodal.binary import rebalance_by_size
+
+        path = self._write_media(spark, tmp_path)
+        df = spark.read.parquet(path)  # 50 x 64-byte blobs = 3200 bytes
+        out = rebalance_by_size(df, target_partition_bytes=1000)
+        assert out.rdd.getNumPartitions() == 4  # 3200/1000 + 1
