@@ -18,20 +18,75 @@ from ..operators.dedup import (
 from ..sources.tables import load_table
 from ..workload import register
 
+# BLOCKED exact-jaccard oracle (r9 verdict #3: the old `s x, s y` all-pairs
+# form died at sf1.0, forcing 12 registry entries onto the exclusion list).
+# Anchor-prune with a completeness PROOF, so the result set is bit-identical
+# to the all-pairs scan at every scale:
+#   For any fixed total order on shingles (plain string order here), let
+#   m = min(A @ B) for a pair with jaccard(A,B) >= 0.9.  The elements of A
+#   preceding m all lie in A\B, and |A\B| <= |AuB| - |AnB| <= 0.1|AuB|
+#   <= |A|/9 (since |A| >= |AnB| >= 0.9|AuB|).  So m is among the
+#   floor(|A|/9)+1 smallest shingles of A -- and symmetrically of B.
+#   Hence every qualifying pair SHARES AN ANCHOR (one of its first
+#   floor(n/9)+1 shingles), and joining anchor sets loses nothing.
+# Candidates then pay the ORIGINAL intersect/union/filter expressions, so
+# the emitted jaccard_sim doubles are the same divisions of the same
+# integers as before.  Cost: anchor sets are ~n/9 of the inverted index,
+# so the candidate join is ~1% of the full shingle-join blowup and nothing
+# is ever corpus x corpus.  The final FROM keeps aliases x/y so callers'
+# appended predicates (x.doc_id % 10 = 0 ...) still bind.
 _PAIRS_JACCARD_ORACLE = """
-    WITH s AS (
+    WITH s AS MATERIALIZED (
         SELECT doc_id,
                list_distinct(list_transform(range(1, len(toks)-1),
                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
         FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+    ),
+    dict AS MATERIALIZED (
+        -- dense integer ids for shingles: the verify intersects INT
+        -- lists instead of string lists (~10x, measured -- 57s vs an
+        -- unfinished 300s+ at sf1.0); jaccard depends only on counts,
+        -- so the bijection changes nothing
+        SELECT g, ROW_NUMBER() OVER (ORDER BY g) AS gid
+        FROM (SELECT DISTINCT unnest(sh) AS g FROM s)
+    ),
+    sid AS MATERIALIZED (
+        SELECT i.doc_id, list_sort(list(d.gid)) AS ids, COUNT(*) AS n
+        FROM (SELECT doc_id, unnest(sh) AS g FROM s) i
+        JOIN dict d USING (g)
+        GROUP BY i.doc_id
+    ),
+    anch AS MATERIALIZED (
+        -- the first floor(n/9)+1 ids in dictionary order: the anchor set
+        SELECT doc_id, n, unnest(ids[1 : n // 9 + 1]) AS gid FROM sid
+    ),
+    cand AS MATERIALIZED (
+        -- second complete prune: jaccard >= 0.9 forces
+        -- 10*min(|A|,|B|) >= 9*max (|A| >= |AnB| >= 0.9|AuB| >= 0.9|B|),
+        -- an exact integer compare
+        SELECT DISTINCT ax.doc_id AS da, ay.doc_id AS db
+        FROM anch ax JOIN anch ay
+          ON ax.gid = ay.gid AND ax.doc_id < ay.doc_id
+         AND 10 * LEAST(ax.n, ay.n) >= 9 * GREATEST(ax.n, ay.n)
+    ),
+    inter AS (
+        SELECT sx.doc_id AS a, sy.doc_id AS b, sx.n AS nx, sy.n AS ny,
+               len(list_intersect(sx.ids, sy.ids)) AS c
+        FROM cand cd
+        JOIN sid sx ON sx.doc_id = cd.da
+        JOIN sid sy ON sy.doc_id = cd.db
+    ),
+    scored AS MATERIALIZED (
+        -- same integers as len(list_intersect)/len(list_distinct(
+        -- list_concat)) on the string lists, so the same IEEE division
+        SELECT a, b, CAST(c AS DOUBLE) / (nx + ny - c) AS jaccard_sim
+        FROM inter
     )
-    SELECT x.doc_id AS a, y.doc_id AS b,
-           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-               / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard_sim
-    FROM s x, s y
-    WHERE x.doc_id < y.doc_id
-      AND CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-              / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.9
+    SELECT t.a, t.b, t.jaccard_sim
+    FROM scored t
+    JOIN (SELECT DISTINCT doc_id FROM s) x ON x.doc_id = t.a
+    JOIN (SELECT DISTINCT doc_id FROM s) y ON y.doc_id = t.b
+    WHERE t.jaccard_sim >= 0.9
 """
 
 

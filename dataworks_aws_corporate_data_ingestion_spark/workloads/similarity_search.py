@@ -23,21 +23,42 @@ _COS_SQL = (
     " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
 )
 
+# Pair-scan scaffold for the N x N oracles (r9 verdict #3): materialise
+# the DOUBLE[] cast and the norm ONCE per vector, so each candidate pair
+# pays a single dot product and two scalar multiplies instead of the
+# inline _COS_SQL's six dot products and four list casts (~10x, measured
+# -- the difference between the sf1.0 sweep finishing and dying).  Bit-
+# identical to _COS_SQL: same cast arrays, same left-to-right dot fold,
+# same sqrt operands, same a-side*b-side multiplication order, one IEEE
+# division.
+_V_CTE = """v AS MATERIALIZED (
+            SELECT vec_id,
+                   CAST(embedding AS DOUBLE[]) AS ev,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        )"""
+
+
+def _pair_cos(x: str, y: str) -> str:
+    return f"list_dot_product({x}.ev, {y}.ev) / ({x}.nrm * {y}.nrm)"
+
 
 @register(
     "ann_cosine_topk",
     bench=True,
     tags=("similarity", "topk", "vectors", "small-scale-only", "ground-truth-twin"),
     oracle=f"""
+        WITH {_V_CTE}
         SELECT query_id, neighbor_id, cosine_sim FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   {_COS_SQL.format(a="q.embedding", b="c.embedding")} AS cosine_sim,
+                   {_pair_cos("q", "c")} AS cosine_sim,
                    ROW_NUMBER() OVER (
                        PARTITION BY q.vec_id
-                       ORDER BY {_COS_SQL.format(a="q.embedding", b="c.embedding")} DESC,
+                       ORDER BY {_pair_cos("q", "c")} DESC,
                                 c.vec_id ASC
                    ) AS rn
-            FROM embeddings q, embeddings c
+            FROM v q, v c
             WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
         ) WHERE rn <= 5
     """,
@@ -118,6 +139,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_topk",
+    bench=True,  # r10: the ANN family's SCALE-PATH benched representative
+    # (ann_cosine_topk stays benched as the brute-force twin, but it is
+    # small-scale-only by contract; the IVF path is what runs at corpus
+    # scale -- r9 verdict #7)
     tags=("similarity", "ivf", "approximate", "recall-certificate"),
     oracle=_RECALL_ORACLE,
 )
@@ -212,11 +237,13 @@ def ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_cosine_near_dups",
     tags=("dedup", "vectors", "small-scale-only", "ground-truth-twin"),
     oracle=f"""
-        SELECT a.vec_id AS a, b.vec_id AS b,
-               {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cosine_sim
-        FROM embeddings a, embeddings b
-        WHERE a.vec_id < b.vec_id
-          AND {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.4
+        WITH {_V_CTE}
+        SELECT a, b, cosine_sim FROM (
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   {_pair_cos("a", "b")} AS cosine_sim
+            FROM v a, v b
+            WHERE a.vec_id < b.vec_id
+        ) WHERE cosine_sim >= 0.4
     """,
 )
 def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,11 +267,13 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_near_dups_lsh",
     tags=("dedup", "vectors", "lsh"),
     oracle=f"""
-        SELECT a.vec_id AS a, b.vec_id AS b,
-               {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cosine_sim
-        FROM embeddings a, embeddings b
-        WHERE a.vec_id < b.vec_id
-          AND {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.4
+        WITH {_V_CTE}
+        SELECT a, b, cosine_sim FROM (
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   {_pair_cos("a", "b")} AS cosine_sim
+            FROM v a, v b
+            WHERE a.vec_id < b.vec_id
+        ) WHERE cosine_sim >= 0.4
     """,
 )
 def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,11 +371,13 @@ _install_hybrid_oracle()
     "semantic_dedup_survivors",
     tags=("dedup", "vectors", "semantic-dedup", "graph"),
     oracle=f"""
-        WITH RECURSIVE pairs AS (
-            SELECT a.vec_id AS a, b.vec_id AS b
-            FROM embeddings a, embeddings b
-            WHERE a.vec_id < b.vec_id
-              AND {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.4
+        WITH RECURSIVE {_V_CTE}, pairs AS (
+            SELECT a, b FROM (
+                SELECT a.vec_id AS a, b.vec_id AS b,
+                       {_pair_cos("a", "b")} AS cosine_sim
+                FROM v a, v b
+                WHERE a.vec_id < b.vec_id
+            ) WHERE cosine_sim >= 0.4
         ), sym AS (
             SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
         ), reach AS (
@@ -392,10 +423,13 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semantic_dedup_recall_certificate",
     tags=("dedup", "vectors", "semantic-dedup", "recall-certificate"),
     oracle=f"""
+        WITH {_V_CTE}
         SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs, TRUE AS recall_ok
-        FROM embeddings a, embeddings b
-        WHERE a.vec_id < b.vec_id
-          AND {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.4
+        FROM (
+            SELECT {_pair_cos("a", "b")} AS cosine_sim
+            FROM v a, v b
+            WHERE a.vec_id < b.vec_id
+        ) WHERE cosine_sim >= 0.4
     """,
 )
 def semantic_dedup_recall_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
