@@ -122,6 +122,28 @@ def era_ratio(
             new_t[probe] / old_t[probe],
             f"implicit probe {probe} (old file has no anchor)",
         )
+    if probe in old_t and probe in new_t and nsha and not osha:
+        # pre-r10 driver BENCH files carry only a tail-truncated details
+        # map, so the OLD probe sha is unknowable from the artifact; the
+        # committed anchor file pins what the probe's sha has been, so a
+        # NEW sha matching it says the plan is the long-stable one
+        try:
+            import os
+
+            with open(
+                os.path.join(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))), "BENCH_ANCHOR.json")
+            ) as f:
+                anchor_file = json.load(f)
+            if anchor_file.get("plan_sha") == nsha:
+                return (
+                    new_t[probe] / old_t[probe],
+                    f"implicit probe {probe}, old sha unknown (truncated "
+                    "pre-r10 details) but new sha matches the committed "
+                    "anchor pin",
+                )
+        except Exception:
+            pass
     return None, "none available (no shared anchor, probe missing or plan-changed)"
 
 

@@ -226,6 +226,15 @@ def main() -> int:
             math.log10(t_hi / t_lo) / math.log10(s_hi / s_lo), 3
         )
         rec["top_decade_sfs"] = [s_lo, s_hi]
+        # shuffle-bytes growth over the same decade (r9 verdict #5): a
+        # wall-time exponent near 1 with a shuffle exponent well above 1
+        # is the at-scale warning wall-time alone hides on 32 local cores
+        sh_lo = rec["points"][str(s_lo)].get("shuffle_write_mb")
+        sh_hi = rec["points"][str(s_hi)].get("shuffle_write_mb")
+        if sh_lo and sh_hi:
+            rec["shuffle_exponent_top_decade"] = round(
+                math.log10(sh_hi / sh_lo) / math.log10(s_hi / s_lo), 3
+            )
 
     for name, rec in results.items():
         _fit(name, rec)
