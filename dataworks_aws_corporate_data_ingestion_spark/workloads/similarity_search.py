@@ -251,9 +251,19 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     SMALL-SCALE ONLY (tagged): the exact all-pairs O(n^2) form, kept as
     the ground-truth oracle twin; the 100 TB path is
-    embedding_near_dups_lsh below, which hash-matches this output."""
+    embedding_near_dups_lsh below, which hash-matches this output.
+
+    The streamed side is fan_out'ed: a single-file embeddings parquet
+    arrives as ONE partition, which would serialise the whole n^2
+    cosine evaluation onto one task (measured at sf1.0: the 2e8-pair
+    nested-loop pinned a single core for 10+ min; fanned out it rides
+    every core)."""
+    from ..partitioning import fan_out
+
     emb = load_table(spark, "embeddings", sf_dir)
-    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    a = fan_out(emb).select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    )
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
     return (
         a.crossJoin(b)
