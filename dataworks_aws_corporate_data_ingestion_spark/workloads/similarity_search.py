@@ -325,10 +325,18 @@ def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine-verified before emission), pinned by subset_ok.  Consumers
     of the actual pair rows call operators/similarity.lsh_near_dup_pairs;
     the keep-policy entry (semantic_dedup_survivors) consumes the exact
-    twin so its output stays bit-deterministic."""
+    twin so its output stays bit-deterministic.
+
+    Both pair sets are tracked-persisted: each feeds three consumers
+    (hit join, stray join, count), and without the cache the n^2 twin
+    re-executes per consumer (measured at sf1.0: three 2e8-pair passes)."""
+    from ..caching import tracked_persist
+
     emb = load_table(spark, "embeddings", sf_dir)
-    exact = _exact_cos_pairs(emb).select("a", "b")
-    lsh = lsh_near_dup_pairs(emb, dim=64, threshold=0.4).select("a", "b")
+    exact = tracked_persist(_exact_cos_pairs(emb).select("a", "b"))
+    lsh = tracked_persist(
+        lsh_near_dup_pairs(emb, dim=64, threshold=0.4).select("a", "b")
+    )
     hits = lsh.join(exact, ["a", "b"])
     strays = lsh.join(exact, ["a", "b"], "left_anti")
     return (
@@ -505,10 +513,12 @@ def semantic_dedup_recall_certificate(spark: SparkSession, sf_dir: str) -> DataF
     whose equality to the cross join breaks down at sf1.0 -- see
     embedding_near_dups_lsh); the oracle recomputes the exact pair
     count so a regression on either side flips the certificate."""
+    from ..caching import tracked_persist
     from ..operators.similarity import cluster_candidate_pairs
 
     emb = load_table(spark, "embeddings", sf_dir)
-    exact = _exact_cos_pairs(emb).select("a", "b")
+    # two consumers (hit join + count): cache or the n^2 twin re-executes
+    exact = tracked_persist(_exact_cos_pairs(emb).select("a", "b"))
     clustered = cluster_candidate_pairs(emb, dim=64, threshold=0.4).select("a", "b")
     hits = exact.join(clustered, ["a", "b"])
     return (
