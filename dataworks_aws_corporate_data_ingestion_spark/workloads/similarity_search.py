@@ -450,14 +450,18 @@ _install_hybrid_oracle()
     "semantic_dedup_survivors",
     tags=("dedup", "vectors", "semantic-dedup", "graph"),
     oracle=f"""
-        WITH RECURSIVE {_V_CTE}, pairs AS (
+        WITH RECURSIVE {_V_CTE}, pairs AS MATERIALIZED (
+            -- MATERIALIZED: sym reads pairs twice and the recursive
+            -- closure re-reads sym per iteration; inlined, the n^2
+            -- cosine scan re-evaluates each time (r8 lesson -- measured
+            -- 38+ CPU-min at sf1.0 before pinning vs ~20s for one scan)
             SELECT a, b FROM (
                 SELECT a.vec_id AS a, b.vec_id AS b,
                        {_pair_cos("a", "b")} AS cosine_sim
                 FROM v a, v b
                 WHERE a.vec_id < b.vec_id
             ) WHERE cosine_sim >= 0.4
-        ), sym AS (
+        ), sym AS MATERIALIZED (
             SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
         ), reach AS (
             SELECT a AS node, b AS r FROM sym
