@@ -9,15 +9,22 @@ by re-running tools/pin_plan_shas.py in the same commit.  Anything else
 failing here means the code started asking the engine for a different
 plan -- the regression class no amount of timing noise can hide.
 
-Uses the engine session (get_session) because bench.py does: plan shapes
-depend on session confs, and the pin must fingerprint the plans the
-bench actually times.
+Runs tools/pin_plan_shas.py --check in a SUBPROCESS, not in the pytest
+process: plan fingerprints depend on session confs (the shuffle-partition
+count is written into every Exchange hashpartitioning node), and the
+suite's shared session is deliberately small (local[4], 4 shuffle
+partitions) -- getOrCreate inside this process would fingerprint the
+test harness's plans, not the plans bench.py times in its own process.
+First caught as an order-dependent full-suite failure: green in
+isolation (fresh engine session), red after any test had created the
+conftest session.
 """
 
 from __future__ import annotations
 
-import json
 import os
+import subprocess
+import sys
 
 import pytest
 
@@ -26,29 +33,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 @pytest.mark.slow
 def test_benched_plan_shas_match_committed_pin():
-    with open(os.path.join(REPO, "PLAN_SHAS.json")) as f:
-        pin = json.load(f)
-
-    from dataworks_aws_corporate_data_ingestion_spark.session import get_session
-    from tools.pin_plan_shas import compute_plan_shas
-
-    spark = get_session(app_name="cdi-plan-pin-test")
-    spark.sparkContext.setLogLevel("ERROR")
-    got = compute_plan_shas(spark, pin["sf_dir"])
-
-    want = pin["plan_shas"]
-    missing = sorted(set(want) - set(got))
-    unpinned = sorted(set(got) - set(want))
-    changed = {
-        k: {"pinned": want[k], "now": got[k]}
-        for k in set(want) & set(got)
-        if want[k] != got[k]
-    }
-    assert not missing and not unpinned and not changed, (
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "pin_plan_shas.py"), "--check"],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0 and "PLAN_PIN_OK" in proc.stdout, (
         "benched plan fingerprints drifted from PLAN_SHAS.json -- if the "
         "plan change is intended, re-run tools/pin_plan_shas.py and commit "
         "the new table with this change.\n"
-        f"no-longer-benched-but-pinned: {missing}\n"
-        f"benched-but-unpinned: {unpinned}\n"
-        f"changed: {json.dumps(changed, indent=1)}"
+        f"stdout:\n{proc.stdout}\nstderr (tail):\n{proc.stderr[-2000:]}"
     )

@@ -70,17 +70,53 @@ def compute_plan_shas(spark, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, str]:
 
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    p.add_argument("--sf-dir", default=None)
+    p.add_argument(
+        "--check",
+        action="store_true",
+        help="recompute and DIFF against the committed PLAN_SHAS.json "
+        "instead of rewriting it; exit 1 with a per-entry diff on drift. "
+        "Must run in its own process: plan fingerprints depend on session "
+        "confs (shuffle partitions land in Exchange nodes), so a session "
+        "inherited from another harness measures that harness, not bench.",
+    )
     args = p.parse_args()
+
+    pin = None
+    if args.check:
+        with open(PIN_PATH) as f:
+            pin = json.load(f)
+    sf_dir = args.sf_dir or (pin["sf_dir"] if pin else DEFAULT_SF_DIR)
 
     from dataworks_aws_corporate_data_ingestion_spark.session import get_session
 
     spark = get_session(app_name="cdi-plan-pin")
     spark.sparkContext.setLogLevel("ERROR")
-    shas = compute_plan_shas(spark, args.sf_dir)
+    shas = compute_plan_shas(spark, sf_dir)
     spark.stop()
+
+    if args.check:
+        want = pin["plan_shas"]
+        missing = sorted(set(want) - set(shas))
+        unpinned = sorted(set(shas) - set(want))
+        changed = {
+            k: {"pinned": want[k], "now": shas[k]}
+            for k in set(want) & set(shas)
+            if want[k] != shas[k]
+        }
+        if missing or unpinned or changed:
+            print(
+                "PLAN_PIN_DRIFT\n"
+                f"no-longer-benched-but-pinned: {missing}\n"
+                f"benched-but-unpinned: {unpinned}\n"
+                f"changed: {json.dumps(changed, indent=1)}"
+            )
+            return 1
+        print(f"PLAN_PIN_OK {len(shas)} entries match {PIN_PATH}")
+        return 0
+
     with open(PIN_PATH, "w") as f:
-        json.dump({"sf_dir": args.sf_dir, "plan_shas": shas}, f, indent=1, sort_keys=True)
+        json.dump({"sf_dir": sf_dir, "plan_shas": shas}, f, indent=1, sort_keys=True)
     print(f"wrote {PIN_PATH}: {len(shas)} entries")
     return 0
 
