@@ -31,6 +31,7 @@ for i in $(seq 0 $((N - 1))); do
   mkdir -p "$WORK"
   (
     cd "$WORK" &&
+    PYTHONPATH="$REPO" \
     SPARK_GRAFT_SIM_DRIVER_MEM=12g \
     SPARK_GRAFT_SIM_CPUS=8 \
     SPARK_GRAFT_SIM_MAX_PARTITION_BYTES=8m \
@@ -50,8 +51,10 @@ done
 python3 - <<EOF
 import json
 merged = {}
+# NB: \$i would be expanded by the SHELL inside this unquoted heredoc
+# (to the stale outer loop variable); build the chunk paths in python.
 for i in range($N):
-    with open("${OUT_PREFIX}_chunk$i.json") as f:
+    with open("${OUT_PREFIX}_chunk" + str(i) + ".json") as f:
         merged.update(json.load(f))
 with open("${OUT_PREFIX}_merged.json", "w") as f:
     json.dump(merged, f, indent=1, sort_keys=True)
