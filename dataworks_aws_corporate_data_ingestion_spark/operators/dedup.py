@@ -239,7 +239,17 @@ def near_dup_pairs_minhash(
             F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles")
         )
     )
-    signed = minhash_signatures(with_shingles)
+    # persist the SIGNATURES too, not just the shingles: the bucket
+    # self-join below executes its left and right side independently, so
+    # an unpersisted signature frame pays the (dominant) minhash pandas
+    # UDF once per side -- the r10 before-plan shows two ArrowEvalPython
+    # nodes for one logical signing.  (id, signature) rows are 8 + 8*64
+    # bytes regardless of document size, far smaller than the shingle
+    # cache that was already accepted.  Plan after: one ArrowEvalPython
+    # under an InMemoryRelation both join sides scan.
+    signed = tracked_persist(
+        minhash_signatures(with_shingles).select(F.col(id_col), "signature")
+    )
     buckets = lsh_band_buckets(signed, id_col=id_col, bands=bands, rows=rows)
     candidates = lsh_candidate_pairs(
         buckets, id_col=id_col, max_bucket_size=max_bucket_size
@@ -284,15 +294,24 @@ def near_dup_pairs_minhash_incremental(
     )
     corpus_sh, delta_sh = shingled(corpus), shingled(delta)
     all_sh = corpus_sh.unionByName(delta_sh)
-    buckets = lambda sh: lsh_band_buckets(  # noqa: E731
-        minhash_signatures(sh), id_col=id_col, bands=bands, rows=rows
+    # sign each side ONCE: the delta's signatures feed both the delta
+    # bucket frame and the union bucket frame, and signing a union is
+    # row-wise identical to unioning the signed sides -- so persist the
+    # (small) delta signatures and build the union's buckets from
+    # signed frames instead of re-running the signature UDF over the
+    # delta inside buckets(all_sh) (r10 optimization; the corpus side
+    # is signed once either way and is NOT cached -- single consumer).
+    sign = lambda sh: minhash_signatures(sh).select(  # noqa: E731
+        F.col(id_col), "signature"
     )
-    delta_buckets = buckets(delta_sh).select(
-        F.col(id_col).alias("d"), "band_id", "band_hash"
-    )
-    union_buckets = buckets(all_sh).select(
-        F.col(id_col).alias("o"), "band_id", "band_hash"
-    )
+    delta_signed = tracked_persist(sign(delta_sh))
+    union_signed = sign(corpus_sh).unionByName(delta_signed)
+    delta_buckets = lsh_band_buckets(
+        delta_signed, id_col=id_col, bands=bands, rows=rows
+    ).select(F.col(id_col).alias("d"), "band_id", "band_hash")
+    union_buckets = lsh_band_buckets(
+        union_signed, id_col=id_col, bands=bands, rows=rows
+    ).select(F.col(id_col).alias("o"), "band_id", "band_hash")
     candidates = (
         union_buckets.join(delta_buckets, ["band_id", "band_hash"])
         .filter(F.col("d") != F.col("o"))
@@ -745,19 +764,26 @@ def simhash_signatures_hex(
     )
     v = F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast("long")
     per_tok = tok.select(F.col(id_col), v.alias("__v"))
+    # sum the raw BITS, not the +/-1 terms: with n_b = count(tokens),
+    # sum((bit)*2-1) > 0  <=>  2*sum(bit) > n_b, so one shared count
+    # replaces a multiply+subtract inside all `bits` sum expressions --
+    # ~2x less per-row aggregate arithmetic on the operator's hot path
+    # (r10 optimization, guide section 1.2 step 2: per-task work; the
+    # entry is executor-CPU-bound).  Signatures are bit-identical.
     sums = per_tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
             F.sum(
-                F.shiftrightunsigned(F.col("__v"), b).bitwiseAND(F.lit(1)) * 2 - 1
+                F.shiftrightunsigned(F.col("__v"), b).bitwiseAND(F.lit(1))
             ).alias(f"__s{b}")
             for b in range(bits)
-        ]
+        ],
     )
     sig = None
     for b in range(bits):
-        term = F.when(F.col(f"__s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        term = F.when(
+            F.col(f"__s{b}") * 2 > F.col("__n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return sums.select(F.col(id_col), sig.alias(out_col))
 

@@ -99,6 +99,12 @@ def score_documents_bigram_lm(
     """
     docs = fan_out(docs)
     unigrams, bigram_counts = train_bigram_lm(docs, text_col)
+    # NOT cached on purpose (r10 optimization note): the unigram table
+    # feeds both the w1 join and the vocab-count aggregate, but those
+    # consumers share one identical aggregate exchange and AQE's runtime
+    # exchange reuse already runs it once -- measured: tracked_persist
+    # of the two count tables RAISED executor CPU 11.3s -> 27s (cache
+    # build + columnar scan replaced free shuffle-stage reuse).
     return score_documents_against_lm(
         docs, unigrams, bigram_counts, text_col=text_col, id_col=id_col
     )

@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
 from ..partitioning import fan_out
 
 N_GRAM = 8
@@ -161,7 +162,15 @@ def mask_duplicated_spans(
     array against the document's (few) merged spans -- codegen, no
     second explode, no per-token join.
     """
-    positions = ngram_positions(docs, text_col, id_col, n)
+    # persist the window-position stream: duplicated_spans consumes it
+    # twice (the gram-frequency aggregate and the dup-position join),
+    # and the two consumers shuffle DIFFERENT shapes (partial distinct
+    # aggregates vs raw rows / broadcast-join map side), so runtime
+    # exchange reuse cannot deduplicate the n-gram enumeration + md5
+    # gram hashing -- the operator's dominant CPU (r10 optimization;
+    # same class as the minhash signature persist).  Rows are
+    # (doc_id, pos, 8-byte gram_key), never the gram text.
+    positions = tracked_persist(ngram_positions(docs, text_col, id_col, n))
     spans = duplicated_spans(positions, min_docs, n).groupBy("doc_id").agg(
         F.sort_array(
             F.collect_list(F.struct("span_start", "span_end"))

@@ -37,7 +37,7 @@ from ..operators.cms import cms_sketch
 from .admission import (
     admit_ledger_once,
     append_once,
-    batch_content_token,
+    batch_token_and_measure,
     compact_index,
     init_state_tables,
     read_ledger_total,
@@ -80,11 +80,13 @@ def admit_cms_batch(
     ledger accumulate weight MASS -- the weighted CMS over a stream
     (cf. admit_mg_batch(weight_col=)); a prefix must use one mode
     consistently."""
-    token = (
-        batch_token
-        if batch_token is not None
-        else batch_content_token(batch_df, id_col or key_col)
-    )
+    if batch_token is not None:
+        token, measure = batch_token, None
+    else:
+        # one scan yields both the replay token and the ledger measure
+        token, measure = batch_token_and_measure(
+            batch_df, id_col or key_col, weight_col
+        )
     refresh_state_tables(spark, f"{prefix}_cms", f"{prefix}_meta")
 
     def _cell_rows() -> list[tuple]:
@@ -98,7 +100,8 @@ def admit_cms_batch(
 
     append_once(spark, f"{prefix}_cms", _CMS_SCHEMA, token, _cell_rows)
     admit_ledger_once(
-        spark, f"{prefix}_meta", token, batch_df, weight_col=weight_col
+        spark, f"{prefix}_meta", token, batch_df, weight_col=weight_col,
+        measure=measure,
     )
     refresh_state_tables(spark, f"{prefix}_cms", f"{prefix}_meta")
     return token

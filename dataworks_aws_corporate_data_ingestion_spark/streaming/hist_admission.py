@@ -49,7 +49,7 @@ from ..operators.histsketch import daily_histogram
 from .admission import (
     admit_ledger_once,
     append_once,
-    batch_content_token,
+    batch_token_and_measure,
     compact_index,
     init_state_tables,
     read_ledger_total,
@@ -90,11 +90,11 @@ def admit_hist_batch(
     a sketch, never the batch itself) so it is collected and written as
     one small append together with its commit marker, like the MG
     candidate appends."""
-    token = (
-        batch_token
-        if batch_token is not None
-        else batch_content_token(batch_df, id_col)
-    )
+    if batch_token is not None:
+        token, measure = batch_token, None
+    else:
+        # one scan yields both the replay token and the ledger measure
+        token, measure = batch_token_and_measure(batch_df, id_col)
     refresh_state_tables(spark, f"{prefix}_hist", f"{prefix}_meta")
 
     def _bin_rows() -> list[tuple]:
@@ -106,7 +106,9 @@ def admit_hist_batch(
         return rows
 
     append_once(spark, f"{prefix}_hist", _HIST_SCHEMA, token, _bin_rows)
-    admit_ledger_once(spark, f"{prefix}_meta", token, batch_df)
+    admit_ledger_once(
+        spark, f"{prefix}_meta", token, batch_df, measure=measure
+    )
     refresh_state_tables(spark, f"{prefix}_hist", f"{prefix}_meta")
     return token
 

@@ -58,7 +58,7 @@ from ..operators.heavyhitters import _mg_reduce, mg_summary
 from .admission import (
     admit_ledger_once,
     append_once,
-    batch_content_token,
+    batch_token_and_measure,
     compact_index,
     init_state_tables,
     read_ledger_total,
@@ -103,11 +103,13 @@ def admit_mg_batch(
     are collected -- candidate-set-sized, never the batch itself -- and
     merged driver-side with the MG reduce rule before the append, so
     each admitted batch contributes at most k real rows."""
-    token = (
-        batch_token
-        if batch_token is not None
-        else batch_content_token(batch_df, id_col or key_col)
-    )
+    if batch_token is not None:
+        token, measure = batch_token, None
+    else:
+        # one scan yields both the replay token and the ledger measure
+        token, measure = batch_token_and_measure(
+            batch_df, id_col or key_col, weight_col
+        )
     refresh_state_tables(spark, f"{prefix}_mg", f"{prefix}_meta")
 
     def _mg_rows() -> list[tuple]:
@@ -128,7 +130,8 @@ def admit_mg_batch(
 
     append_once(spark, f"{prefix}_mg", _MG_SCHEMA, token, _mg_rows)
     admit_ledger_once(
-        spark, f"{prefix}_meta", token, batch_df, weight_col=weight_col
+        spark, f"{prefix}_meta", token, batch_df, weight_col=weight_col,
+        measure=measure,
     )
     refresh_state_tables(spark, f"{prefix}_mg", f"{prefix}_meta")
     return token

@@ -191,7 +191,19 @@ def cross_corpus_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     are what the bitset and the verify join carry: 16 bytes/doc."""
     docs = load_table(spark, "documents", sf_dir)
     fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " ")))
-    nrm = docs.select("doc_id", "source", fp.alias("fp"))
+    # persist the FINGERPRINT frame (doc_id, source, 32-hex fp -- tens
+    # of bytes/row, never the text): bloom_classify's two output
+    # branches (bloom-negative passthrough + positive verify join) and
+    # the reference side's two consumers (bitset build + verify keys)
+    # re-execute this lineage map-side with NO exchange between them,
+    # so runtime exchange reuse cannot deduplicate the full text scan +
+    # normalise + md5 the way it does for aggregate subtrees (r10
+    # optimization; same class as the minhash signature persist -- at
+    # corpus scale this converts extra full-text passes into
+    # fingerprint-cache reads).
+    from ..caching import tracked_persist
+
+    nrm = tracked_persist(docs.select("doc_id", "source", fp.alias("fp")))
     ref = nrm.filter(F.col("source").isin(_REF_SOURCES))
     delta = nrm.filter(~F.col("source").isin(_REF_SOURCES)).unionByName(
         ref.filter(F.col("doc_id") % 5 == 0).select(
@@ -431,7 +443,15 @@ def mg_admission_streaming_certificate(
         spark, stream, "mg_adm",
         key_expr=F.col("key"), k=_MG_K,
     )
-    n_total = e.count()
+    # the ledger total IS the corpus count: heavy_hitters_from_state just
+    # recounted the corpus and raised unless the two agree, so reading
+    # the (single-row-aggregate) ledger here replaces a third full
+    # corpus scan with a kilobyte table read (r10 optimization, guide
+    # section 1.2) -- the value, and therefore every share_bps, is
+    # unchanged by construction
+    from ..streaming.admission import read_ledger_total
+
+    n_total = read_ledger_total(spark, "mg_adm_meta")
     parts = F.split(F.col("key"), "\\|")
     return (
         heavy.select(
@@ -1378,11 +1398,19 @@ def cms_point_frequency_estimates(
         ).alias("key")
     )
     sketch = cms_sketch(keyed, "key", _CMS_W, _CMS_D)
-    probes = keyed.distinct()
-    est = cms_point_estimates(sketch, probes, "key", _CMS_W, _CMS_D)
+    # the probe set IS the exact-count table's key column: deriving it
+    # from `tru` folds the separate keyed.distinct() corpus scan into
+    # the exact-count pass -- the two consumers of `tru` then share one
+    # identical aggregate exchange, which AQE's runtime exchange reuse
+    # executes once (no cache needed; see the bigram-LM note for why a
+    # persist here would cost more than stage reuse).  3 corpus scans
+    # -> 2 (r10 optimization, guide section 1.2); identical rows:
+    # distinct keys == group-by keys.
     tru = keyed.groupBy("key").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_true")
     )
+    probes = tru.select("key")
+    est = cms_point_estimates(sketch, probes, "key", _CMS_W, _CMS_D)
     return (
         est.join(tru, "key")
         .select(

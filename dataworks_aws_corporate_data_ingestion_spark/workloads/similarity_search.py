@@ -87,6 +87,11 @@ def _recall_certificate(
     oracle states the contract (all queries present, k pairs each,
     recall holds), and a recall regression flips recall_ok to false and
     hash-mismatches."""
+    # NOT cached on purpose (r10 optimization note): the exact side is
+    # consumed twice (hit join + pair-count agg), but its two identical
+    # window subtrees share one exchange that AQE's runtime exchange
+    # reuse executes once -- measured: a tracked_persist here read 0.3s
+    # SLOWER on ann_ivf_topk (cache build on top of free stage reuse).
     ex = exact.select("query_id", "neighbor_id")
     hits = approx.select("query_id", "neighbor_id").join(
         ex, ["query_id", "neighbor_id"]

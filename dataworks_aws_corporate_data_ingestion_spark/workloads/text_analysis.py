@@ -349,6 +349,14 @@ def bm25_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, "documents", sf_dir)
+    # NOT cached on purpose (r10 optimization note): the four consumers
+    # of the postings lineage (dims + matched filter) all sit above the
+    # SAME postings aggregate exchange, and AQE's runtime exchange reuse
+    # already deduplicates identical exchanges into one shared shuffle
+    # stage -- measured: adding a tracked_persist here RAISED executor
+    # CPU 11.4s -> 16.2s (cache build + columnar scan cost on top of
+    # what stage reuse gave for free).  The repeat-search production
+    # shape stays bm25_search_bucketed's materialised catalog index.
     postings = build_postings(docs)
     return bm25_search(
         postings, term_stats(postings), corpus_stats(postings), _SEARCH_TERMS
