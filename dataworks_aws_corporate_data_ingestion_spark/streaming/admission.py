@@ -40,9 +40,11 @@ from pyspark.sql import functions as F
 __all__ = [
     "batch_content_token",
     "batch_token_and_measure",
+    "batch_admission_state",
     "refresh_state_tables",
     "init_state_tables",
     "token_committed",
+    "tokens_committed",
     "append_once",
     "ledger_measure",
     "admit_ledger_once",
@@ -103,6 +105,31 @@ def batch_token_and_measure(
     guide section 1.2, remove passes before tuning per-task work --
     measured one full slice scan + job per admitted micro-batch in
     mg_admission_streaming_certificate)."""
+    token, measure, _ = batch_admission_state(
+        batch_df.sparkSession, batch_df, id_col, weight_col
+    )
+    return token, measure
+
+
+def batch_admission_state(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str | None = None,
+    *tables: str,
+) -> tuple[int, int, set[str]]:
+    """(batch token, ledger measure, subset of `tables` already holding
+    the token) from ONE job.
+
+    The token aggregate (sum/xor/count of per-id xxhash64, blake2b
+    finalised driver-side -- bit-identical to what batch_content_token
+    always produced) is unioned with each state table's DISTINCT marker
+    tokens, so an admission round's three read jobs (token scan, then a
+    marker probe per table) collapse into one (r10 optimization, guide
+    section 1.2).  Membership is decided driver-side because the token
+    only exists after the blake2b finalisation; the distinct token sets
+    are ledger-sized (one per admitted batch -- the same table
+    read_ledger_total already sums over)."""
     import hashlib
     import struct as _struct
 
@@ -114,19 +141,49 @@ def batch_token_and_measure(
         F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
         F.expr("bit_xor(h)").alias("x"),
         F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("__w").cast("bigint") if weight_col else F.lit(None).cast("bigint")
+        ).alias("w"),
     ]
-    if weight_col:
-        aggs.append(F.sum("__w").cast("bigint").alias("w"))
-    row = hashed.agg(*aggs).collect()[0]
-    s = int(row.s or 0) % (1 << 64)
-    x = int(row.x or 0) & ((1 << 64) - 1)
-    n = int(row.n or 0)
+    probe = hashed.agg(*aggs).select(
+        F.lit(0).alias("__t"), "s", "x", "n", "w"
+    )
+    for i, table in enumerate(tables, start=1):
+        # .distinct() kept deliberately: a map-only union variant (dedup
+        # driver-side) measured SLOWER and unstable (12-24s vs 6.3-8.5s
+        # best-of-5) -- the two tiny extra shuffle stages are cheaper
+        # than shipping every marker row through one collect
+        probe = probe.unionAll(
+            spark.table(table)
+            .select("batch_token")
+            .distinct()
+            .select(
+                F.lit(i).alias("__t"),
+                F.lit(None).cast("decimal(38,0)").alias("s"),
+                F.col("batch_token").alias("x"),
+                F.lit(None).cast("bigint").alias("n"),
+                F.lit(None).cast("bigint").alias("w"),
+            )
+        )
+    seen: dict[int, set[int]] = {}
+    agg_row = None
+    for r in probe.collect():
+        if r["__t"] == 0:
+            agg_row = r
+        elif r["x"] is not None:
+            seen.setdefault(r["__t"], set()).add(int(r["x"]))
+    s = int(agg_row["s"] or 0) % (1 << 64)
+    x = int(agg_row["x"] or 0) & ((1 << 64) - 1)
+    n = int(agg_row["n"] or 0)
     digest = hashlib.blake2b(
         _struct.pack("<QQQ", s, x, n), digest_size=8
     ).digest()
     token = _struct.unpack("<Q", digest)[0] % (1 << 62)
-    measure = int(row.w or 0) if weight_col else n
-    return token, measure
+    measure = int(agg_row["w"] or 0) if weight_col else n
+    done = {
+        t for i, t in enumerate(tables, start=1) if token in seen.get(i, ())
+    }
+    return token, measure, done
 
 
 def init_state_tables(spark: SparkSession, schemas: dict[str, str]) -> None:
@@ -156,13 +213,31 @@ def token_committed(
     spark: SparkSession, table: str, batch_token: int
 ) -> bool:
     """True iff the table already holds this batch's commit marker."""
-    return (
-        spark.table(table)
-        .filter(F.col("batch_token") == F.lit(batch_token))
-        .limit(1)
-        .count()
-        > 0
-    )
+    return table in tokens_committed(spark, batch_token, table)
+
+
+def tokens_committed(
+    spark: SparkSession, batch_token: int, *tables: str
+) -> set[str]:
+    """The subset of `tables` that already hold this batch's commit
+    marker, probed in ONE job: each table contributes a limit-1 marker
+    scan and the branches are unioned with a table tag.  An admission
+    round over two state tables pays one job launch instead of two --
+    the probes are kilobyte scans whose cost IS the job, not the bytes
+    (r10 optimization, guide section 1.2).  Equivalent to per-table
+    token_committed calls under the framework's caller contract (no
+    concurrent admitters of one prefix)."""
+    probe = None
+    for i, table in enumerate(tables):
+        branch = (
+            spark.table(table)
+            .filter(F.col("batch_token") == F.lit(batch_token))
+            .select(F.lit(i).alias("__t"))
+            .limit(1)
+        )
+        probe = branch if probe is None else probe.unionAll(branch)
+    hit = {r["__t"] for r in probe.collect()}
+    return {t for i, t in enumerate(tables) if i in hit}
 
 
 def append_once(
@@ -171,17 +246,41 @@ def append_once(
     schema: str,
     batch_token: int,
     rows_fn: Callable[[], list[tuple]],
+    committed: bool | None = None,
 ) -> bool:
     """Append rows_fn()'s rows iff the token is absent; returns whether
     the append ran.  rows_fn must include the family's commit-marker row
     (the marker column layout is per-table) and is only evaluated when
-    the append is needed, so replays skip the partial computation too."""
-    if token_committed(spark, table, batch_token):
+    the append is needed, so replays skip the partial computation too.
+
+    Pass `committed` when the caller already probed the marker (e.g. a
+    batched tokens_committed over all the round's tables) to skip the
+    per-table probe job.  The appended rows are a driver-local bounded
+    list (the protocol's invariant), so the write runs as ONE task
+    writing one file instead of defaultParallelism near-empty ones --
+    plain createDataFrame slices the list across the full parallelism
+    and each admitted batch paid a 32-task commit for kilobytes of
+    state.  NOT .coalesce(1): on a Python-parallelized local relation
+    that plans one task which pulls all 32 pickled slices through the
+    Python worker SERIALLY (measured 6-8s per append vs 0.4-0.6s for a
+    single-slice parallelize) -- r10 optimization."""
+    if committed is None:
+        committed = token_committed(spark, table, batch_token)
+    if committed:
         return False
-    spark.createDataFrame(rows_fn(), schema).write.mode("append").format(
+    _one_slice_df(spark, rows_fn(), schema).write.mode("append").format(
         "parquet"
     ).saveAsTable(table)
     return True
+
+
+def _one_slice_df(spark: SparkSession, rows: list[tuple], schema: str):
+    """A DataFrame over driver-local rows as ONE partition (one write
+    task, one output file): parallelize(rows, 1) instead of the default
+    defaultParallelism slicing."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
 
 
 def ledger_measure(batch_df: DataFrame, weight_col: str | None = None) -> int:
@@ -202,11 +301,13 @@ def admit_ledger_once(
     batch_df: DataFrame,
     weight_col: str | None = None,
     measure: int | None = None,
+    committed: bool | None = None,
 ) -> bool:
     """Append the (n_rows, batch_token) ledger row iff absent.  Pass
     `measure` when the caller already holds the batch's ledger
     contribution (batch_token_and_measure computes it in the token
-    scan) to skip re-scanning the batch."""
+    scan) to skip re-scanning the batch, and `committed` when the
+    caller already probed the marker (tokens_committed)."""
     return append_once(
         spark,
         meta_table,
@@ -220,6 +321,7 @@ def admit_ledger_once(
                 batch_token,
             )
         ],
+        committed=committed,
     )
 
 
@@ -251,20 +353,27 @@ def compact_index(
     flight (caller contract).  Returns {rows_before, rows_after}."""
     refresh_state_tables(spark, table)
     t = spark.table(table)
-    rows_before = t.count()
+    # rows_before and the distinct marker-token set come from ONE
+    # aggregate job (they used to be a count job plus a distinct+collect
+    # job over the same kilobyte table -- r10 optimization, guide
+    # section 1.2); sorted() keeps the marker-row order deterministic,
+    # which .distinct().collect() never guaranteed anyway.
+    meta = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_set("batch_token").alias("toks"),
+    ).collect()[0]
+    rows_before = int(meta["n"])
+    tokens = sorted(int(tok) for tok in meta["toks"] if tok is not None)
     data_rows = fold_fn(t.filter(F.col(data_col).isNotNull()))
-    tokens = [
-        int(r["batch_token"])
-        for r in t.select("batch_token").distinct().collect()
-        if r["batch_token"] is not None
-    ]
     rows = data_rows + [marker_fn(tok) for tok in tokens]
     # `rows` is a driver-local list (fold_fn and the token scan already
     # collected), so the overwrite has NO lineage on the table being
     # replaced -- the eager localCheckpoint that used to sit here
     # insured against a dependency that cannot exist, at the cost of a
     # full extra job + cached blocks per compaction (r10 optimization).
-    compacted = spark.createDataFrame(rows, schema)
+    # Single-slice: the folded state is bounded driver-local rows; one
+    # task, one file, instead of defaultParallelism near-empty files.
+    compacted = _one_slice_df(spark, rows, schema)
     compacted.write.mode("overwrite").format("parquet").saveAsTable(table)
     refresh_state_tables(spark, table)
     return {"rows_before": rows_before, "rows_after": len(rows)}

@@ -37,11 +37,12 @@ from ..operators.cms import cms_sketch
 from .admission import (
     admit_ledger_once,
     append_once,
-    batch_token_and_measure,
+    batch_admission_state,
     compact_index,
     init_state_tables,
     read_ledger_total,
     refresh_state_tables,
+    tokens_committed,
 )
 
 _CMS_SCHEMA = "row int, col long, c long, batch_token long"
@@ -80,14 +81,16 @@ def admit_cms_batch(
     ledger accumulate weight MASS -- the weighted CMS over a stream
     (cf. admit_mg_batch(weight_col=)); a prefix must use one mode
     consistently."""
+    refresh_state_tables(spark, f"{prefix}_cms", f"{prefix}_meta")
     if batch_token is not None:
         token, measure = batch_token, None
+        done = tokens_committed(spark, token, f"{prefix}_cms", f"{prefix}_meta")
     else:
-        # one scan yields both the replay token and the ledger measure
-        token, measure = batch_token_and_measure(
-            batch_df, id_col or key_col, weight_col
+        # ONE job: replay token + ledger measure + both marker sets (r10)
+        token, measure, done = batch_admission_state(
+            spark, batch_df, id_col or key_col, weight_col,
+            f"{prefix}_cms", f"{prefix}_meta",
         )
-    refresh_state_tables(spark, f"{prefix}_cms", f"{prefix}_meta")
 
     def _cell_rows() -> list[tuple]:
         part = cms_sketch(
@@ -98,10 +101,13 @@ def admit_cms_batch(
         rows.append((None, None, 0, token))  # commit marker
         return rows
 
-    append_once(spark, f"{prefix}_cms", _CMS_SCHEMA, token, _cell_rows)
+    append_once(
+        spark, f"{prefix}_cms", _CMS_SCHEMA, token, _cell_rows,
+        committed=f"{prefix}_cms" in done,
+    )
     admit_ledger_once(
         spark, f"{prefix}_meta", token, batch_df, weight_col=weight_col,
-        measure=measure,
+        measure=measure, committed=f"{prefix}_meta" in done,
     )
     refresh_state_tables(spark, f"{prefix}_cms", f"{prefix}_meta")
     return token

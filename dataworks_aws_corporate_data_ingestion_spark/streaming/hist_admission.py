@@ -49,11 +49,12 @@ from ..operators.histsketch import daily_histogram
 from .admission import (
     admit_ledger_once,
     append_once,
-    batch_token_and_measure,
+    batch_admission_state,
     compact_index,
     init_state_tables,
     read_ledger_total,
     refresh_state_tables,
+    tokens_committed,
 )
 
 _HIST_SCHEMA = "day date, bin long, n long, batch_token long"
@@ -90,12 +91,18 @@ def admit_hist_batch(
     a sketch, never the batch itself) so it is collected and written as
     one small append together with its commit marker, like the MG
     candidate appends."""
+    refresh_state_tables(spark, f"{prefix}_hist", f"{prefix}_meta")
     if batch_token is not None:
         token, measure = batch_token, None
+        done = tokens_committed(
+            spark, token, f"{prefix}_hist", f"{prefix}_meta"
+        )
     else:
-        # one scan yields both the replay token and the ledger measure
-        token, measure = batch_token_and_measure(batch_df, id_col)
-    refresh_state_tables(spark, f"{prefix}_hist", f"{prefix}_meta")
+        # ONE job: replay token + ledger measure + both marker sets (r10)
+        token, measure, done = batch_admission_state(
+            spark, batch_df, id_col, None,
+            f"{prefix}_hist", f"{prefix}_meta",
+        )
 
     def _bin_rows() -> list[tuple]:
         part = daily_histogram(
@@ -105,9 +112,13 @@ def admit_hist_batch(
         rows.append((None, None, 0, token))  # commit marker
         return rows
 
-    append_once(spark, f"{prefix}_hist", _HIST_SCHEMA, token, _bin_rows)
+    append_once(
+        spark, f"{prefix}_hist", _HIST_SCHEMA, token, _bin_rows,
+        committed=f"{prefix}_hist" in done,
+    )
     admit_ledger_once(
-        spark, f"{prefix}_meta", token, batch_df, measure=measure
+        spark, f"{prefix}_meta", token, batch_df, measure=measure,
+        committed=f"{prefix}_meta" in done,
     )
     refresh_state_tables(spark, f"{prefix}_hist", f"{prefix}_meta")
     return token

@@ -58,11 +58,12 @@ from ..operators.heavyhitters import _mg_reduce, mg_summary
 from .admission import (
     admit_ledger_once,
     append_once,
-    batch_token_and_measure,
+    batch_admission_state,
     compact_index,
     init_state_tables,
     read_ledger_total,
     refresh_state_tables,
+    tokens_committed,
 )
 
 _MG_SCHEMA = "key string, c long, batch_token long"
@@ -103,14 +104,18 @@ def admit_mg_batch(
     are collected -- candidate-set-sized, never the batch itself -- and
     merged driver-side with the MG reduce rule before the append, so
     each admitted batch contributes at most k real rows."""
+    refresh_state_tables(spark, f"{prefix}_mg", f"{prefix}_meta")
     if batch_token is not None:
         token, measure = batch_token, None
+        done = tokens_committed(spark, token, f"{prefix}_mg", f"{prefix}_meta")
     else:
-        # one scan yields both the replay token and the ledger measure
-        token, measure = batch_token_and_measure(
-            batch_df, id_col or key_col, weight_col
+        # ONE job yields the replay token, the ledger measure AND both
+        # state tables' marker sets (r10: was a token scan plus a probe
+        # job per admitted batch)
+        token, measure, done = batch_admission_state(
+            spark, batch_df, id_col or key_col, weight_col,
+            f"{prefix}_mg", f"{prefix}_meta",
         )
-    refresh_state_tables(spark, f"{prefix}_mg", f"{prefix}_meta")
 
     def _mg_rows() -> list[tuple]:
         sel = [F.col(key_col).alias("key")] + (
@@ -128,10 +133,13 @@ def admit_mg_batch(
         rows.append((None, 0, token))  # commit marker
         return rows
 
-    append_once(spark, f"{prefix}_mg", _MG_SCHEMA, token, _mg_rows)
+    append_once(
+        spark, f"{prefix}_mg", _MG_SCHEMA, token, _mg_rows,
+        committed=f"{prefix}_mg" in done,
+    )
     admit_ledger_once(
         spark, f"{prefix}_meta", token, batch_df, weight_col=weight_col,
-        measure=measure,
+        measure=measure, committed=f"{prefix}_meta" in done,
     )
     refresh_state_tables(spark, f"{prefix}_mg", f"{prefix}_meta")
     return token

@@ -415,8 +415,17 @@ WRITE_BENCHES: dict[str, Callable[[SparkSession, str, str], None]] = {}
 
 def _daily_rows_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shape events as calcParts-style daily rows with pure column exprs
-    (the crypto-path equivalent is benched via cdi_ingest_pipeline)."""
-    e = load_table(spark, "events", sf_dir)
+    (the crypto-path equivalent is benched via cdi_ingest_pipeline).
+
+    fan_out: the single-file parquet scan arrives as ONE partition, and
+    the daily writer's range partitioner executes this child TWICE
+    (boundary sampling + the real shuffle map) -- without it both passes
+    serialise the md5 + to_json work on one core (r10 optimization,
+    guide section 2.5 input skew; fan_out is a no-op on a parallel scan
+    at real scale)."""
+    from .partitioning import fan_out
+
+    e = fan_out(load_table(spark, "events", sf_dir))
     # md5-derived id: uniform across the 256 id_part buckets (see
     # workloads/cdi_pipeline.py)
     id_str = F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 12)
