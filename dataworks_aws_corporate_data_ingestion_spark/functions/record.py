@@ -104,6 +104,19 @@ _FAST_TS = re.compile(
 )
 
 
+# Successful-normalisation cache: validate_record normalises every
+# record's _lastModifiedDateTime TWICE (once wrapping it, once when the
+# recursive walk re-normalises the wrapped value), and real streams
+# repeat timestamps heavily.  The function is pure, so caching results
+# is transparent; failures are NOT cached (they re-raise naturally), and
+# every output is primed as its own fixed point (a canonical '...Z'
+# string re-normalises to itself), which is what turns the per-record
+# double call into one parse (r11 optimization, guide section 4.2
+# per-task work).
+_TS_CACHE: dict = {}
+_TS_CACHE_MAX = 1 << 16
+
+
 def to_utc_wrapped_format(raw: str) -> str:
     """Parse an incoming kafka timestamp and re-emit as UTC with exactly
     3 millisecond digits and a literal Z (reference steps/data.py:291-301).
@@ -115,6 +128,18 @@ def to_utc_wrapped_format(raw: str) -> str:
     as strptime would.  Offsets of 24h+ (which strptime rejects) and any
     other shape (e.g. 6-digit microseconds, which strptime accepts) fall
     through to strptime."""
+    hit = _TS_CACHE.get(raw)
+    if hit is not None:
+        return hit
+    out = _to_utc_wrapped_uncached(raw)
+    if len(_TS_CACHE) >= _TS_CACHE_MAX:
+        _TS_CACHE.clear()
+    _TS_CACHE[raw] = out
+    _TS_CACHE[out] = out  # canonical outputs are fixed points
+    return out
+
+
+def _to_utc_wrapped_uncached(raw: str) -> str:
     m = _FAST_TS.match(raw)
     if m is not None:
         y, mo, d, h, mi, s, ms, tz = m.groups()
@@ -295,6 +320,223 @@ def audit_transform(record: str, envelope_last_modified) -> str:
     the payload's `context` element becomes the whole record, stamped with
     AUDIT_EVENT (from auditType) and TIME_STAMP/TIME_STAMP_ORIG (from the
     envelope's _lastModifiedDateTime; '' when non-primitive)."""
+    return dumps_intermediate(audit_context(record, envelope_last_modified))
+
+
+def finalise_record(record: str) -> str:
+    """Re-parse and emit the canonical form (reference steps/data.py:163-165
+    `utf8_decrypted_record`)."""
+    return canonical_json(loads_fast(record))
+
+
+# Sanitised-key cache: record keys repeat across every record of a
+# collection, so the per-key replace chain runs once per DISTINCT key
+# per worker.  Keys containing a backslash map to the _RISKY sentinel
+# (the record must replay the text pipeline -- see _san_str).
+_RISKY = object()
+_SAN_KEY_CACHE: dict = {}
+_SAN_KEY_CACHE_MAX = 1 << 16
+
+
+def _san_key(k: str, risky: list) -> str:
+    hit = _SAN_KEY_CACHE.get(k)
+    if hit is None:
+        if "\\" in k:
+            hit = _RISKY
+        else:
+            hit = (
+                k.replace("$", "d_")
+                .replace("\x00", "")
+                .replace("_archivedDateTime", "_removedDateTime")
+                .replace("_archived", "_removed")
+            )
+        if len(_SAN_KEY_CACHE) >= _SAN_KEY_CACHE_MAX:
+            _SAN_KEY_CACHE.clear()
+        _SAN_KEY_CACHE[k] = hit
+    if hit is _RISKY:
+        risky[0] = True
+        return k
+    return hit
+
+
+def _san_str(s: str, risky: list) -> str:
+    """Per-string equivalent of sanitise_text's whole-text replaces.
+
+    On the serialised text the four replaces can only ever match INSIDE
+    one string literal (no target contains a quote, colon or comma, and
+    '$'/'_archived...' never appear in escape sequences), so applying
+    them to each decoded string is byte-equivalent to applying them to
+    the dump -- with ONE exception: a decoded string containing a literal
+    backslash serialises it as '\\\\', and the text-level '\\u0000'
+    removal can then match ACROSS the escaped backslash (e.g. a value
+    containing the six characters '\\u0000' serialises as '\\\\u0000',
+    whose tail the removal eats, leaving a dangling escape the re-parse
+    rejects).  Any backslash in a decoded string therefore flags the
+    record `risky`, and the caller replays the exact text pipeline.
+    The '\\x00' character removal below is the value-level twin of the
+    text-level '\\u0000' escape removal (both engines escape NUL exactly
+    that way)."""
+    if "\\" in s:
+        risky[0] = True
+        return s
+    return (
+        s.replace("$", "d_")
+        .replace("\x00", "")
+        .replace("_archivedDateTime", "_removedDateTime")
+        .replace("_archived", "_removed")
+    )
+
+
+def _fuse_value(value, risky: list):
+    """normalise_dates + sanitise in ONE walk over a parsed value: date
+    strings/wrapped dates are normalised exactly as normalise_dates does
+    (same dispatch order, same error points), every other string -- keys
+    included -- gets the per-string sanitise.  '$date' keys are minted
+    directly as 'd_date' (what the text replace would produce).  Date
+    outputs are [0-9T:.Z-] only, so they never need sanitising."""
+    t = type(value)
+    if t is str:
+        lv = len(value)
+        if (lv == 24 or lv == 28) and DATE_PATTERN.match(value):
+            return {"d_date": to_utc_wrapped_format(value)}
+        return _san_str(value, risky)
+    if t is dict:
+        if len(value) == 1:
+            inner = value.get("$date")
+            if inner and isinstance(inner, JSON_PRIMITIVES):
+                return {"d_date": to_utc_wrapped_format(str(inner))}
+        return {
+            _san_key(k, risky): _fuse_value(v, risky)
+            for k, v in value.items()
+        }
+    if t is list:
+        return [_fuse_list_element(v, risky) for v in value]
+    if t is float:
+        if value - value != 0:
+            # NaN/Infinity: the text pipeline's intermediate dump coerces
+            # these to null (orjson) or a non-standard literal (stdlib);
+            # only the replayed text path reproduces that byte-exactly
+            risky[0] = True
+        risky[1] = True  # floats force the stdlib canonical encoder
+    return value
+
+
+def _fuse_list_element(value, risky: list):
+    """_normalise_list_element + sanitise: dict elements skip the
+    wrapped-date check (the reference's double-wrap quirk), exactly as
+    _normalise_list_element does."""
+    t = type(value)
+    if t is dict:
+        return {
+            _san_key(k, risky): _fuse_value(v, risky)
+            for k, v in value.items()
+        }
+    if t is list:
+        return [_fuse_list_element(v, risky) for v in value]
+    if t is str:
+        lv = len(value)
+        if (lv == 24 or lv == 28) and DATE_PATTERN.match(value):
+            return {"d_date": to_utc_wrapped_format(value)}
+        return _san_str(value, risky)
+    if t is float:
+        if value - value != 0:
+            risky[0] = True
+        risky[1] = True
+    return value
+
+
+def process_parsed(obj, db: str = "", collection: str = "") -> tuple[str, bool]:
+    """Fused validate -> sanitise -> finalise over an already-parsed
+    record: ONE tree walk and ONE serialisation instead of the classic
+    dump / whole-text-replace / re-parse / canonical-dump chain (r11
+    optimization, guide section 4.2/1.2 -- the chain was the flagship's
+    dominant Python-side cost after crypto).
+
+    Byte-identical to validate_record + sanitise_text + finalise_record
+    by construction: the walk mirrors normalise_dates' dispatch and
+    error order node for node, sanitise applies per string (see
+    _san_str for why that is equivalent), the '_archivedDateTime' drop
+    still happens AFTER its value is walked (so malformed dates inside
+    it raise exactly as before) and never collides with a real
+    '_removedDateTime' key, and the final dump is the same
+    canonical_json.  Records where per-string sanitise could diverge
+    from the text-level form (backslash in a decoded string, non-finite
+    floats) are replayed through the exact original pipeline.  The
+    equivalence is pinned by tests/test_record.py against the classic
+    chain on adversarial inputs."""
+    is_delete = "_removedDateTime" in obj
+    last_modified = prioritised_last_modified(obj)
+    if last_modified:
+        obj["_lastModifiedDateTime"] = {"$date": to_utc_wrapped_format(last_modified)}
+    drop_archived = "_archivedDateTime" in obj and "_removedDateTime" in obj
+    # risky[0]: per-string sanitise could diverge from the text form --
+    # replay the exact pipeline.  risky[1]: a (finite) float is present,
+    # so the final dump must use the stdlib encoder (orjson formats
+    # float exponents differently: 1e16 vs 1e+16).
+    risky = [False, False]
+    out = {}
+    for k, v in obj.items():
+        if k == "_id":
+            tv = type(v)
+            if tv is str:
+                lv = len(v)
+                if (lv == 24 or lv == 28) and DATE_PATTERN.match(v):
+                    # a date-string _id is normalised, and the result is
+                    # a dict, so the reference's post-normalise primitive
+                    # check does NOT oid-wrap it
+                    nv = {"d_date": to_utc_wrapped_format(v)}
+                else:
+                    nv = {"d_oid": _san_str(v, risky)}
+            elif isinstance(v, JSON_PRIMITIVES):
+                nv = {"d_oid": _san_str(str(v), risky)}
+            else:
+                nv = _fuse_value(v, risky)
+            out[_san_str(k, risky)] = nv
+            continue
+        nv = _fuse_value(v, risky)
+        if k == "_archivedDateTime" and drop_archived:
+            continue  # walked for error parity, then dropped (the pop)
+        out[_san_str(k, risky)] = nv
+    if (db, collection) in UNSUPPORTED_SANITISE_COLLECTIONS:
+        raise NotImplementedError(
+            f"collection {db}:{collection} requires bespoke sanitising"
+        )
+    if risky[0]:
+        # replay the exact text pipeline on the (validate-transformed)
+        # object -- identical to the classic chain step for step
+        obj2 = normalise_dates(obj)
+        if "_archivedDateTime" in obj2 and "_removedDateTime" in obj2:
+            obj2.pop("_archivedDateTime")
+        _id = obj2.get("_id")
+        if isinstance(_id, JSON_PRIMITIVES):
+            obj2["_id"] = {"$oid": str(_id)}
+        ser = sanitise_text(dumps_intermediate(obj2), db, collection)
+        return finalise_record(ser), is_delete
+    if _orjson is not None and not risky[1]:
+        # byte-identical to canonical_json for float-free values: same
+        # compact separators, same UTF-8-order key sort, same escape set
+        # (verified exhaustively in tests); big ints / lone surrogates
+        # raise TypeError and fall back to the stdlib encoder
+        try:
+            return (
+                _orjson.dumps(out, option=_orjson.OPT_SORT_KEYS).decode("utf-8"),
+                is_delete,
+            )
+        except TypeError:
+            pass
+    return canonical_json(out), is_delete
+
+
+def process_record(record: str, db: str = "", collection: str = "") -> tuple[str, bool]:
+    """Fused per-record pass: parse once, walk once, dump once.  See
+    process_parsed."""
+    return process_parsed(loads_fast(record), db, collection)
+
+
+def audit_context(record: str, envelope_last_modified) -> dict:
+    """audit_transform returning the parsed context object instead of a
+    serialisation -- lets the fused pipeline skip the extra dump+parse
+    between the audit unwrap and the validate walk."""
     if isinstance(envelope_last_modified, JSON_PRIMITIVES):
         stamp = str(envelope_last_modified)
     else:
@@ -307,13 +549,7 @@ def audit_transform(record: str, envelope_last_modified) -> str:
     context["AUDIT_EVENT"] = audit_type
     context["TIME_STAMP"] = stamp
     context["TIME_STAMP_ORIG"] = stamp
-    return dumps_intermediate(context)
-
-
-def finalise_record(record: str) -> str:
-    """Re-parse and emit the canonical form (reference steps/data.py:163-165
-    `utf8_decrypted_record`)."""
-    return canonical_json(loads_fast(record))
+    return context
 
 
 @dataclass(frozen=True)

@@ -260,11 +260,17 @@ def payload_udf(audit: bool = False):
     ) -> pd.DataFrame:
         vals, deletes = [], []
         for rec, d, c, s in zip(decrypted, db, collection, stamp):
+            # fused validate+sanitise+finalise: one parse, one walk, one
+            # dump per record (record.process_parsed) instead of the
+            # classic dump/replace/re-parse/dump chain -- byte-identical
+            # by construction, pinned by tests/test_record.py
             if audit and d == "data" and c == "businessAudit":
-                rec = record.audit_transform(rec, s)
-            rec, is_delete = record.validate_record(rec)
-            rec = record.sanitise_text(rec, d or "", c or "")
-            vals.append(record.finalise_record(rec))
+                val, is_delete = record.process_parsed(
+                    record.audit_context(rec, s), d or "", c or ""
+                )
+            else:
+                val, is_delete = record.process_record(rec, d or "", c or "")
+            vals.append(val)
             deletes.append(is_delete)
         return pd.DataFrame({"val": vals, "is_delete": deletes})
 
@@ -315,11 +321,14 @@ def decrypt_process_udf(
                 deletes.append(None)
                 continue
             try:
+                # fused single-pass chain -- see payload_udf
                 if audit and d == "data" and c == "businessAudit":
-                    rec = record.audit_transform(rec, s)
-                rec, is_delete = record.validate_record(rec)
-                rec = record.sanitise_text(rec, d or "", c or "")
-                vals.append(record.finalise_record(rec))
+                    val, is_delete = record.process_parsed(
+                        record.audit_context(rec, s), d or "", c or ""
+                    )
+                else:
+                    val, is_delete = record.process_record(rec, d or "", c or "")
+                vals.append(val)
                 deletes.append(is_delete)
             except Exception:
                 if not permissive:

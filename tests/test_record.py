@@ -362,3 +362,164 @@ class TestOrjsonParity:
         assert record._RUN_19 in (
             b'{"s": "9999999999999999999"}'.translate(record._DIGIT_FOLD)
         )
+
+
+class TestFusedProcessRecord:
+    """The r11 fused validate+sanitise+finalise pass (process_record /
+    process_parsed) must stay byte-identical -- output AND exception
+    type -- to the classic three-step chain on every input class,
+    including the ones that force the risky-replay path."""
+
+    @staticmethod
+    def _classic(raw, db="", col=""):
+        ser, is_delete = record.validate_record(raw)
+        ser = record.sanitise_text(ser, db, col)
+        return record.finalise_record(ser), is_delete
+
+    CASES = [
+        # plain record with dates, $ keys minted by validate
+        {"_id": "abc", "_lastModifiedDateTime": "2021-03-04T05:06:07.123Z",
+         "amount": 5, "note": "cash $10 _archived item"},
+        # offset timestamps, wrapped dates, nested walk
+        {"_id": {"k": 2}, "when": "2021-03-04T05:06:07.123+0230",
+         "inner": {"$date": "2021-03-04T05:06:07.123+0000"},
+         "lst": [{"$date": "2021-03-04T05:06:07.123Z"}, "x$y"]},
+        # _archivedDateTime drop + rename interplay
+        {"_removedDateTime": "2021-01-01T00:00:00.000Z",
+         "_archivedDateTime": "2021-02-02T00:00:00.000Z", "_archivedFoo": 1},
+        # only-archived: key renamed, not dropped
+        {"_archivedDateTime": "2021-02-02T00:00:00.000Z"},
+        # key collisions after the $ -> d_ rewrite: last wins
+        {"$x": 1, "d_x": 2},
+        {"d_x": 2, "$x": 1},
+        # NUL characters removed; NUL fusing into _archived
+        {"k": "a\x0000b", "f": "_arch\x00ived"},
+        # numeric/bool/None ids and values
+        {"_id": 123, "b": True, "n": None, "f": 2.5},
+        # date-string _id is normalised, never $oid-wrapped
+        {"_id": "2021-03-04T05:06:07.123Z"},
+        # big int survives exactly
+        {"big": 2**70, "_id": 7},
+        # non-ASCII raw output
+        {"é": "漢字🎉 $5"},
+        # empty record: epoch fallback lastModified only
+        {},
+    ]
+
+    RISKY_CASES = [
+        # literal backslash-u0000 in a value: the text pipeline's
+        # removal eats half an escaped backslash -- replay must match
+        {"k": "x\\u0000y"},
+        {"k\\u0000": 1},
+        # bare backslashes (risky-flagged, replay path)
+        {"k": "a\\b", "_id": "c\\d"},
+        # non-finite floats: intermediate orjson dump nulls them
+        {"f": float("nan")},
+        {"f": float("inf"), "_id": 1},
+        # finite float: fused path must use the stdlib encoder
+        {"f": 1e16, "g": 1.5e-7},
+    ]
+
+    def _assert_same(self, raw, db="", col=""):
+        try:
+            a = self._classic(raw, db, col)
+            a_exc = None
+        except Exception as exc:  # noqa: BLE001
+            a, a_exc = None, type(exc)
+        try:
+            b = record.process_record(raw, db, col)
+            b_exc = None
+        except Exception as exc:  # noqa: BLE001
+            b, b_exc = None, type(exc)
+        assert a_exc == b_exc, f"{raw!r}: {a_exc} vs {b_exc}"
+        assert a == b, f"{raw!r}: {a!r} vs {b!r}"
+
+    def test_fused_matches_classic(self):
+        for case in self.CASES + self.RISKY_CASES:
+            self._assert_same(json.dumps(case))
+            self._assert_same(json.dumps(case, ensure_ascii=True))
+
+    def test_unsupported_collection_still_raises(self):
+        with pytest.raises(NotImplementedError):
+            record.process_record(
+                '{"a": 1}', "penalties-and-deductions", "sanction"
+            )
+
+    def test_malformed_wrapped_date_raises_valueerror(self):
+        self._assert_same(json.dumps({"d": {"$date": "not-a-date"}}))
+        # ... even inside a to-be-dropped _archivedDateTime (walked
+        # before the drop, exactly as normalise_dates runs before pop)
+        self._assert_same(json.dumps({
+            "_removedDateTime": "2021-01-01T00:00:00.000Z",
+            "_archivedDateTime": {"$date": "nope"},
+        }))
+
+    def test_audit_context_matches_audit_transform(self):
+        raw = json.dumps({
+            "auditType": "LOGIN",
+            "context": {"userId": "u-1", "ts": "2021-03-04T05:06:07.123Z"},
+        })
+        via_ctx = record.process_parsed(record.audit_context(raw, "stamp"))
+        ser = record.audit_transform(raw, "stamp")
+        via_str = self._classic(ser)
+        assert via_ctx == via_str
+
+    def test_orjson_canonical_matches_stdlib_escapes(self):
+        # the fused fast dump must agree with canonical_json on every
+        # escape class (floats are gated to the stdlib encoder)
+        vals = [{"k": chr(i)} for i in range(0x20)]
+        vals += [{"a\"b": "c/d"}, {"é": "漢字🎉"}, {"x": [None, True, 7]},
+                 {"10": 1, "2": 2, "": 3, "Z": 4, "a": 5, "é": 6}]
+        if record._orjson is not None:
+            for v in vals:
+                assert (
+                    record._orjson.dumps(
+                        v, option=record._orjson.OPT_SORT_KEYS
+                    ).decode("utf-8")
+                    == record.canonical_json(v)
+                )
+
+    def test_ts_cache_outputs_are_fixed_points(self):
+        record._TS_CACHE.clear()
+        out = record.to_utc_wrapped_format("2021-03-04T05:06:07.123+0230")
+        assert out == "2021-03-04T02:36:07.123Z"
+        assert record.to_utc_wrapped_format(out) == out  # primed hit
+        with pytest.raises(ValueError):
+            record.to_utc_wrapped_format("2021-13-04T05:06:07.123Z")
+        # failures are not cached: still raises on repeat
+        with pytest.raises(ValueError):
+            record.to_utc_wrapped_format("2021-13-04T05:06:07.123Z")
+
+    def test_fused_fuzz_seeded(self):
+        import random
+        import string
+
+        rng = random.Random(20260818)
+        alphabet = string.ascii_letters + string.digits + ' $_\\"\x00é'
+
+        def rand_str():
+            s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 16)))
+            if rng.random() < 0.25:
+                s += rng.choice(
+                    ["_archivedDateTime", "_archived", "$date", "\\u0000"]
+                )
+            if rng.random() < 0.1:
+                s = "2021-03-04T05:06:07.123Z"
+            return s
+
+        def rand_val(d=0):
+            r = rng.random()
+            if d > 2 or r < 0.4:
+                return rng.choice([
+                    rand_str(), rng.randint(-9, 9), rng.uniform(-2, 2),
+                    True, None, float("nan"),
+                ])
+            if r < 0.75:
+                return {rand_str(): rand_val(d + 1) for _ in range(rng.randint(0, 4))}
+            return [rand_val(d + 1) for _ in range(rng.randint(0, 4))]
+
+        for _ in range(500):
+            obj = {rand_str(): rand_val() for _ in range(rng.randint(0, 6))}
+            if rng.random() < 0.4:
+                obj["_id"] = rand_val()
+            self._assert_same(json.dumps(obj))
