@@ -37,8 +37,13 @@ from pyspark.sql.types import (
 )
 
 from ..multimodal.binary import (
+    PIXEL_STATS_EXACT_SCHEMA,
+    WAVEFORM_EXACT_SCHEMA,
     decode_images,
+    extract_pcm_batch,
     extract_wav_pcm,
+    image_stats_batch,
+    pcm_stats_batch,
     pixel_stats_exact,
     probe_container_metadata,
     sample_frames,
@@ -194,8 +199,38 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     channel sums and min/max integer luma (pixel_stats_exact).  The
     oracle re-derives the same numbers from the same payload bytes,
     branching the channel mapping on the container format."""
-    media = _synth_image_media(_eligible_docs(spark, sf_dir, _IMG_BYTES))
-    stats = pixel_stats_exact(decode_images(media))
+    # ONE Arrow crossing for synth -> decode -> stats (r11, guide 4.2 /
+    # r10 verdict #8): the doc text crosses to Python once and only the
+    # kilobyte stats rows come back -- container blobs and per-row pixel
+    # buffers never round-trip through Arrow (they did twice each as
+    # three chained mapInPandas stages).  The container parse itself is
+    # vectorised by header shape in image_stats_batch; synthesis and
+    # parsing are byte-identical to _synth_image_media + decode_images.
+    def _synth_decode_stats(it):
+        import struct
+
+        bmp_header = b"BM" + struct.pack("<IHHI", 102, 0, 0, 54) + struct.pack(
+            "<IiiHHIIiiII", 40, 4, 4, 1, 24, 0, _IMG_BYTES, 0, 0, 0, 0
+        )
+        for pdf in it:
+            ids: list[int] = []
+            blobs: list[bytes] = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = (text or "").encode("utf-8")[:_IMG_BYTES]
+                if len(payload) < _IMG_BYTES:
+                    continue  # guarded by the upstream length filter
+                ids.append(int(did))
+                blobs.append(
+                    bmp_header + payload
+                    if did % 2 == 0
+                    else b"P6\n4 4\n255\n" + payload
+                )
+            if ids:
+                yield image_stats_batch(ids, blobs)
+
+    stats = _eligible_docs(spark, sf_dir, _IMG_BYTES).mapInPandas(
+        _synth_decode_stats, PIXEL_STATS_EXACT_SCHEMA
+    )
     return stats.select(
         "asset_id",
         F.when(F.col("asset_id") % 2 == 0, F.lit("bmp"))
@@ -256,21 +291,63 @@ def multimodal_wav_waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     exact waveform stats (waveform_stats_exact).  Probe and waveform
     stats join on asset_id -- both sides are already kilobyte rows, the
     blob never crosses a shuffle."""
-    media = _synth_wav_media(_eligible_docs(spark, sf_dir, _WAV_BYTES))
-    probe = probe_container_metadata(media).select(
-        "asset_id", "format", "sample_rate", "channels", "bits"
-    )
-    wave = waveform_stats_exact(extract_wav_pcm(media))
-    return probe.join(wave, "asset_id").select(
-        "asset_id",
-        "format",
-        "sample_rate",
-        "channels",
-        "bits",
-        "n_samples",
-        "zero_crossings",
-        "sum_abs",
-        "peak_abs",
+    # ONE Arrow crossing for synth -> probe -> strip -> stats (r11,
+    # guide 4.2): the probe and waveform branches each re-ran the whole
+    # synth UDF (no shared exchange) and joined kilobyte rows that came
+    # from the SAME input row.  The fused pass synthesises the blob
+    # once, parses the header with the real chunk walk (_probe_one),
+    # strips the container (extract_pcm_batch -- canonical-layout fast
+    # path, original walk otherwise) and reduces the PCM
+    # (pcm_stats_batch), all byte-identical to the operator chain; the
+    # join disappears because both halves describe the same asset row.
+    def _synth_probe_stats(it):
+        import struct
+
+        from ..multimodal.binary import _probe_one
+
+        for pdf in it:
+            ids: list[int] = []
+            blobs: list[bytes] = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = (text or "").encode("utf-8")[:_WAV_BYTES]
+                if len(payload) < _WAV_BYTES:
+                    continue  # guarded by the upstream length filter
+                rate = 8000 + 4000 * (did % 3)
+                ids.append(int(did))
+                blobs.append(
+                    b"RIFF"
+                    + struct.pack("<I", 36 + _WAV_BYTES)
+                    + b"WAVEfmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", _WAV_BYTES)
+                    + payload
+                )
+            if not ids:
+                continue
+            probes = [_probe_one(b) for b in blobs]
+            stats = pcm_stats_batch(ids, extract_pcm_batch(blobs))
+            stats.insert(1, "format", [p[0] for p in probes])
+            stats.insert(2, "sample_rate", pd.array([p[3] for p in probes], dtype="Int32"))
+            stats.insert(3, "channels", pd.array([p[4] for p in probes], dtype="Int32"))
+            stats.insert(4, "bits", pd.array([p[5] for p in probes], dtype="Int32"))
+            yield stats
+
+    return _eligible_docs(spark, sf_dir, _WAV_BYTES).mapInPandas(
+        _synth_probe_stats,
+        StructType(
+            [
+                StructField("asset_id", LongType()),
+                StructField("format", StringType()),
+                StructField("sample_rate", IntegerType()),
+                StructField("channels", IntegerType()),
+                StructField("bits", IntegerType()),
+                StructField("n_samples", LongType()),
+                StructField("zero_crossings", LongType()),
+                StructField("sum_abs", LongType()),
+                StructField("peak_abs", LongType()),
+            ]
+        ),
     )
 
 

@@ -436,3 +436,102 @@ class TestMetadataPushdownWithoutBlobs:
         df = spark.read.parquet(path)  # 50 x 64-byte blobs = 3200 bytes
         out = rebalance_by_size(df, target_partition_bytes=1000)
         assert out.rdd.getNumPartitions() == 4  # 3200/1000 + 1
+
+
+class TestFusedDecodeStats:
+    """r11 fused single-crossing operators must stay bit-identical --
+    rows, values, and error behavior -- to the chained operator form
+    (decode_images + pixel_stats_exact; extract_wav_pcm +
+    waveform_stats_exact), including on irregular containers that force
+    the per-row fallback path."""
+
+    def _image_cases(self):
+        import struct
+
+        pix6 = [(255, 0, 0), (0, 255, 0), (0, 0, 255),
+                (10, 20, 30), (40, 50, 60), (70, 80, 90)]
+        cases = [
+            _make_bmp(3, 2, pix6),          # padded rows, bottom-up
+            _make_ppm(3, 2, pix6),          # comment header
+            _make_bmp(1, 1, [(7, 8, 9)]),   # different shape: new group
+            _make_bmp(3, 2, pix6) + b"tail",  # oversized blob, same decode
+            b"P6\n2 1\n255\n" + bytes([1, 2, 3, 4, 5, 6]),
+        ]
+        # top-down BMP (negative height): fallback path, same stats
+        bmp = bytearray(_make_bmp(3, 2, pix6))
+        h = struct.unpack("<i", bmp[22:26])[0]
+        bmp[22:26] = struct.pack("<i", -h)
+        cases.append(bytes(bmp))
+        return cases
+
+    def test_image_fused_matches_chain(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.multimodal.binary import (
+            decode_image_stats_exact,
+            decode_images,
+            pixel_stats_exact,
+        )
+
+        rows = [(i, bytearray(b)) for i, b in enumerate(self._image_cases())]
+        df = spark.createDataFrame(rows, "asset_id long, data binary")
+        chained = {
+            r.asset_id: r
+            for r in pixel_stats_exact(decode_images(df)).collect()
+        }
+        fused = {r.asset_id: r for r in decode_image_stats_exact(df).collect()}
+        assert chained.keys() == fused.keys()
+        for k in chained:
+            assert chained[k].asDict() == fused[k].asDict(), k
+
+    def test_image_fused_rejects_like_chain(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.multimodal.binary import (
+            decode_image_stats_exact,
+        )
+
+        # 8-bit BMP: ValueError from _decode_bmp, exactly as the chain
+        import struct
+
+        blob = bytearray(_make_bmp(2, 1, [(1, 2, 3), (4, 5, 6)][:2]))
+        blob[28:30] = struct.pack("<H", 8)
+        df = spark.createDataFrame(
+            [(1, bytearray(bytes(blob)))], "asset_id long, data binary"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="24-bit BMP"):
+            decode_image_stats_exact(df).collect()
+
+    def test_wav_fused_matches_chain(self, spark):
+        import struct
+
+        from dataworks_aws_corporate_data_ingestion_spark.multimodal.binary import (
+            extract_wav_pcm,
+            wav_waveform_stats_exact,
+            waveform_stats_exact,
+        )
+
+        pcm = struct.pack("<8h", 0, 5, -3, 7, -1, 0, 2, -9)
+
+        def wav(extra_chunk: bool) -> bytes:
+            fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+                "<HHIIHH", 1, 1, 8000, 16000, 2, 16
+            )
+            mid = b"LIST" + struct.pack("<I", 4) + b"INFO" if extra_chunk else b""
+            data = b"data" + struct.pack("<I", len(pcm)) + pcm
+            body = b"WAVE" + fmt + mid + data
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        rows = [
+            (1, bytearray(wav(False))),   # canonical layout: fast path
+            (2, bytearray(wav(True))),    # extra chunk: original walk
+            (3, bytearray(b"notwav")),    # non-WAV -> empty PCM
+            (4, bytearray(pcm)),          # raw bytes, no container
+        ]
+        df = spark.createDataFrame(rows, "asset_id long, data binary")
+        chained = {
+            r.asset_id: r.asDict()
+            for r in waveform_stats_exact(extract_wav_pcm(df)).collect()
+        }
+        fused = {
+            r.asset_id: r.asDict() for r in wav_waveform_stats_exact(df).collect()
+        }
+        assert chained == fused

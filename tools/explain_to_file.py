@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Dump `.explain("formatted")` for named registry entries to
-plans/r10/<name>_<suffix>.txt -- the judge-facing before/after plan
+plans/<round>/<name>_<suffix>.txt (round from $SPARK_GRAFT_PLANS_ROUND, default r11) -- the judge-facing before/after plan
 evidence for the optimization round.
 
 Usage: python tools/explain_to_file.py SUFFIX NAME [NAME...]
@@ -21,7 +21,7 @@ def main() -> int:
     suffix = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r10")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11"))
     os.makedirs(out_dir, exist_ok=True)
 
     from dataworks_aws_corporate_data_ingestion_spark.session import get_session
