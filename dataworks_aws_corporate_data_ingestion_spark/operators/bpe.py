@@ -225,19 +225,49 @@ def _train(
     # width with a shuffle-free coalesce.
     n_parts = cur.rdd.getNumPartitions()
     rounds: list[DataFrame] = []
+    # Round overlap (r11, guide 2.6): the naive path's two serialised
+    # jobs per round -- corpus-rewrite checkpoint, then count+argmax over
+    # the checkpointed corpus -- have no hard dependency: the NEXT
+    # round's count can run over the LAZY rewrite (same deterministic
+    # plan, recomputing the narrow string fuse inline) while a
+    # background thread materialises the eager checkpoint.  Per round
+    # the driver then waits on max(checkpoint, count+argmax) instead of
+    # their sum.  Distinct from the r10 lazy-localCheckpoint experiment
+    # (REVERTED): that removed the eager job and serialised everything
+    # into one fused stage; this keeps the eager per-round checkpoint
+    # discipline (plans stay O(1)-deep, harness sweeps still see the
+    # blocks) and only changes WHEN the driver blocks on it.  The merge
+    # sequence is bit-identical: every argmax reads the same
+    # deterministic corpus value, checkpointed or lazy.
+    pool = None
+    pending = None
+    count_src = cur  # the frame `counts` was derived from
     for r in range(1, k + 1):
         best = (
-            _top1_likelihood(counts, cur) if likelihood else _top1(counts)
+            _top1_likelihood(counts, count_src) if likelihood else _top1(counts)
         )
         rounds.append(best)
         last = r == k
+        if pending is not None:
+            cur = pending.result()  # adopt the overlapped checkpoint
+            pending = None
         if last and not fuse_last:
             break
         tagged = cur.crossJoin(F.broadcast(best))
         if not incremental:
-            cur = _fuse_tagged(tagged).localCheckpoint(eager=True)
-            if not last:
-                counts = _adjacent_pair_counts(cur)
+            fused = _fuse_tagged(tagged)
+            if last:
+                cur = fused.localCheckpoint(eager=True)
+                continue
+            if pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                pool = ThreadPoolExecutor(max_workers=1)
+            pending = pool.submit(
+                lambda df=fused: df.localCheckpoint(eager=True)
+            )
+            counts = _adjacent_pair_counts(fused)
+            count_src = fused
             continue
         # adjacency probe on the single-space text: a doc contains the
         # pair iff ' '||t||' ' contains ' w1 w2 ' (tokens are exactly
@@ -277,6 +307,10 @@ def _train(
             .coalesce(n_parts)
             .localCheckpoint(eager=True)
         )
+    if pending is not None:
+        cur = pending.result()
+    if pool is not None:
+        pool.shutdown(wait=True)
     return rounds, cur
 
 
@@ -434,8 +468,17 @@ def bpe_merge_table_batched(
     )
     n_parts = cur.rdd.getNumPartitions()
     out_rows: list[tuple] = []
+    # per-pass round overlap (r11, guide 2.6; see _train): the pass's
+    # count checkpoint runs over the LAZY previous rewrite while a
+    # background thread materialises the eager corpus checkpoint
+    pool = None
+    pending = None
+    lazy_cur = cur
     while len(out_rows) < k:
-        counts = _adjacent_pair_counts(cur).localCheckpoint(eager=True)
+        counts = _adjacent_pair_counts(lazy_cur).localCheckpoint(eager=True)
+        if pending is not None:
+            cur = pending.result()
+            pending = None
         sels: list = []
         used: set[str] = set()
         while len(sels) < min(batch, k - len(out_rows)):
@@ -480,11 +523,17 @@ def bpe_merge_table_batched(
                     F.lit(" "),
                 )
             )
-        cur = (
-            cur.select("doc_id", expr.alias("t"))
-            .coalesce(n_parts)
-            .localCheckpoint(eager=True)
-        )
+        nxt = cur.select("doc_id", expr.alias("t")).coalesce(n_parts)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=1)
+        pending = pool.submit(lambda df=nxt: df.localCheckpoint(eager=True))
+        lazy_cur = nxt
+    if pending is not None:
+        pending.result()
+    if pool is not None:
+        pool.shutdown(wait=True)
     return spark.createDataFrame(
         out_rows,
         "merge_round bigint, w1 string, w2 string, pair_count bigint,"
@@ -539,9 +588,13 @@ def wordpiece_merge_table_batched(
     )
     n_parts = cur.rdd.getNumPartitions()
     out_rows: list[tuple] = []
+    # per-pass round overlap (r11, guide 2.6; see _train)
+    pool = None
+    pending = None
+    lazy_cur = cur
     while len(out_rows) < k:
-        counts = _adjacent_pair_counts(cur)
-        ug = _unigram_counts(cur)
+        counts = _adjacent_pair_counts(lazy_cur)
+        ug = _unigram_counts(lazy_cur)
         scored = (
             counts.join(
                 F.broadcast(
@@ -566,6 +619,9 @@ def wordpiece_merge_table_batched(
             )
             .localCheckpoint(eager=True)
         )
+        if pending is not None:
+            cur = pending.result()
+            pending = None
         sels: list = []
         used: set[str] = set()
         while len(sels) < min(batch, k - len(out_rows)):
@@ -613,11 +669,17 @@ def wordpiece_merge_table_batched(
                     F.lit(" "),
                 )
             )
-        cur = (
-            cur.select("doc_id", expr.alias("t"))
-            .coalesce(n_parts)
-            .localCheckpoint(eager=True)
-        )
+        nxt = cur.select("doc_id", expr.alias("t")).coalesce(n_parts)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=1)
+        pending = pool.submit(lambda df=nxt: df.localCheckpoint(eager=True))
+        lazy_cur = nxt
+    if pending is not None:
+        pending.result()
+    if pool is not None:
+        pool.shutdown(wait=True)
     return spark.createDataFrame(
         out_rows,
         "merge_round bigint, w1 string, w2 string, pair_count bigint,"
