@@ -111,6 +111,14 @@ def batch_token_and_measure(
     return token, measure
 
 
+# Driver-side bound on the marker summary each state table ships per
+# admission round: covers any bench/test stream outright (so the fused
+# round stays ONE job with O(cap) collected rows), while a years-long
+# production stream pays one extra kilobyte-scan probe job per batch
+# instead of shipping its whole ledger history to the driver.
+_MARKER_PROBE_CAP = 4096
+
+
 def batch_admission_state(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -137,6 +145,7 @@ def batch_admission_state(
     if weight_col:
         cols.append(F.col(weight_col).alias("__w"))
     hashed = batch_df.select(*cols)
+    null_arr = F.lit(None).cast("array<bigint>")
     aggs = [
         F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
         F.expr("bit_xor(h)").alias("x"),
@@ -146,32 +155,58 @@ def batch_admission_state(
         ).alias("w"),
     ]
     probe = hashed.agg(*aggs).select(
-        F.lit(0).alias("__t"), "s", "x", "n", "w"
+        F.lit(0).alias("__t"), "s", "x", "n", "w", null_arr.alias("xs")
     )
     for i, table in enumerate(tables, start=1):
-        # .distinct() kept deliberately: a map-only union variant (dedup
-        # driver-side) measured SLOWER and unstable (12-24s vs 6.3-8.5s
-        # best-of-5) -- the two tiny extra shuffle stages are cheaper
-        # than shipping every marker row through one collect
+        # Each table contributes ONE row: its distinct-marker count plus
+        # the smallest _MARKER_PROBE_CAP+1 markers (sorted collect_set
+        # slice).  Driver-collected rows are O(1) per batch regardless
+        # of stream length (r10 verdict item: the previous form shipped
+        # every table's full distinct marker set to the driver each
+        # admitted batch -- fine for bench-sized streams, linear growth
+        # over years of micro-batches).  Membership is still decided
+        # driver-side (the token only exists after blake2b): a complete
+        # set (nd <= cap) or a positive hit in the slice is definitive;
+        # a truncated slice without a hit falls back to ONE filtered
+        # probe job over just the uncertain tables (tokens_committed).
+        # Completeness needs no separate count: collect_set holds the
+        # FULL distinct set before the slice, so a slice shorter than
+        # cap+1 IS the whole set (a count_distinct alongside would plan
+        # an Expand + extra aggregation phase: measured +8 stages per
+        # certificate run).  Aggregate shape otherwise as before -- the
+        # r10 map-only variant (no aggregation, dedup driver-side)
+        # measured SLOWER and unstable (12-24s vs 6.3-8.5s) and stays
+        # rejected.
         probe = probe.unionAll(
             spark.table(table)
             .select("batch_token")
-            .distinct()
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_set("batch_token")),
+                    1,
+                    _MARKER_PROBE_CAP + 1,
+                ).alias("xs")
+            )
             .select(
                 F.lit(i).alias("__t"),
                 F.lit(None).cast("decimal(38,0)").alias("s"),
-                F.col("batch_token").alias("x"),
+                F.lit(None).cast("bigint").alias("x"),
                 F.lit(None).cast("bigint").alias("n"),
                 F.lit(None).cast("bigint").alias("w"),
+                "xs",
             )
         )
-    seen: dict[int, set[int]] = {}
+    seen: dict[int, tuple[set[int], bool]] = {}
     agg_row = None
     for r in probe.collect():
         if r["__t"] == 0:
             agg_row = r
-        elif r["x"] is not None:
-            seen.setdefault(r["__t"], set()).add(int(r["x"]))
+        else:
+            xs = r["xs"] or ()
+            seen[r["__t"]] = (
+                {int(v) for v in xs},
+                len(xs) <= _MARKER_PROBE_CAP,
+            )
     s = int(agg_row["s"] or 0) % (1 << 64)
     x = int(agg_row["x"] or 0) & ((1 << 64) - 1)
     n = int(agg_row["n"] or 0)
@@ -180,10 +215,18 @@ def batch_admission_state(
     ).digest()
     token = _struct.unpack("<Q", digest)[0] % (1 << 62)
     measure = int(agg_row["w"] or 0) if weight_col else n
-    done = {
-        t for i, t in enumerate(tables, start=1) if token in seen.get(i, ())
-    }
+    done = set()
+    uncertain = []
+    for i, t in enumerate(tables, start=1):
+        markers, complete = seen.get(i, (set(), True))
+        if token in markers:
+            done.add(t)
+        elif not complete:
+            uncertain.append(t)
+    if uncertain:
+        done |= tokens_committed(spark, token, *uncertain)
     return token, measure, done
+
 
 
 def init_state_tables(spark: SparkSession, schemas: dict[str, str]) -> None:
