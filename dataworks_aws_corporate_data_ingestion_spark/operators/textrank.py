@@ -61,14 +61,16 @@ def word_cooccurrence_graph(
     symmetrised and distinct.  Self-loops dropped."""
     docs = fan_out(docs)
     toks = F.split(F.lower(F.col(text_col)), " ")
+    # arrays_zip of two slices, not transform(sequence, element_at):
+    # the per-index lambda form measured 2.3x slower on the sf0.1
+    # adjacent-pair count (see operators/ngram_lm.py::_doc_bigrams --
+    # r11, guide 1.2 step 2); identical pair multiset
+    n = F.size(toks)
     pairs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
-            ),
+        n >= 2,
+        F.arrays_zip(
+            F.slice(toks, 1, n - 1).alias("w1"),
+            F.slice(toks, 2, n - 1).alias("w2"),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     directed = (
