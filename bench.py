@@ -461,6 +461,97 @@ def _measure_anchor(spark, sf_dir: str, sf: float, repeats: int) -> dict:
     return anchor
 
 
+def _prev_details() -> tuple[int, float, dict, dict | None] | None:
+    """The latest committed BENCH_DETAILS_r*.json other than this run's
+    own output file: the round-over-round reference the per-entry
+    classification below adjudicates against."""
+    import glob
+
+    out_path = os.path.abspath(_details_out_path())
+    cands = []
+    for f in glob.glob(os.path.join(_REPO_ROOT, "BENCH_DETAILS_r*.json")):
+        m = re.match(r"BENCH_DETAILS_r(\d+)\.json$", os.path.basename(f))
+        if m and os.path.abspath(f) != out_path:
+            cands.append((int(m.group(1)), f))
+    if not cands:
+        return None
+    rnd, path = max(cands)
+    try:
+        with open(path) as f:
+            obj = json.load(f)
+    except Exception:
+        return None
+    return (
+        rnd,
+        obj.get("sf"),
+        obj.get("details") or {},
+        (obj.get("host") or {}).get("anchor"),
+    )
+
+
+def _classify_vs_prev(details: dict, anchor: dict, sf: float) -> None:
+    """Stamp each entry with its round-over-round adjudication
+    (tools/bench_diff.py semantics, r10 verdict item #5: noise victims
+    must self-classify in the committed artifact instead of needing a
+    hand A/B).  Adds per entry `vs_prev`: the reference round/seconds,
+    the anchor-blocked era ratio, and a class --
+
+      PLAN-CHANGED  plan_sha differs (the code asked for a new plan)
+      steady        same sha, |delta| within 15%
+      ERA-DRIFT     same sha, delta beyond 15% but explained by the two
+                    runs' anchor-probe era ratio
+      HOST-NOISE?   unexplained AND this run's median > 1.8x its best
+                    (a mid-repeat load spike the best couldn't hide)
+      FASTER/SLOWER unexplained plan-stable change -- the rows a human
+                    (or the driver's PERF diff) should actually read
+
+    Classification only runs when the reference is the SAME SF and both
+    runs carry comparable anchors against the same committed pin."""
+    prev = _prev_details()
+    if prev is None:
+        return
+    rnd, prev_sf, prev_details, prev_anchor = prev
+    if prev_sf != sf:
+        return
+    era = None
+    if (
+        anchor
+        and prev_anchor
+        and anchor.get("comparable")
+        and prev_anchor.get("comparable")
+        and anchor.get("ref") == prev_anchor.get("ref")
+        and prev_anchor.get("era_ratio")
+    ):
+        era = anchor["era_ratio"] / prev_anchor["era_ratio"]
+    thr = 0.15
+    for name, rec in details.items():
+        old = prev_details.get(name)
+        if not isinstance(old, dict) or old.get("best") is None:
+            continue
+        ot, nt = old["best"], rec.get("best")
+        if not ot or not nt:
+            continue
+        osha, nsha = old.get("plan_sha"), rec.get("plan_sha")
+        rel = (nt - ot) / ot
+        if osha and nsha and osha != nsha:
+            cls = "PLAN-CHANGED"
+        elif abs(rel) <= thr:
+            cls = "steady"
+        elif era and abs(nt - ot * era) / (ot * era) <= thr:
+            cls = "ERA-DRIFT"
+        elif rec.get("median") and rec["median"] > nt * 1.8:
+            cls = "HOST-NOISE?"
+        else:
+            cls = "FASTER" if rel < 0 else "SLOWER"
+        rec["vs_prev"] = {
+            "ref_round": rnd,
+            "ref_best": ot,
+            "rel_delta": round(rel, 3),
+            "era_ratio_vs_ref": None if era is None else round(era, 3),
+            "class": cls,
+        }
+
+
 def _details_out_path() -> str:
     """Committed-side sink for the full per-entry details map.  The
     driver's BENCH_r{N}.json keeps only the tail of stdout, which
@@ -639,6 +730,7 @@ def main() -> None:
         # round-over-round diff needs no manual host adjudication
         for rec in details.values():
             rec["best_era_norm"] = round(rec["best"] / era_ratio, 3)
+    _classify_vs_prev(details, anchor, sf)
     load_end = _loadavg()
     host = {
         "cpus": os.cpu_count(),
