@@ -506,13 +506,28 @@ def _classify_vs_prev(details: dict, anchor: dict, sf: float) -> None:
                     (or the driver's PERF diff) should actually read
 
     Classification only runs when the reference is the SAME SF and both
-    runs carry comparable anchors against the same committed pin."""
+    runs carry comparable anchors against the same committed pin.
+
+    `pin_sha_match` cross-checks each entry's plan_sha against the
+    committed PLAN_SHAS.json pin: plan shas are context-sensitive for
+    fan_out/persist-family plans (measured r11: the driver's bench
+    environment and the builder's produce DIFFERENT shas for 13 such
+    entries at identical code, while same-environment runs are stable),
+    so a PLAN-CHANGED class against a reference produced in another
+    environment with pin_sha_match=true reads as cross-context sha
+    noise, not a real plan change."""
     prev = _prev_details()
     if prev is None:
         return
     rnd, prev_sf, prev_details, prev_anchor = prev
     if prev_sf != sf:
         return
+    pins = {}
+    try:
+        with open(os.path.join(_REPO_ROOT, "PLAN_SHAS.json")) as f:
+            pins = json.load(f).get("plan_shas") or {}
+    except Exception:
+        pass
     era = None
     if (
         anchor
@@ -549,6 +564,9 @@ def _classify_vs_prev(details: dict, anchor: dict, sf: float) -> None:
             "rel_delta": round(rel, 3),
             "era_ratio_vs_ref": None if era is None else round(era, 3),
             "class": cls,
+            "pin_sha_match": (
+                None if name not in pins else pins[name] == nsha
+            ),
         }
 
 
