@@ -41,6 +41,7 @@ __all__ = [
     "batch_content_token",
     "batch_token_and_measure",
     "batch_admission_state",
+    "probe_with_summary",
     "refresh_state_tables",
     "init_state_tables",
     "token_committed",
@@ -229,6 +230,52 @@ def batch_admission_state(
 
 
 
+def probe_with_summary(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    id_col: str,
+    weight_col: str | None,
+    tables: tuple[str, ...],
+    summary_fn: Callable[[], list],
+    batch_token: int | None = None,
+):
+    """Run the admission probe and the batch's bounded-summary job
+    CONCURRENTLY; returns (token, measure, done, summary_rows).
+
+    The summary job (`summary_fn`: collect the family's bounded partial
+    -- MG candidates, CMS cells, histogram bins) reads ONLY the batch,
+    never the state tables; the probe reads the batch plus the kilobyte
+    state tables.  Spark actions are only sequential because the driver
+    calls them sequentially (guide section 2.6), so a driver thread
+    submits the summary while the probe runs on the caller's thread and
+    an admission round's read wall is max(probe, summary) instead of
+    their sum.  The state appends still run strictly AFTER both, in the
+    family's fixed table order the crash-window guarantee needs.
+
+    Trade: a REPLAYED batch now pays the summary computation it used to
+    skip (append_once never calls its rows_fn when the marker is found,
+    so the collected partial is simply discarded) -- replays are the
+    rare at-least-once path, and their wall is roughly unchanged because
+    the summary overlaps the probe a replay must run anyway.
+
+    Exception order: a probe failure propagates after the summary thread
+    drains (the `with` join); a summary failure surfaces at .result(),
+    before any append -- either way no state table is touched."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        summary_future = pool.submit(summary_fn)
+        if batch_token is not None:
+            token, measure = batch_token, None
+            done = tokens_committed(spark, token, *tables)
+        else:
+            token, measure, done = batch_admission_state(
+                spark, batch_df, id_col, weight_col, *tables
+            )
+        summary = summary_future.result()
+    return token, measure, done, summary
+
+
 def init_state_tables(spark: SparkSession, schemas: dict[str, str]) -> None:
     """Create empty state tables (name -> DDL schema string), clearing
     any orphaned warehouse location first.  Idempotent across sessions
@@ -299,21 +346,19 @@ def append_once(
     Pass `committed` when the caller already probed the marker (e.g. a
     batched tokens_committed over all the round's tables) to skip the
     per-table probe job.  The appended rows are a driver-local bounded
-    list (the protocol's invariant), so the write runs as ONE task
-    writing one file instead of defaultParallelism near-empty ones --
-    plain createDataFrame slices the list across the full parallelism
-    and each admitted batch paid a 32-task commit for kilobytes of
-    state.  NOT .coalesce(1): on a Python-parallelized local relation
-    that plans one task which pulls all 32 pickled slices through the
-    Python worker SERIALLY (measured 6-8s per append vs 0.4-0.6s for a
-    single-slice parallelize) -- r10 optimization."""
+    list (the protocol's invariant), so the write goes through
+    _write_state_rows: one parquet file written directly on a local
+    table location (r11; no Spark job at all), falling back to a
+    single-slice parallelize(rows, 1) Spark write elsewhere.  NOT
+    .coalesce(1) in the fallback: on a Python-parallelized local
+    relation that plans one task which pulls all 32 pickled slices
+    through the Python worker SERIALLY (measured 6-8s per append vs
+    0.4-0.6s for a single-slice parallelize) -- r10 optimization."""
     if committed is None:
         committed = token_committed(spark, table, batch_token)
     if committed:
         return False
-    _one_slice_df(spark, rows_fn(), schema).write.mode("append").format(
-        "parquet"
-    ).saveAsTable(table)
+    _write_state_rows(spark, table, schema, rows_fn(), "append")
     return True
 
 
@@ -324,6 +369,102 @@ def _one_slice_df(spark: SparkSession, rows: list[tuple], schema: str):
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema
     )
+
+
+def _table_local_path(spark: SparkSession, table: str) -> str | None:
+    """The table's storage location as a local filesystem path, or None
+    when the location is non-local (s3/hdfs/...) or unresolvable."""
+    loc = None
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r["col_name"] == "Location":
+            loc = r["data_type"]
+            break
+    if not loc:
+        return None
+    if loc.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(loc).path)
+    if loc.startswith("/"):
+        return loc
+    return None
+
+
+# Spark DDL atom -> pyarrow type factory, for the state-table schemas
+# the admission families declare (the protocol's partials are bounded
+# rows of exactly these shapes).  Anything else falls back to the
+# Spark write path.
+_ARROW_ATOMS = {
+    "string": "string",
+    "bigint": "int64",
+    "int": "int32",
+    "date": "date32",
+}
+
+
+def _write_state_rows(
+    spark: SparkSession,
+    table: str,
+    schema: str,
+    rows: list[tuple],
+    mode: str,
+) -> None:
+    """Persist BOUNDED driver-local state rows (kilobytes by protocol
+    invariant) into a managed parquet state table.
+
+    On a local-filesystem table location this writes the single parquet
+    file directly (pyarrow) and refreshes the relation cache -- the
+    data is already driver-local, so routing it through a Spark write
+    ran a full job (launch, task, commit protocol, _SUCCESS) per
+    kilobyte append: measured 0.4-0.8s per admission-round append vs
+    single-digit ms for the direct file write, times 2 appends per
+    admitted batch plus every compaction overwrite.  Readers see the
+    identical table: standard snappy parquet read under the catalog
+    schema by name, dotfile-hidden while in flight, renamed into
+    visibility (same-directory rename, atomic on a local FS -- the
+    same visibility discipline as Spark's own commit).  `overwrite`
+    deletes the previous data files only after the replacement file is
+    fully written, mirroring InsertIntoHadoopFsRelation's
+    delete-then-commit window under the compaction caller contract
+    (no batches in flight).
+
+    Non-local locations (s3/hdfs) or schema atoms outside the
+    framework's state shapes take the original Spark write path."""
+    import os
+    import uuid
+
+    from pyspark.sql.types import StructType
+
+    path = _table_local_path(spark, table)
+    fields = StructType.fromDDL(schema).fields
+    atoms = [f.dataType.simpleString() for f in fields]
+    if path is None or any(a not in _ARROW_ATOMS for a in atoms):
+        _one_slice_df(spark, rows, schema).write.mode(mode).format(
+            "parquet"
+        ).saveAsTable(table)
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    arrays = [
+        pa.array(
+            [row[i] for row in rows],
+            type=getattr(pa, _ARROW_ATOMS[a])(),
+        )
+        for i, a in enumerate(atoms)
+    ]
+    tbl = pa.Table.from_arrays(arrays, names=[f.name for f in fields])
+    os.makedirs(path, exist_ok=True)
+    fname = f"part-{uuid.uuid4().hex}.snappy.parquet"
+    tmp = os.path.join(path, f".{fname}.inprogress")
+    pq.write_table(tbl, tmp, compression="snappy")
+    if mode == "overwrite":
+        for existing in os.listdir(path):
+            if not existing.startswith((".", "_")):
+                os.remove(os.path.join(path, existing))
+    os.rename(tmp, os.path.join(path, fname))
+    # saveAsTable refreshed the relation cache implicitly; do the same
+    spark.catalog.refreshTable(table)
 
 
 def ledger_measure(batch_df: DataFrame, weight_col: str | None = None) -> int:
@@ -396,27 +537,38 @@ def compact_index(
     flight (caller contract).  Returns {rows_before, rows_after}."""
     refresh_state_tables(spark, table)
     t = spark.table(table)
+
     # rows_before and the distinct marker-token set come from ONE
     # aggregate job (they used to be a count job plus a distinct+collect
     # job over the same kilobyte table -- r10 optimization, guide
     # section 1.2); sorted() keeps the marker-row order deterministic,
     # which .distinct().collect() never guaranteed anyway.
-    meta = t.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.collect_set("batch_token").alias("toks"),
-    ).collect()[0]
+    def _meta_row():
+        return t.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set("batch_token").alias("toks"),
+        ).collect()[0]
+
+    # the meta aggregate and the family's fold are independent reads of
+    # the same kilobyte table, so they run concurrently from a driver
+    # thread (guide section 2.6) -- the compaction's read wall is
+    # max(meta, fold) instead of their sum (r11).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        meta_future = pool.submit(_meta_row)
+        data_rows = fold_fn(t.filter(F.col(data_col).isNotNull()))
+        meta = meta_future.result()
     rows_before = int(meta["n"])
     tokens = sorted(int(tok) for tok in meta["toks"] if tok is not None)
-    data_rows = fold_fn(t.filter(F.col(data_col).isNotNull()))
     rows = data_rows + [marker_fn(tok) for tok in tokens]
     # `rows` is a driver-local list (fold_fn and the token scan already
     # collected), so the overwrite has NO lineage on the table being
     # replaced -- the eager localCheckpoint that used to sit here
     # insured against a dependency that cannot exist, at the cost of a
     # full extra job + cached blocks per compaction (r10 optimization).
-    # Single-slice: the folded state is bounded driver-local rows; one
-    # task, one file, instead of defaultParallelism near-empty files.
-    compacted = _one_slice_df(spark, rows, schema)
-    compacted.write.mode("overwrite").format("parquet").saveAsTable(table)
+    # Single file: the folded state is bounded driver-local rows; one
+    # file, written directly (r11: _write_state_rows).
+    _write_state_rows(spark, table, schema, rows, "overwrite")
     refresh_state_tables(spark, table)
     return {"rows_before": rows_before, "rows_after": len(rows)}

@@ -37,12 +37,11 @@ from ..operators.cms import cms_sketch
 from .admission import (
     admit_ledger_once,
     append_once,
-    batch_admission_state,
     compact_index,
     init_state_tables,
+    probe_with_summary,
     read_ledger_total,
     refresh_state_tables,
-    tokens_committed,
 )
 
 _CMS_SCHEMA = "row int, col long, c long, batch_token long"
@@ -82,20 +81,21 @@ def admit_cms_batch(
     (cf. admit_mg_batch(weight_col=)); a prefix must use one mode
     consistently."""
     refresh_state_tables(spark, f"{prefix}_cms", f"{prefix}_meta")
-    if batch_token is not None:
-        token, measure = batch_token, None
-        done = tokens_committed(spark, token, f"{prefix}_cms", f"{prefix}_meta")
-    else:
-        # ONE job: replay token + ledger measure + both marker sets (r10)
-        token, measure, done = batch_admission_state(
-            spark, batch_df, id_col or key_col, weight_col,
-            f"{prefix}_cms", f"{prefix}_meta",
-        )
 
-    def _cell_rows() -> list[tuple]:
-        part = cms_sketch(
+    def _sketch_parts() -> list:
+        return cms_sketch(
             batch_df, key_col, w, d, weight_col=weight_col
         ).collect()
+
+    # probe (fused token+measure+markers job, r10) and the batch's
+    # sketch job run concurrently -- read wall = max, not sum (see
+    # probe_with_summary); appends stay strictly after both, in order.
+    token, measure, done, part = probe_with_summary(
+        spark, batch_df, id_col or key_col, weight_col,
+        (f"{prefix}_cms", f"{prefix}_meta"), _sketch_parts, batch_token,
+    )
+
+    def _cell_rows() -> list[tuple]:
         rows = [(int(r["row"]), int(r["col"]), int(r["c"]), token)
                 for r in part]
         rows.append((None, None, 0, token))  # commit marker

@@ -49,12 +49,11 @@ from ..operators.histsketch import daily_histogram
 from .admission import (
     admit_ledger_once,
     append_once,
-    batch_admission_state,
     compact_index,
     init_state_tables,
+    probe_with_summary,
     read_ledger_total,
     refresh_state_tables,
-    tokens_committed,
 )
 
 _HIST_SCHEMA = "day date, bin long, n long, batch_token long"
@@ -92,22 +91,21 @@ def admit_hist_batch(
     one small append together with its commit marker, like the MG
     candidate appends."""
     refresh_state_tables(spark, f"{prefix}_hist", f"{prefix}_meta")
-    if batch_token is not None:
-        token, measure = batch_token, None
-        done = tokens_committed(
-            spark, token, f"{prefix}_hist", f"{prefix}_meta"
-        )
-    else:
-        # ONE job: replay token + ledger measure + both marker sets (r10)
-        token, measure, done = batch_admission_state(
-            spark, batch_df, id_col, None,
-            f"{prefix}_hist", f"{prefix}_meta",
-        )
 
-    def _bin_rows() -> list[tuple]:
-        part = daily_histogram(
+    def _hist_parts() -> list:
+        return daily_histogram(
             batch_df, ts_col, value_col, n_bins, span_cents
         ).collect()
+
+    # probe (fused token+measure+markers job, r10) and the batch's
+    # histogram job run concurrently -- read wall = max, not sum (see
+    # probe_with_summary); appends stay strictly after both, in order.
+    token, measure, done, part = probe_with_summary(
+        spark, batch_df, id_col, None,
+        (f"{prefix}_hist", f"{prefix}_meta"), _hist_parts, batch_token,
+    )
+
+    def _bin_rows() -> list[tuple]:
         rows = [(r["day"], int(r["bin"]), int(r["n"]), token) for r in part]
         rows.append((None, None, 0, token))  # commit marker
         return rows

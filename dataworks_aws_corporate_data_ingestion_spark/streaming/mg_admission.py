@@ -58,12 +58,11 @@ from ..operators.heavyhitters import _mg_reduce, mg_summary
 from .admission import (
     admit_ledger_once,
     append_once,
-    batch_admission_state,
     compact_index,
     init_state_tables,
+    probe_with_summary,
     read_ledger_total,
     refresh_state_tables,
-    tokens_committed,
 )
 
 _MG_SCHEMA = "key string, c long, batch_token long"
@@ -103,28 +102,30 @@ def admit_mg_batch(
     The batch's per-partition summaries (<= k rows each, bounded state)
     are collected -- candidate-set-sized, never the batch itself -- and
     merged driver-side with the MG reduce rule before the append, so
-    each admitted batch contributes at most k real rows."""
-    refresh_state_tables(spark, f"{prefix}_mg", f"{prefix}_meta")
-    if batch_token is not None:
-        token, measure = batch_token, None
-        done = tokens_committed(spark, token, f"{prefix}_mg", f"{prefix}_meta")
-    else:
-        # ONE job yields the replay token, the ledger measure AND both
-        # state tables' marker sets (r10: was a token scan plus a probe
-        # job per admitted batch)
-        token, measure, done = batch_admission_state(
-            spark, batch_df, id_col or key_col, weight_col,
-            f"{prefix}_mg", f"{prefix}_meta",
-        )
+    each admitted batch contributes at most k real rows.
 
-    def _mg_rows() -> list[tuple]:
+    The probe (one fused job: replay token + ledger measure + marker
+    sets, r10) and the batch's MG summary job run CONCURRENTLY via
+    probe_with_summary -- the round's read wall is max(probe, summary)
+    instead of their sum; appends still run strictly AFTER both, in the
+    fixed _mg -> _meta order the crash-window guarantee needs."""
+    refresh_state_tables(spark, f"{prefix}_mg", f"{prefix}_meta")
+
+    def _summary_parts() -> list:
         sel = [F.col(key_col).alias("key")] + (
             [F.col(weight_col).alias("__w")] if weight_col else []
         )
-        parts = mg_summary(
+        return mg_summary(
             batch_df.select(*sel), ["key"], k,
             weight_col="__w" if weight_col else None,
         ).collect()
+
+    token, measure, done, parts = probe_with_summary(
+        spark, batch_df, id_col or key_col, weight_col,
+        (f"{prefix}_mg", f"{prefix}_meta"), _summary_parts, batch_token,
+    )
+
+    def _mg_rows() -> list[tuple]:
         state: dict[tuple, int] = {}
         for r in parts:
             state[(r["key"],)] = state.get((r["key"],), 0) + int(r["c"])
@@ -198,7 +199,8 @@ def heavy_hitters_from_state(
     key_expr,
     k: int,
     weight_expr=None,
-) -> DataFrame:
+    return_total: bool = False,
+):
     """EXACT heavy hitters of the accumulated stream, verified off the
     streamed candidate state: broadcast the stored candidates, recount
     only them over the archived corpus, filter by the ledger's total.
@@ -207,17 +209,34 @@ def heavy_hitters_from_state(
 
     Raises if the ledger total disagrees with the corpus total (row
     count, or weight sum in weighted mode) -- the invariant that the
-    archive and the admission ledger describe the same stream."""
-    cands, n_total = read_mg_state(spark, prefix)
-    if weight_expr is not None:
-        n_corpus = int(
-            corpus_df.agg(
-                F.sum(weight_expr).cast("bigint")
-            ).collect()[0][0]
-            or 0
-        )
-    else:
-        n_corpus = corpus_df.count()
+    archive and the admission ledger describe the same stream.
+
+    With `return_total` the verified total comes back alongside the
+    DataFrame as (df, n_total) so callers that need the denominator
+    (the certificates' share_bps) skip a second ledger read -- and in
+    weighted mode a second full corpus weight scan -- of a value this
+    function just proved equal to both (r11; same class as the r10
+    ledger-total reuse).
+
+    The kilobyte ledger read and the corpus count are independent jobs,
+    so they run concurrently from a driver thread (guide section 2.6):
+    the verify's read wall is max(corpus scan, ledger read)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _corpus_total() -> int:
+        if weight_expr is not None:
+            return int(
+                corpus_df.agg(
+                    F.sum(weight_expr).cast("bigint")
+                ).collect()[0][0]
+                or 0
+            )
+        return corpus_df.count()
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        corpus_future = pool.submit(_corpus_total)
+        cands, n_total = read_mg_state(spark, prefix)
+        n_corpus = corpus_future.result()
     if n_corpus != n_total:
         raise AssertionError(
             f"ledger/corpus divergence: meta n={n_total}, corpus={n_corpus}"
@@ -230,9 +249,10 @@ def heavy_hitters_from_state(
     else:
         keyed = corpus_df.select(key_expr.alias("key"))
         measure = F.count(F.lit(1)).cast("bigint").alias("n_rows")
-    return (
+    heavy = (
         keyed.join(F.broadcast(cands.select("key")), "key", "left_semi")
         .groupBy("key")
         .agg(measure)
         .filter(F.col("n_rows") * (k + 1) > F.lit(n_total))
     )
+    return (heavy, n_total) if return_total else heavy

@@ -439,19 +439,15 @@ def mg_admission_streaming_certificate(
                 id_col="event_id",
             )
             compact_mg_index(spark, "mg_adm", k=_MG_K)
-    heavy = heavy_hitters_from_state(
-        spark, stream, "mg_adm",
-        key_expr=F.col("key"), k=_MG_K,
-    )
-    # the ledger total IS the corpus count: heavy_hitters_from_state just
-    # recounted the corpus and raised unless the two agree, so reading
-    # the (single-row-aggregate) ledger here replaces a third full
-    # corpus scan with a kilobyte table read (r10 optimization, guide
-    # section 1.2) -- the value, and therefore every share_bps, is
+    # the ledger total IS the corpus count: heavy_hitters_from_state
+    # recounts the corpus and raises unless the two agree, and returns
+    # the verified total (r11; supersedes the r10 separate ledger
+    # re-read) -- the value, and therefore every share_bps, is
     # unchanged by construction
-    from ..streaming.admission import read_ledger_total
-
-    n_total = read_ledger_total(spark, "mg_adm_meta")
+    heavy, n_total = heavy_hitters_from_state(
+        spark, stream, "mg_adm",
+        key_expr=F.col("key"), k=_MG_K, return_total=True,
+    )
     parts = F.split(F.col("key"), "\\|")
     return (
         heavy.select(
@@ -1093,12 +1089,16 @@ def mg_admission_weighted_certificate(
                 id_col="event_id", weight_col="cents",
             )
             compact_mg_index(spark, "mgw_adm", k=_MG_K)
-    heavy = heavy_hitters_from_state(
+    # the verified total IS sum(cents) over the stream:
+    # heavy_hitters_from_state just computed that exact aggregate and
+    # raised unless it equals the ledger, so returning it replaces a
+    # SECOND full corpus weight scan (r11; the weighted twin of the
+    # unweighted certificate's r10 ledger-total reuse) -- every
+    # share_bps is unchanged by construction
+    heavy, w_total = heavy_hitters_from_state(
         spark, stream, "mgw_adm",
         key_expr=F.col("key"), k=_MG_K, weight_expr=F.col("cents"),
-    )
-    w_total = int(
-        stream.agg(F.sum("cents").cast("bigint")).collect()[0][0] or 0
+        return_total=True,
     )
     parts = F.split(F.col("key"), "\\|")
     return (

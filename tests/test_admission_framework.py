@@ -202,3 +202,88 @@ class TestSingleFileStateWrites:
             assert tokens_committed(spark, 7, "t_fw_c") == {"t_fw_c"}
         finally:
             _cleanup(spark, "t_fw_c")
+
+
+class TestProbeWithSummary:
+    """r11: the probe and the batch's bounded-summary job run
+    concurrently (probe_with_summary) -- same (token, measure, done)
+    as the sequential fused probe, same summary rows as calling the
+    thunk directly, and a summary failure propagates BEFORE any state
+    append could run."""
+
+    def test_agrees_with_sequential_form(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.admission import (  # noqa: E501
+            probe_with_summary,
+        )
+
+        try:
+            init_state_tables(
+                spark,
+                {
+                    "t_pws_a": "key string, c long, batch_token long",
+                    "t_pws_b": "n_rows long, batch_token long",
+                },
+            )
+            b = _batch(spark)
+            calls = []
+
+            def summary():
+                calls.append(1)
+                return b.groupBy("key").count().collect()
+
+            tok, measure, done, parts = probe_with_summary(
+                spark, b, "doc_id", None, ("t_pws_a", "t_pws_b"), summary
+            )
+            seq = batch_admission_state(
+                spark, b, "doc_id", None, "t_pws_a", "t_pws_b"
+            )
+            assert (tok, measure, done) == seq
+            assert calls == [1]
+            assert sorted((r["key"], r["count"]) for r in parts) == sorted(
+                (r["key"], r["count"])
+                for r in b.groupBy("key").count().collect()
+            )
+            # explicit-token (replay/stream) path: marker probe only
+            tok2, measure2, done2, parts2 = probe_with_summary(
+                spark, b, "doc_id", None, ("t_pws_a", "t_pws_b"),
+                summary, batch_token=tok,
+            )
+            assert (tok2, measure2, done2) == (tok, None, set())
+            assert len(parts2) == len(parts)
+            # once one table holds the marker, done reflects it
+            append_once(
+                spark,
+                "t_pws_a",
+                "key string, c long, batch_token long",
+                tok,
+                lambda: [(None, 0, tok)],
+            )
+            _, _, done3, _ = probe_with_summary(
+                spark, b, "doc_id", None, ("t_pws_a", "t_pws_b"), summary
+            )
+            assert done3 == {"t_pws_a"}
+        finally:
+            _cleanup(spark, "t_pws_a", "t_pws_b")
+
+    def test_summary_failure_propagates(self, spark):
+        from dataworks_aws_corporate_data_ingestion_spark.streaming.admission import (  # noqa: E501
+            probe_with_summary,
+        )
+
+        try:
+            init_state_tables(
+                spark, {"t_pws_f": "n_rows long, batch_token long"}
+            )
+            b = _batch(spark)
+
+            def boom():
+                raise RuntimeError("summary failed")
+
+            with pytest.raises(RuntimeError, match="summary failed"):
+                probe_with_summary(
+                    spark, b, "doc_id", None, ("t_pws_f",), boom
+                )
+            # nothing was appended: the table is still empty
+            assert spark.table("t_pws_f").count() == 0
+        finally:
+            _cleanup(spark, "t_pws_f")
